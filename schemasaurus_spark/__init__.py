@@ -1,0 +1,56 @@
+"""schemasaurus_spark — a from-scratch PySpark-native schema + constraint
+validation engine.
+
+Re-expresses the core idea of the reference (AlexeyGrishin/schemasaurus:
+compile a JSON-Schema once into a specialized straight-line validator,
+``/root/reference/src/compiler.js:194-211``) as: compile a declarative
+constraint DSL once into Catalyst ``Column`` expression trees (and, only for
+the ``conform`` escape hatch, vectorized Arrow pandas UDFs), so per-row work
+is whole-stage-codegen'd JVM code — never per-row Python.
+
+Public API::
+
+    from schemasaurus_spark import Suite, compile_suite, validate
+    suite = Suite(id_column="doc_id", columns={...}, row=[...])
+    result = validate(df, suite)          # -> ValidationResult
+    result.violations()                   # (doc_id, constraint_id, column, value, arg, message)
+    result.verdicts()                     # per-partition (partition_id, n_rows, n_violations, pass)
+"""
+
+from schemasaurus_spark.dsl import (
+    AllOf,
+    AnyOf,
+    Conform,
+    Dependency,
+    Enum,
+    ExclusiveMaximum,
+    ExclusiveMinimum,
+    Format,
+    MaxItems,
+    MaxLength,
+    Maximum,
+    MinItems,
+    MinLength,
+    Minimum,
+    MultipleOf,
+    Not,
+    NotNull,
+    OneOf,
+    Pattern,
+    Suite,
+    TypeIs,
+    UniqueItems,
+)
+from schemasaurus_spark.compiler import compile_suite, ValidationPlan
+from schemasaurus_spark.validate import validate, ValidationResult
+
+__all__ = [
+    "AllOf", "AnyOf", "Conform", "Dependency", "Enum",
+    "ExclusiveMaximum", "ExclusiveMinimum", "Format", "MaxItems",
+    "MaxLength", "Maximum", "MinItems", "MinLength", "Minimum",
+    "MultipleOf", "Not", "NotNull", "OneOf", "Pattern", "Suite",
+    "TypeIs", "UniqueItems",
+    "compile_suite", "ValidationPlan", "validate", "ValidationResult",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,605 @@
+"""ConstraintCompiler — DSL → Catalyst expression plan.
+
+The Spark re-expression of the reference compiler
+(``/root/reference/src/compiler.js``): where the reference walks the schema
+once and emits specialized JavaScript source (``compiler.js:135-211``), this
+compiler walks the :class:`~schemasaurus_spark.dsl.Suite` once and emits
+Catalyst ``Column`` expression trees. WholeStageCodegen then plays the role
+of ``new Function(...)`` + inlining (``compiler.js:194-211``,
+``src/int/code.js:42-57``): the per-row work is fused JVM bytecode.
+
+Design invariants (SURVEY.md §4):
+
+* **Single pass** — every row-level check contributes an
+  ``array<struct>`` fragment; the row's violation list is one ``concat`` of
+  all fragments, evaluated in ONE projection over the scan. No per-constraint
+  re-scan, no shuffle.
+* **Partial evaluation** — constraint args (enum sets, regexes, bounds,
+  messages) are folded in as literals, the analog of the reference's
+  ``prepare``-time baking (``compiler.js:103-113``).
+* **Compile-time dead-code elimination** — checks inapplicable to a column's
+  static type compile to nothing, the analog of the reference's type guards
+  (``typeof _ === 'string' && ...``, v4validator.js:194-206) plus its
+  unmatched-selector pruning (``compiler.js:85-101``).
+* **Short-circuit parity** — a null value yields only the ``required`` error
+  and suppresses all other checks on that column, matching
+  ``ctx.stop()`` after a required failure (v4validator.js:80); emission order
+  inside a row follows DSL order, matching traversal order
+  (``compiler.js:156-173``).
+* **No per-row Python** — ``Conform.pandas_fn`` is the only Python on the
+  executor path and it is an Arrow-vectorized ``pandas_udf``.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field as dc_field
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from schemasaurus_spark import dsl
+from schemasaurus_spark.functions.formats import get_format
+from schemasaurus_spark.messages import render_message
+
+# Uniform violation record — field-for-field analog of the reference error
+# object {code, message, value, arg, path} (v4validator.js:45-51); the path
+# becomes (id_column value, column) since rows are independent (SURVEY §1.2).
+VIOLATION_STRUCT = T.StructType(
+    [
+        T.StructField("constraint_id", T.StringType()),
+        T.StructField("column", T.StringType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("arg", T.StringType()),
+        T.StructField("message", T.StringType()),
+    ]
+)
+VIOLATION_ARRAY_TYPE = T.ArrayType(VIOLATION_STRUCT)
+VIOLATIONS_COL = "__violations"
+
+
+def _render_arg(arg) -> Optional[str]:
+    if arg is None:
+        return None
+    if isinstance(arg, (list, tuple)):
+        return json.dumps(list(arg))
+    return str(arg)
+
+
+def _vio_struct(code: str, column: str, value: Column, arg, message: str) -> Column:
+    return F.struct(
+        F.lit(code).alias("constraint_id"),
+        F.lit(column).alias("column"),
+        value.cast("string").alias("value"),
+        F.lit(_render_arg(arg)).cast("string").alias("arg"),
+        F.lit(message).alias("message"),
+    )
+
+
+def _empty_violations() -> Column:
+    return F.lit([]).cast(VIOLATION_ARRAY_TYPE)
+
+
+def _scalar_fragment(
+    failed: Column, code: str, column: str, value: Column, arg, message: str
+) -> Column:
+    """0-or-1-element violation array for a scalar check."""
+    return F.when(failed, F.array(_vio_struct(code, column, value, arg, message))).otherwise(
+        _empty_violations()
+    )
+
+
+@dataclass
+class CompiledColumn:
+    """All fragments for one column, in DSL order."""
+
+    column: str
+    fragments: list[Column] = dc_field(default_factory=list)  # array<struct> each
+    # conjunction of all pass-predicates (used by combinator branches)
+    valid: Optional[Column] = None
+
+
+@dataclass
+class ValidationPlan:
+    """The compiled artifact — analog of the specialized closure the
+    reference returns (``compiler.js:201-211``). Holds the single violation
+    expression; ``apply`` projects it onto a DataFrame."""
+
+    suite: dsl.Suite
+    fragments: list[Column]
+    suite_hash: str
+
+    def violations_expr(self) -> Column:
+        if not self.fragments:
+            return _empty_violations()
+        if len(self.fragments) == 1:
+            return self.fragments[0]
+        return F.concat(*self.fragments)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        """One narrow projection: df + ``__violations`` array column."""
+        return df.withColumn(VIOLATIONS_COL, self.violations_expr())
+
+
+class SuiteCompileError(ValueError):
+    pass
+
+
+# --------------------------------------------------------------------------
+# type utilities (compile-time DCE — the analog of the reference's runtime
+# typeof guards, made static because the DataFrame schema is known)
+
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def _dtype(schema: Optional[T.StructType], col: str):
+    if schema is None:
+        return None
+    try:
+        return schema[col.split(".")[0]].dataType
+    except KeyError:
+        return None
+
+
+def _is_string(dt) -> bool:
+    return dt is None or isinstance(dt, T.StringType)
+
+
+def _is_numeric(dt) -> bool:
+    return dt is None or isinstance(dt, _NUMERIC)
+
+
+def _is_array(dt) -> bool:
+    return dt is None or isinstance(dt, T.ArrayType)
+
+
+# --------------------------------------------------------------------------
+
+
+class ConstraintCompiler:
+    """Walks a Suite once, emitting expression fragments per constraint —
+    the analog of the reference's schema walk + ``addFn`` dispatch
+    (``compiler.js:135-173``)."""
+
+    def __init__(self, suite: dsl.Suite, schema: Optional[T.StructType] = None):
+        self.suite = suite
+        self.schema = schema
+
+    # -- public -------------------------------------------------------------
+
+    def compile(self) -> ValidationPlan:
+        fragments: list[Column] = []
+        for col_name, constraints in self.suite.columns.items():
+            cc = self._compile_column(col_name, list(constraints))
+            fragments.extend(cc.fragments)
+        for label, constraint in self.suite.row:
+            cc = self._compile_one(label, F.col(label) if self._has(label) else F.lit(None), constraint, null_guard=False)
+            fragments.extend(cc.fragments)
+        return ValidationPlan(self.suite, fragments, self.suite.fingerprint())
+
+    # -- internals ----------------------------------------------------------
+
+    def _has(self, col_name: str) -> bool:
+        return self.schema is None or col_name in self.schema.fieldNames()
+
+    def _msg(self, code: str, arg=None) -> str:
+        return render_message(code, arg, overrides=self.suite.messages)
+
+    def _compile_column(self, col_name: str, constraints: list[dsl.Constraint]) -> CompiledColumn:
+        col = F.col(col_name)
+        not_null_required = any(isinstance(c, dsl.NotNull) for c in constraints)
+        cc = CompiledColumn(col_name)
+        valids: list[Column] = []
+        for c in constraints:
+            one = self._compile_one(col_name, col, c, null_guard=True)
+            # Null short-circuit: if NotNull is in the suite and the value is
+            # null, only the `required` violation may surface
+            # (ctx.stop() parity, v4validator.js:80). Non-required checks are
+            # already null-skipping via their guards.
+            cc.fragments.extend(one.fragments)
+            if one.valid is not None:
+                valids.append(one.valid)
+        cc.valid = _and_all(valids)
+        return cc
+
+    def _compile_one(
+        self, col_name: str, col: Column, c: dsl.Constraint, null_guard: bool
+    ) -> CompiledColumn:
+        """Dispatch table — the analog of selector matching
+        (``src/int/matchers.js:31-63``)."""
+        dt = _dtype(self.schema, col_name)
+        out = CompiledColumn(col_name)
+
+        def emit(code, failed, value=None, arg=None, message=None):
+            # `failed` must be null-safe; guard converts null input → pass
+            # for every non-required check (optional-absent semantics,
+            # v4validator.js:67-79).
+            if null_guard:
+                failed = col.isNotNull() & F.coalesce(failed, F.lit(True))
+            else:
+                failed = F.coalesce(failed, F.lit(True))
+            msg = message or self._msg(code, arg)
+            out.fragments.append(
+                _scalar_fragment(failed, code, col_name, value if value is not None else col, arg, msg)
+            )
+            out.valid = ~failed if out.valid is None else (out.valid & ~failed)
+
+        m = c.message  # per-constraint override
+
+        if isinstance(c, dsl.NotNull):
+            failed = col.isNull()
+            out.fragments.append(
+                _scalar_fragment(failed, "required", col_name, F.lit(None), None,
+                                 m or self._msg("required"))
+            )
+            out.valid = ~failed
+
+        elif isinstance(c, dsl.TypeIs):
+            self._compile_type(out, col_name, col, c, m)
+
+        elif isinstance(c, dsl.Enum):
+            emit("enum", ~col.isin(list(c.values)), arg=list(c.values), message=m)
+
+        elif isinstance(c, dsl.Minimum):
+            if _is_numeric(dt):
+                emit("minimum", col < F.lit(c.value), arg=c.value, message=m)
+        elif isinstance(c, dsl.ExclusiveMinimum):
+            if _is_numeric(dt):
+                emit("minimum.exclusive", col <= F.lit(c.value), arg=c.value, message=m)
+        elif isinstance(c, dsl.Maximum):
+            if _is_numeric(dt):
+                emit("maximum", col > F.lit(c.value), arg=c.value, message=m)
+        elif isinstance(c, dsl.ExclusiveMaximum):
+            if _is_numeric(dt):
+                emit("maximum.exclusive", col >= F.lit(c.value), arg=c.value, message=m)
+        elif isinstance(c, dsl.MultipleOf):
+            if _is_numeric(dt):
+                emit("multipleOf", (col / F.lit(float(c.value))) % 1.0 != 0.0,
+                     arg=c.value, message=m)
+
+        elif isinstance(c, dsl.MinLength):
+            if _is_string(dt):
+                emit("minLength", F.length(col) < c.value, arg=c.value, message=m)
+        elif isinstance(c, dsl.MaxLength):
+            if _is_string(dt):
+                emit("maxLength", F.length(col) > c.value, arg=c.value, message=m)
+        elif isinstance(c, dsl.Pattern):
+            if _is_string(dt):
+                # JS .match() is an unanchored search → rlike, not full match
+                emit("pattern", ~col.rlike(c.regex), arg=c.regex, message=m)
+        elif isinstance(c, dsl.Format):
+            if _is_string(dt):
+                spec = get_format(c.name)
+                emit(f"format.{c.name}", ~col.rlike(spec.regexp),
+                     arg=spec.message, message=m or spec.message)
+
+        elif isinstance(c, dsl.MinItems):
+            if _is_array(dt):
+                emit("minItems", F.size(col) < c.value, arg=c.value, message=m)
+        elif isinstance(c, dsl.MaxItems):
+            if _is_array(dt):
+                emit("maxItems", F.size(col) > c.value, arg=c.value, message=m)
+
+        elif isinstance(c, dsl.UniqueItems):
+            if _is_array(dt):
+                self._compile_unique_items(out, col_name, col, m, null_guard)
+
+        elif isinstance(c, dsl.Items):
+            if _is_array(dt):
+                self._compile_items(out, col_name, col, c, null_guard)
+
+        elif isinstance(c, dsl.Conform):
+            self._compile_conform(out, col_name, col, c, m, null_guard)
+
+        elif isinstance(c, (dsl.AllOf, dsl.AnyOf, dsl.OneOf)):
+            self._compile_combinator(out, col_name, col, c, m, null_guard)
+            if null_guard:
+                # absent (null) value skips combinator checks entirely —
+                # ctx.stop() on missing optional value (v4validator.js:67-79)
+                out.fragments = [
+                    F.when(col.isNotNull(), f).otherwise(_empty_violations())
+                    for f in out.fragments
+                ]
+                out.valid = col.isNull() | F.coalesce(out.valid, F.lit(True))
+
+        elif isinstance(c, dsl.Not):
+            sub = self._compile_branch(col_name, c.branch)
+            failed = F.coalesce(sub.valid, F.lit(True))  # branch VALID ⇒ 'not' fails
+            if null_guard:
+                failed = col.isNotNull() & failed
+            out.fragments.append(
+                _scalar_fragment(failed, "not", col_name, col, None, m or self._msg("not"))
+            )
+            out.valid = ~failed
+
+        elif isinstance(c, dsl.Dependency):
+            self._compile_dependency(out, col_name, c, m)
+
+        else:
+            raise SuiteCompileError(f"Unknown constraint {type(c).__name__}")
+        return out
+
+    # -- type ---------------------------------------------------------------
+
+    def _compile_type(self, out, col_name, col, c: dsl.TypeIs, m):
+        """``type`` check. On a typed table the check is static (schema says
+        the type), so it folds to nothing on match / constant-fail on
+        mismatch. ``runtime=True`` = cast-probe for string-staged ingest.
+        Union types (`type: [a,b]`) follow the error-splice semantics of
+        v4validator.js:88-100: pass if any matches; on total failure emit one
+        error per tried type."""
+        types = c.type if isinstance(c.type, (list, tuple)) else [c.type]
+        dt = _dtype(self.schema, col_name)
+
+        def static_matches(tname) -> Optional[bool]:
+            if dt is None:
+                return None
+            if tname == "string":
+                return isinstance(dt, T.StringType)
+            if tname == "integer":
+                return isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+            if tname == "number":
+                return isinstance(dt, _NUMERIC)
+            if tname == "boolean":
+                return isinstance(dt, T.BooleanType)
+            if tname == "array":
+                return isinstance(dt, T.ArrayType)
+            if tname == "null":
+                return None  # always runtime
+            return None
+
+        def runtime_probe(tname) -> Column:
+            if tname == "null":
+                return col.isNull()
+            if not c.runtime:
+                sm = static_matches(tname)
+                if sm is not None:
+                    return F.lit(sm) | col.isNull()
+            # cast-probe path (permissive string ingest)
+            if tname == "integer":
+                d = col.cast("double")
+                return col.isNull() | (d.isNotNull() & (d % 1.0 == 0.0))
+            if tname == "number":
+                return col.isNull() | col.cast("double").isNotNull()
+            if tname == "boolean":
+                return col.isNull() | F.lower(col.cast("string")).isin("true", "false")
+            if tname == "string":
+                sm = static_matches(tname)
+                return F.lit(sm if sm is not None else True) | col.isNull()
+            if tname == "array":
+                sm = static_matches(tname)
+                return F.lit(sm if sm is not None else True) | col.isNull()
+            raise SuiteCompileError(f"Unknown type '{tname}'")
+
+        probes = [(t, runtime_probe(t)) for t in types]
+        any_ok = _or_all([p for _, p in probes])
+        # note: `type: null` means the value MUST be null; a null value passes
+        # any type per the guard convention except when explicitly checked.
+        for tname, probe in probes:
+            failed = ~F.coalesce(any_ok, F.lit(False)) & ~F.coalesce(probe, F.lit(False))
+            if tname == "null":
+                failed = ~F.coalesce(any_ok, F.lit(False))
+            code = {"string": "string", "number": "number", "integer": "integer",
+                    "boolean": "boolean", "array": "array", "null": "null",
+                    "object": "object"}[tname]
+            out.fragments.append(
+                _scalar_fragment(failed, code, col_name, col, None, m or self._msg(code))
+            )
+        valid = F.coalesce(any_ok, F.lit(False))
+        out.valid = valid if out.valid is None else out.valid & valid
+
+    # -- arrays ---------------------------------------------------------------
+
+    def _compile_unique_items(self, out, col_name, col, m, null_guard):
+        """Intra-array duplicates, one violation per duplicate *occurrence*
+        carrying the duplicated value (v4validator.js:233-246). Pass test is
+        O(n) (`array_distinct` size); the O(n²) occurrence extraction runs
+        only on failing rows, guarded by `when`."""
+        has_dup = F.size(col) != F.size(F.array_distinct(col))
+        if null_guard:
+            has_dup = col.isNotNull() & has_dup
+        # element at 0-based index i is a duplicate occurrence iff it appears
+        # among the first i elements
+        dup_occurrences = F.filter(
+            col, lambda x, i: F.exists(F.slice(col, 1, i), lambda y: y == x)
+        )
+        msg = m or self._msg("uniqueItems")
+        structs = F.transform(
+            dup_occurrences,
+            lambda x: _vio_struct("uniqueItems", col_name, x, None, msg),
+        )
+        out.fragments.append(
+            F.when(has_dup, structs).otherwise(_empty_violations())
+        )
+        out.valid = ~has_dup
+
+    def _compile_items(self, out, col_name, col, c: dsl.Items, null_guard):
+        """Element-schema constraints (processor.js:31-47): pass test via
+        `forall`; offender extraction via `filter`+`transform`, one violation
+        per offending element — exactly the reference's per-element error
+        loop, with codes `items.<subcode>`."""
+        for sub in c.constraints:
+            pred, code, arg = self._element_predicate(sub)
+            failed_any = ~F.forall(col, pred)
+            if null_guard:
+                failed_any = col.isNotNull() & F.coalesce(failed_any, F.lit(True))
+            msg = sub.message or self._msg(code, arg)
+            full_code = f"items.{code}"
+            offenders = F.filter(col, lambda x: ~F.coalesce(pred(x), F.lit(False)))
+            structs = F.transform(
+                offenders, lambda x: _vio_struct(full_code, col_name, x, arg, msg)
+            )
+            out.fragments.append(
+                F.when(failed_any, structs).otherwise(_empty_violations())
+            )
+            ok = ~failed_any
+            out.valid = ok if out.valid is None else out.valid & ok
+
+    def _element_predicate(self, sub: dsl.Constraint):
+        """Map a scalar constraint onto array elements (lambda-variable form)."""
+        if isinstance(sub, dsl.Minimum):
+            return (lambda x: x >= F.lit(sub.value)), "minimum", sub.value
+        if isinstance(sub, dsl.ExclusiveMinimum):
+            return (lambda x: x > F.lit(sub.value)), "minimum.exclusive", sub.value
+        if isinstance(sub, dsl.Maximum):
+            return (lambda x: x <= F.lit(sub.value)), "maximum", sub.value
+        if isinstance(sub, dsl.ExclusiveMaximum):
+            return (lambda x: x < F.lit(sub.value)), "maximum.exclusive", sub.value
+        if isinstance(sub, dsl.MultipleOf):
+            return (lambda x: (x / F.lit(float(sub.value))) % 1.0 == 0.0), "multipleOf", sub.value
+        if isinstance(sub, dsl.Enum):
+            return (lambda x: x.isin(list(sub.values))), "enum", list(sub.values)
+        if isinstance(sub, dsl.NotNull):
+            return (lambda x: x.isNotNull()), "required", None
+        if isinstance(sub, dsl.Pattern):
+            return (lambda x: x.rlike(sub.regex)), "pattern", sub.regex
+        raise SuiteCompileError(
+            f"{type(sub).__name__} not supported as an items() element constraint"
+        )
+
+    # -- custom ---------------------------------------------------------------
+
+    def _compile_conform(self, out, col_name, col, c: dsl.Conform, m, null_guard):
+        if (c.expr is None) == (c.pandas_fn is None):
+            raise SuiteCompileError("Conform needs exactly one of expr / pandas_fn")
+        extra = [F.col(x) for x in c.extra_cols]
+        if c.expr is not None:
+            pred = c.expr(col, *extra) if c.extra_cols else c.expr(col)
+        else:
+            udf = F.pandas_udf(c.pandas_fn, T.BooleanType())
+            pred = udf(col, *extra)
+        code = c.code
+        failed = ~F.coalesce(pred, F.lit(False))
+        if null_guard and c.expr is None:
+            # keep UDF semantics: reference custom fns see the raw value
+            pass
+        msg = m or (self._msg("custom") if code == "custom" else
+                    render_message(code, self._msg("custom"), overrides=self.suite.messages))
+        out.fragments.append(
+            _scalar_fragment(failed, code, col_name, col, None, msg)
+        )
+        out.valid = ~failed
+
+    # -- combinators ------------------------------------------------------------
+
+    def _compile_branch(self, col_name: str, constraints: Sequence[dsl.Constraint]) -> CompiledColumn:
+        """Full recursive sub-compilation — the analog of ctx.compile
+        (compiler.js:53-70): a branch is an independent list of fragments +
+        a validity predicate."""
+        cc = self._compile_column(col_name, list(constraints))
+        if cc.valid is None:
+            cc.valid = F.lit(True)
+        return cc
+
+    def _compile_combinator(self, out, col_name, col, c, m, null_guard):
+        branches = [self._compile_branch(col_name, b) for b in c.branches]
+        valids = [F.coalesce(b.valid, F.lit(False)) for b in branches]
+        sub_errs = [
+            _concat_all([f for f in b.fragments]) if b.fragments else _empty_violations()
+            for b in branches
+        ]
+
+        if isinstance(c, dsl.AllOf):
+            # each failing branch: one 'allOf' error + its sub-errors
+            # (v4validator.js:127-137)
+            msg = m or self._msg("allOf")
+            frags = []
+            for v, errs in zip(valids, sub_errs):
+                head = F.array(_vio_struct("allOf", col_name, col, None, msg))
+                frags.append(
+                    F.when(~v, F.concat(head, errs)).otherwise(_empty_violations())
+                )
+            out.fragments.append(_concat_all(frags))
+            allv = _and_all(valids)
+            out.valid = allv
+
+        elif isinstance(c, dsl.AnyOf):
+            any_ok = _or_all(valids)
+            msg = m or self._msg("anyOf")
+            head = F.array(_vio_struct("anyOf", col_name, col, None, msg))
+            all_errs = _concat_all(sub_errs)
+            out.fragments.append(
+                F.when(~any_ok, F.concat(head, all_errs)).otherwise(_empty_violations())
+            )
+            out.valid = any_ok
+
+        elif isinstance(c, dsl.OneOf):
+            count = None
+            for v in valids:
+                t = v.cast("int")
+                count = t if count is None else count + t
+            zero_msg = m or self._msg("oneOf.zero")
+            many_msg = m or self._msg("oneOf")
+            all_errs = _concat_all(sub_errs)
+            frag = (
+                F.when(count == 0,
+                       F.concat(F.array(_vio_struct("oneOf.zero", col_name, col, None, zero_msg)),
+                                all_errs))
+                .when(count > 1, F.array(_vio_struct("oneOf", col_name, col, None, many_msg)))
+                .otherwise(_empty_violations())
+            )
+            out.fragments.append(frag)
+            out.valid = count == 1
+
+    def _compile_dependency(self, out, col_name, c: dsl.Dependency, m):
+        """If `on` is present (non-null — the columnar analog of
+        hasOwnProperty, v4validator.js:104-123): dependent requirements must
+        hold; failure → 'dependency' error (arg = original spec) + sub-errors."""
+        on = F.col(c.on)
+        sub_frags: list[Column] = []
+        sub_valids: list[Column] = []
+        if c.requires:
+            for req in c.requires:
+                b = self._compile_column(req, [dsl.NotNull()])
+                sub_frags.extend(b.fragments)
+                sub_valids.append(F.coalesce(b.valid, F.lit(False)))
+            arg = list(c.requires)
+        else:
+            for target_col, constraint in c.constraints:
+                b = self._compile_one(target_col, F.col(target_col), constraint, null_guard=True)
+                sub_frags.extend(b.fragments)
+                if b.valid is not None:
+                    sub_valids.append(F.coalesce(b.valid, F.lit(False)))
+            arg = f"schema({c.on})"
+        dep_valid = _and_all(sub_valids)
+        triggered = on.isNotNull()
+        failed = triggered & ~dep_valid
+        msg = m or self._msg("dependency", arg)
+        head = F.array(_vio_struct("dependency", col_name, on, arg, msg))
+        errs = _concat_all(sub_frags) if sub_frags else _empty_violations()
+        out.fragments.append(
+            F.when(failed, F.concat(head, errs)).otherwise(_empty_violations())
+        )
+        out.valid = ~failed
+
+
+def _and_all(cols: list[Column]) -> Column:
+    out = F.lit(True)
+    for c in cols:
+        out = out & c
+    return out
+
+
+def _or_all(cols: list[Column]) -> Column:
+    out = F.lit(False)
+    for c in cols:
+        out = out | c
+    return out
+
+
+def _concat_all(frags: list[Column]) -> Column:
+    if not frags:
+        return _empty_violations()
+    if len(frags) == 1:
+        return frags[0]
+    return F.concat(*frags)
+
+
+def compile_suite(suite: dsl.Suite, schema: Optional[T.StructType] = None) -> ValidationPlan:
+    """Public entry — analog of ``compile(schema, selector, opts)``
+    (``compiler.js:215-218``)."""
+    return ConstraintCompiler(suite, schema).compile()

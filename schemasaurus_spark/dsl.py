@@ -1,0 +1,343 @@
+"""Declarative constraint DSL — the analog of a JSON-Schema draft-4 document.
+
+One dataclass per constraint keyword of the reference validator
+(``/root/reference/src/v4validator.js``; full inventory in SURVEY.md §2.1).
+A :class:`Suite` maps columns to constraint lists plus row-level (cross-field)
+constraints — the analog of one schema document handed to
+``newValidator(schema)`` (``/root/reference/src/iterator.js:16-20``).
+
+The DSL is pure data; compilation to Catalyst expressions lives in
+:mod:`schemasaurus_spark.compiler`. Constraint *arguments are compile-time
+constants* that get folded into the plan — the Spark re-expression of the
+reference's precompile/partial-evaluation design
+(``/root/reference/src/compiler.js:103-113``, ``README.md:566-587``).
+
+Every constraint accepts ``message=`` to override the catalog text for its
+code — the per-node ``[messages]`` mechanism
+(``/root/reference/src/v4validator.js:57-63``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence, Union
+
+
+@dataclass(frozen=True)
+class Constraint:
+    """Base class. ``code`` is the constraint id that appears in violation
+    rows — the analog of the reference error ``code``
+    (``/root/reference/src/v4validator.js:45``). ``message`` is keyword-only
+    so subclass args stay positional."""
+
+    message: Optional[str] = field(default=None, kw_only=True)
+
+    @property
+    def code(self) -> str:  # pragma: no cover - overridden
+        raise NotImplementedError
+
+
+# ----------------------------------------------------------------- row-level
+
+
+@dataclass(frozen=True)
+class NotNull(Constraint):
+    """``required: true`` — v4validator.js:80. In a typed DataFrame a column
+    can't be absent, so missing-vs-null collapses to NOT NULL (documented
+    divergence, SURVEY.md §1.2). Failing NotNull short-circuits every other
+    check on the column (the reference's ``ctx.stop()``)."""
+
+    @property
+    def code(self) -> str:
+        return "required"
+
+
+@dataclass(frozen=True)
+class TypeIs(Constraint):
+    """``type: t`` — v4validator.js:81-87. On a typed table this is a static,
+    compile-time check against ``df.schema`` (no runtime cost); with
+    ``runtime=True`` it becomes a cast-probe for permissive string ingest."""
+
+    type: str = "string"  # string|number|integer|boolean|array|null
+    runtime: bool = False
+
+    @property
+    def code(self) -> str:
+        return self.type
+
+
+@dataclass(frozen=True)
+class Enum(Constraint):
+    """``enum: [...]`` — precompiled set membership, v4validator.js:181-190.
+    Small sets fold into ``Column.isin`` literals; large sets should use the
+    referential broadcast-join check instead (operators/aggregates.py)."""
+
+    values: Sequence = ()
+
+    @property
+    def code(self) -> str:
+        return "enum"
+
+
+@dataclass(frozen=True)
+class Minimum(Constraint):
+    """v4validator.js:294-302 (non-exclusive branch)."""
+
+    value: float = 0
+
+    @property
+    def code(self) -> str:
+        return "minimum"
+
+
+@dataclass(frozen=True)
+class ExclusiveMinimum(Constraint):
+    """v4validator.js:294-302 — exclusive variant changes operator AND code."""
+
+    value: float = 0
+
+    @property
+    def code(self) -> str:
+        return "minimum.exclusive"
+
+
+@dataclass(frozen=True)
+class Maximum(Constraint):
+    value: float = 0
+
+    @property
+    def code(self) -> str:
+        return "maximum"
+
+
+@dataclass(frozen=True)
+class ExclusiveMaximum(Constraint):
+    value: float = 0
+
+    @property
+    def code(self) -> str:
+        return "maximum.exclusive"
+
+
+@dataclass(frozen=True)
+class MultipleOf(Constraint):
+    """v4validator.js:290-292: ``(x / k) % 1 !== 0`` → error."""
+
+    value: float = 1
+
+    @property
+    def code(self) -> str:
+        return "multipleOf"
+
+
+@dataclass(frozen=True)
+class MinLength(Constraint):
+    """v4validator.js:194-203; Spark's length() is already unicode-aware,
+    covering the reference's pluggable ``strLength`` option."""
+
+    value: int = 0
+
+    @property
+    def code(self) -> str:
+        return "minLength"
+
+
+@dataclass(frozen=True)
+class MaxLength(Constraint):
+    value: int = 0
+
+    @property
+    def code(self) -> str:
+        return "maxLength"
+
+
+@dataclass(frozen=True)
+class Pattern(Constraint):
+    """v4validator.js:204-206 — JS ``match`` is a *search* (unanchored), so
+    the compiler uses rlike (search semantics), not a full-string match."""
+
+    regex: str = ""
+
+    @property
+    def code(self) -> str:
+        return "pattern"
+
+
+@dataclass(frozen=True)
+class Format(Constraint):
+    """Named-regex check — v4validator.js:207-213 + int/default_formats.js.
+    Registry lives in functions/formats.py; error code is ``format.<name>``."""
+
+    name: str = ""
+
+    @property
+    def code(self) -> str:
+        return f"format.{self.name}"
+
+
+@dataclass(frozen=True)
+class MinItems(Constraint):
+    """v4validator.js:219-231."""
+
+    value: int = 0
+
+    @property
+    def code(self) -> str:
+        return "minItems"
+
+
+@dataclass(frozen=True)
+class MaxItems(Constraint):
+    value: int = 0
+
+    @property
+    def code(self) -> str:
+        return "maxItems"
+
+
+@dataclass(frozen=True)
+class UniqueItems(Constraint):
+    """Intra-array duplicate check — v4validator.js:233-246. The cross-row
+    generalization (doc_id uniqueness) is an aggregate check
+    (operators/aggregates.py), per SURVEY.md §2.5."""
+
+    @property
+    def code(self) -> str:
+        return "uniqueItems"
+
+
+@dataclass(frozen=True)
+class Items(Constraint):
+    """``items: {schema}`` element constraints — processor.js:31-47. Element
+    checks compile to ``F.forall`` (pass test) / ``F.filter`` (offender
+    extraction); codes are ``items.<subcode>``."""
+
+    constraints: Sequence[Constraint] = ()
+
+    @property
+    def code(self) -> str:
+        return "items"
+
+
+@dataclass(frozen=True)
+class Conform(Constraint):
+    """Custom predicate — the escape hatch, v4validator.js:305-322.
+
+    Exactly one of:
+
+    * ``expr``: ``Callable[[Column], Column]`` — a Catalyst expression
+      builder (fast path; use whenever expressible);
+    * ``pandas_fn``: a function ``(pandas.Series, ...) -> pandas.Series[bool]``
+      compiled to a vectorized Arrow ``pandas_udf`` (never per-row Python —
+      ``F.udf`` is banned engine-wide per BASELINE.json input_hint).
+
+    ``extra_cols`` passes sibling columns for cross-field checks (the
+    reference's ``ctx.parent`` access, README.md:205-208). Named conforms get
+    code ``custom.<name>``; anonymous ones get ``custom``
+    (v4validator.js:305-310 vs 310-322).
+    """
+
+    name: Optional[str] = None
+    expr: Optional[Callable] = None
+    pandas_fn: Optional[Callable] = None
+    extra_cols: Sequence[str] = ()
+
+    @property
+    def code(self) -> str:
+        return f"custom.{self.name}" if self.name else "custom"
+
+
+# -------------------------------------------------------------- combinators
+
+
+@dataclass(frozen=True)
+class AllOf(Constraint):
+    """v4validator.js:127-137: each failing subschema emits one ``allOf``
+    error plus that subschema's own errors."""
+
+    branches: Sequence[Sequence[Constraint]] = ()
+
+    @property
+    def code(self) -> str:
+        return "allOf"
+
+
+@dataclass(frozen=True)
+class AnyOf(Constraint):
+    """v4validator.js:139-152: valid if ≥1 branch passes; on total failure
+    emit ``anyOf`` plus every branch's errors. (The reference short-circuits
+    branch *evaluation*; in columnar form all branches are expressions in one
+    codegen stage, and on failure all branches were tried anyway, so the
+    emitted error set is identical.)"""
+
+    branches: Sequence[Sequence[Constraint]] = ()
+
+    @property
+    def code(self) -> str:
+        return "anyOf"
+
+
+@dataclass(frozen=True)
+class OneOf(Constraint):
+    """v4validator.js:154-170: pass-count 0 → ``oneOf.zero`` + all branch
+    errors; pass-count >1 → ``oneOf`` alone."""
+
+    branches: Sequence[Sequence[Constraint]] = ()
+
+    @property
+    def code(self) -> str:
+        return "oneOf"
+
+
+@dataclass(frozen=True)
+class Not(Constraint):
+    """v4validator.js:172-177: subschema must FAIL; emits ``not`` alone."""
+
+    branch: Sequence[Constraint] = ()
+
+    @property
+    def code(self) -> str:
+        return "not"
+
+
+@dataclass(frozen=True)
+class Dependency(Constraint):
+    """v4validator.js:104-123: if ``on`` column is present (non-null), the
+    dependent constraints must hold; failure emits ``dependency`` (arg = the
+    original spec) plus sub-errors. ``requires`` is the property-dependency
+    form (array ⇒ required list); ``constraints`` the schema-dependency form."""
+
+    on: str = ""
+    requires: Sequence[str] = ()
+    constraints: Sequence[tuple] = ()  # sequence of (column, Constraint)
+
+    @property
+    def code(self) -> str:
+        return "dependency"
+
+
+# --------------------------------------------------------------------- suite
+
+
+@dataclass
+class Suite:
+    """A full constraint suite over one table — the analog of one schema
+    document. ``columns`` maps column name → ordered constraint list (order
+    = emission order of violations within a row, matching the reference's
+    deterministic traversal order, compiler.js:156-173). ``row`` holds
+    cross-field constraints (each a (label, Constraint) with column=label in
+    violation rows, or a Conform with extra_cols).
+    """
+
+    id_column: str = "doc_id"
+    columns: dict[str, Sequence[Constraint]] = field(default_factory=dict)
+    row: Sequence[tuple] = field(default_factory=list)  # (column_label, Constraint)
+    messages: dict[str, str] = field(default_factory=dict)  # catalog overrides
+    name: str = "suite"
+
+    def fingerprint(self) -> str:
+        """Stable hash of the suite definition, used in lineage rows so
+        resume only skips partitions validated with the *same* suite."""
+        import hashlib
+
+        return hashlib.sha256(repr(self).encode()).hexdigest()[:16]

@@ -1,0 +1,90 @@
+"""End-to-end slice: DSL → compile → execute → verdicts (SURVEY.md §7 Step 2)."""
+
+import pyspark.sql.functions as F
+
+from schemasaurus_spark import (
+    Enum, Maximum, Minimum, NotNull, Pattern, Suite, Conform, validate,
+)
+from schemasaurus_spark import datagen
+
+
+def seq_suite():
+    return Suite(
+        id_column="doc_id",
+        columns={
+            "doc_id": [NotNull(), Pattern(r"^[a-z]+-[0-9]{8}$")],
+            "n_tok": [NotNull(), Minimum(1), Maximum(2048)],
+            "source": [Enum(datagen.SOURCES)],
+        },
+        row=[
+            (
+                "tokens",
+                Conform(
+                    name="size_eq_n_tok",
+                    expr=lambda col: F.size("tokens") == F.col("n_tok"),
+                ),
+            )
+        ],
+        name="seq_v1",
+    )
+
+
+def test_clean_table_passes(spark):
+    df = datagen.finalize(datagen.gen_sequences(spark, 200, 4))
+    res = validate(df, seq_suite())
+    assert res.violations().count() == 0
+    verd = res.verdicts().collect()
+    assert len(verd) == 4
+    assert all(r["pass"] for r in verd)
+    assert sum(r["n_rows"] for r in verd) == 200
+
+
+def test_token_array_equality_invariant(spark):
+    """Per-row invariant (BASELINE.json input_hint): validation must not
+    mutate tokens — analog of the validator's noreplace mode
+    (/root/reference/src/iterator.js:18)."""
+    df = datagen.gen_sequences(spark, 100, 4)
+    res = validate(datagen.finalize(df), seq_suite())
+    back = res.validated.drop("__violations")
+    diff = back.exceptAll(datagen.finalize(df))
+    assert diff.count() == 0
+
+
+def test_corrupted_rows_fail_with_expected_codes(spark):
+    df = datagen.gen_sequences(spark, 200, 4)
+    df = datagen.corrupt_pattern(df, every=10)
+    df = datagen.corrupt_range(df, every=10)
+    df = datagen.corrupt_enum(df, every=10)
+    res = validate(datagen.finalize(df), seq_suite())
+    v = res.violations()
+    codes = {r["constraint_id"] for r in v.select("constraint_id").distinct().collect()}
+    assert "pattern" in codes
+    assert "minimum" in codes or "maximum" in codes
+    assert "enum" in codes
+    # a failing partition's verdict flips
+    verd = res.verdicts().collect()
+    assert any(not r["pass"] for r in verd)
+
+
+def test_violation_shape_matches_reference_error_record(spark):
+    """Field-for-field analog of {code, message, value, arg, path}
+    (/root/reference/src/v4validator.js:45-51)."""
+    df = datagen.corrupt_enum(datagen.gen_sequences(spark, 50, 2), every=5)
+    res = validate(datagen.finalize(df), seq_suite())
+    rows = res.violations().where(F.col("constraint_id") == "enum").collect()
+    assert rows, "expected enum violations"
+    r = rows[0]
+    assert r["column"] == "source"
+    assert r["value"] == "sp4m"
+    assert "web" in r["arg"]
+    assert r["message"].startswith("shall be one of values")
+
+
+def test_required_short_circuits_other_checks(spark):
+    """Null doc_id must yield ONLY `required`, not `pattern` — ctx.stop()
+    parity (v4validator.js:80)."""
+    df = datagen.corrupt_null_docid(datagen.gen_sequences(spark, 50, 2), every=5)
+    res = validate(datagen.finalize(df), seq_suite())
+    v = res.violations().where(F.col("column") == "doc_id")
+    codes = {r["constraint_id"] for r in v.collect()}
+    assert codes == {"required"}
