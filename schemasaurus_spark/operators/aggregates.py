@@ -1,0 +1,324 @@
+"""Aggregate / statistical checks — SURVEY.md §2.5 (BASELINE.json north_star).
+
+These generalize reference semantics across rows:
+
+* ``uniqueness_check`` ← intra-array ``uniqueItems``
+  (``/root/reference/src/v4validator.js:233-246``): same error shape, one
+  violation per duplicate *occurrence* carrying the duplicated value.
+* ``referential_check`` ← ``enum`` membership
+  (``/root/reference/src/v4validator.js:181-190``): same error shape
+  (code, offending value, arg = the allowed set/dimension).
+* ``column_stats`` / ``null_rate_check`` / drift: no reference counterpart
+  (the reference is per-value); mandated by the north rule.
+
+Scale design (the part that must survive 10^12 rows):
+
+* **column_stats** fuses every per-column aggregate into ONE ``agg`` so the
+  table is scanned once; partial aggregation makes the shuffle
+  O(groups × columns), not O(rows).
+* **uniqueness** is a cheap HLL screen (``approx_count_distinct``, tiny
+  shuffle of partial sketches) followed — only when the screen fails — by a
+  two-phase salted exact count (phase 1 groups on (key, salt) so one
+  hot key cannot skew a reducer; phase 2 sums the tiny partials) and a
+  broadcast semi-join of the suspect keys back to the table.
+* **referential** broadcasts the dimension (it is small by definition) —
+  an anti-join with zero shuffle of the fact table.
+* **drift** reduces the table to fixed-edge histogram counts (one groupBy
+  over ≤ a few hundred buckets); PSI/KS math runs on the collected bucket
+  vector, never on rows. Bucket edges are frozen in the checkpoint —
+  identical across runs by construction (SURVEY.md §7 hard-part 4).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from schemasaurus_spark.messages import render_message
+
+
+def _vio(df_cols: dict, code: str, column: str, value, arg, message: str):
+    """Build a violation-shaped select list matching compiler.VIOLATION_STRUCT."""
+    return [
+        df_cols["id"].alias("doc_id") if hasattr(df_cols["id"], "alias") else F.lit(None),
+        F.lit(code).alias("constraint_id"),
+        F.lit(column).alias("column"),
+        value.cast("string").alias("value"),
+        F.lit(arg).cast("string").alias("arg"),
+        F.lit(message).alias("message"),
+    ]
+
+
+# ----------------------------------------------------------------- stats
+
+
+def column_stats(df: DataFrame, columns: list[str] | None = None,
+                 by: str | None = None) -> DataFrame:
+    """One-pass fused per-column stats: count, nulls, null_rate, min, max,
+    approx distinct. Optional grouping key `by` (e.g. 'source').
+
+    The whole stats suite is ONE job / ONE scan — see module docstring.
+    """
+    columns = columns or [c for c in df.columns]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            F.approx_count_distinct(c).alias(f"{c}__approx_distinct"),
+        ]
+    g = df.groupBy(F.col(by).alias("group_key")) if by else df.groupBy(F.lit("*").alias("group_key"))
+    wide = g.agg(*aggs)
+    # unpivot to long form (group_key, column, stat rows) for the metrics table
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__nulls").cast("long").alias("n_nulls"),
+            (F.col(f"{c}__nulls") / F.col("n_rows")).alias("null_rate"),
+            F.col(f"{c}__min").cast("string").alias("min"),
+            F.col(f"{c}__max").cast("string").alias("max"),
+            F.col(f"{c}__approx_distinct").cast("long").alias("approx_distinct"),
+        )
+        for c in columns
+    ]
+    return wide.select(
+        "group_key", "n_rows", F.explode(F.array(*structs)).alias("s")
+    ).select("group_key", "n_rows", "s.*")
+
+
+def null_rate_check(df: DataFrame, column: str, max_rate: float,
+                    by: str | None = None) -> DataFrame:
+    """`stats.null_rate` violations — one row per offending group."""
+    stats = column_stats(df, [column], by=by)
+    msg = render_message("stats.null_rate", max_rate)
+    return (
+        stats.where(F.col("null_rate") > max_rate)
+        .select(
+            F.col("group_key").alias("doc_id"),
+            F.lit("stats.null_rate").alias("constraint_id"),
+            F.lit(column).alias("column"),
+            F.round("null_rate", 6).cast("string").alias("value"),
+            F.lit(str(max_rate)).alias("arg"),
+            F.lit(msg).alias("message"),
+        )
+    )
+
+
+# ------------------------------------------------------------- uniqueness
+
+
+@dataclass
+class UniquenessResult:
+    screen_total: int
+    screen_distinct: int
+    screened_clean: bool
+    violations: DataFrame  # empty if screened_clean
+
+
+def uniqueness_check(
+    df: DataFrame,
+    key: str = "doc_id",
+    id_column: str | None = None,
+    salt_buckets: int = 64,
+    hll_rsd: float = 0.01,
+) -> UniquenessResult:
+    """Cross-row uniqueness — HLL screen + exact salted two-phase groupBy on
+    suspects (north_star). Emits one violation per duplicate occurrence
+    beyond the first, carrying the duplicated value — the cross-row
+    generalization of uniqueItems (v4validator.js:233-246).
+    """
+    id_column = id_column or key
+    spark = df.sparkSession
+
+    screen = df.agg(
+        F.count(key).alias("total"),
+        F.approx_count_distinct(key, hll_rsd).alias("distinct"),
+    ).first()
+    total, distinct = screen["total"], screen["distinct"]
+    # HLL has rsd error; anything within the error band could still be clean,
+    # but duplicates can also hide inside it — only a perfect-looking screen
+    # at small scale short-circuits. Err toward the exact pass.
+    clean = total == 0 or (total - distinct) <= 0
+
+    if clean:
+        empty = spark.createDataFrame(
+            [],
+            "doc_id string, constraint_id string, column string, value string, arg string, message string",
+        )
+        return UniquenessResult(total, distinct, True, empty)
+
+    # Phase 1: salted partial counts — immune to a single mega-hot key.
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    partial = (
+        df.select(F.col(key).alias("k"))
+        .withColumn("salt", salt)
+        .groupBy("k", "salt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # Phase 2: tiny re-agg over (key) — input is ≤ salt_buckets rows per key.
+    dup_keys = (
+        partial.groupBy("k").agg(F.sum("c").alias("occurrences"))
+        .where(F.col("occurrences") > 1)
+    )
+    msg = render_message("unique.doc_id")
+    # Suspect set is small → broadcast it back; one violation per extra
+    # occurrence = (occurrences - 1) rows per key via sequence+explode (no
+    # window over the full table).
+    violations = (
+        dup_keys.select(
+            "k",
+            F.explode(F.sequence(F.lit(2), F.col("occurrences"))).alias("occ"),
+        )
+        .select(
+            F.col("k").cast("string").alias("doc_id"),
+            F.lit("unique.doc_id").alias("constraint_id"),
+            F.lit(key).alias("column"),
+            F.col("k").cast("string").alias("value"),
+            F.col("occ").cast("string").alias("arg"),
+            F.lit(msg).alias("message"),
+        )
+    )
+    return UniquenessResult(total, distinct, False, violations)
+
+
+# ------------------------------------------------------------- referential
+
+
+def referential_check(
+    df: DataFrame,
+    dim: DataFrame,
+    column: str = "source",
+    dim_column: str | None = None,
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """Broadcast ANTI join against the dimension — the cross-table
+    generalization of `enum` (v4validator.js:181-190): error shape keeps
+    (code, offending value, arg = dimension name/size)."""
+    dim_column = dim_column or column
+    dim_small = dim.select(F.col(dim_column).alias(column)).distinct()
+    missing = df.join(F.broadcast(dim_small), on=column, how="left_anti")
+    msg = render_message("ref.source")
+    return missing.select(
+        F.col(id_column).cast("string").alias("doc_id"),
+        F.lit(f"ref.{column}").alias("constraint_id"),
+        F.lit(column).alias("column"),
+        F.col(column).cast("string").alias("value"),
+        F.lit(f"dim({dim_column})").alias("arg"),
+        F.lit(msg).alias("message"),
+    )
+
+
+# ------------------------------------------------------------------ drift
+
+
+def histogram(df: DataFrame, column: str, edges: list[float],
+              by: str | None = None) -> DataFrame:
+    """Fixed-edge histogram counts: (group_key, bucket, count). Edges are
+    data-INdependent (frozen in the checkpoint) so histograms are comparable
+    across runs. One groupBy over ≤ len(edges) buckets."""
+    n = len(edges) - 1
+    x = F.col(column).cast("double")
+    # chained whens over the (few) edges — codegen'd branch ladder; bucket i
+    # covers [edges[i], edges[i+1]); -1 = underflow, n = overflow.
+    bucket = F.when(x < edges[0], F.lit(-1))
+    for i in range(n):
+        bucket = bucket.when(x < edges[i + 1], F.lit(i))
+    bucket = bucket.otherwise(F.lit(n))
+    keys = [F.col(by).alias("group_key")] if by else [F.lit("*").alias("group_key")]
+    return (
+        df.where(x.isNotNull())
+        .groupBy(*keys, bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def _counts_to_probs(counts: dict[int, int], n_buckets: int, eps: float = 1e-6):
+    total = sum(counts.values()) or 1
+    # include under/overflow buckets -1 and n
+    out = []
+    for b in range(-1, n_buckets + 1):
+        out.append(max(counts.get(b, 0) / total, eps))
+    s = sum(out)
+    return [p / s for p in out]
+
+
+def psi(expected: dict[int, int], actual: dict[int, int], n_buckets: int) -> float:
+    """Population Stability Index over aligned fixed-edge buckets."""
+    p = _counts_to_probs(expected, n_buckets)
+    q = _counts_to_probs(actual, n_buckets)
+    return float(sum((qi - pi) * math.log(qi / pi) for pi, qi in zip(p, q)))
+
+
+def ks_statistic(expected: dict[int, int], actual: dict[int, int], n_buckets: int) -> float:
+    """Kolmogorov–Smirnov statistic on the bucketized CDFs."""
+    p = _counts_to_probs(expected, n_buckets)
+    q = _counts_to_probs(actual, n_buckets)
+    cp = cq = 0.0
+    worst = 0.0
+    for pi, qi in zip(p, q):
+        cp += pi
+        cq += qi
+        worst = max(worst, abs(cp - cq))
+    return float(worst)
+
+
+@dataclass
+class DriftResult:
+    metric: str
+    group_key: str
+    psi: float
+    ks: float
+    passed: bool
+
+
+def drift_check(
+    df: DataFrame,
+    baseline_hist: DataFrame,
+    column: str,
+    edges: list[float],
+    by: str | None = None,
+    psi_threshold: float = 0.2,
+    ks_threshold: float = 0.15,
+) -> list[DriftResult]:
+    """PSI + KS of `column`'s distribution vs a checkpointed baseline
+    histogram (same fixed edges). Row data never leaves the cluster — only
+    bucket counts (≤ groups × buckets rows) are collected for the math."""
+    n = len(edges) - 1
+    cur = histogram(df, column, edges, by=by).collect()
+    base = baseline_hist.collect()
+
+    def to_map(rows):
+        m: dict[str, dict[int, int]] = {}
+        for r in rows:
+            m.setdefault(r["group_key"], {})[r["bucket"]] = r["count"]
+        return m
+
+    curm, basem = to_map(cur), to_map(base)
+    results = []
+    for gk in sorted(set(curm) | set(basem)):
+        e, a = basem.get(gk, {}), curm.get(gk, {})
+        p = psi(e, a, n)
+        k = ks_statistic(e, a, n)
+        results.append(DriftResult(column, gk, p, k, p <= psi_threshold and k <= ks_threshold))
+    return results
+
+
+def drift_violations(spark, results: list[DriftResult], psi_threshold: float,
+                     ks_threshold: float) -> DataFrame:
+    rows = []
+    for r in results:
+        if r.psi > psi_threshold:
+            rows.append((r.group_key, f"drift.psi.{r.metric}", r.metric,
+                         f"{r.psi:.6f}", str(psi_threshold),
+                         render_message("drift.psi", psi_threshold)))
+        if r.ks > ks_threshold:
+            rows.append((r.group_key, f"drift.ks.{r.metric}", r.metric,
+                         f"{r.ks:.6f}", str(ks_threshold),
+                         render_message("drift.ks", ks_threshold)))
+    return spark.createDataFrame(
+        rows,
+        "doc_id string, constraint_id string, column string, value string, arg string, message string",
+    )

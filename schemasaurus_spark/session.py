@@ -8,8 +8,23 @@ for local testing; production submits override via spark-submit conf.
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+# Repo root (parent of the package). Production ships the package with
+# `spark-submit --py-files schemasaurus_spark.zip`; in local mode the Python
+# workers are separate processes that need the package on PYTHONPATH *before*
+# the JVM/daemon starts, which getOrCreate below triggers.
+_PKG_ROOT = str(Path(__file__).resolve().parents[1])
+
+
+def _ensure_pythonpath() -> None:
+    pp = os.environ.get("PYTHONPATH", "")
+    if _PKG_ROOT not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _PKG_ROOT + (os.pathsep + pp if pp else "")
+        )
 
 
 def get_spark(
@@ -18,6 +33,7 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    _ensure_pythonpath()
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[%s]" % (
         os.environ.get("SPARK_GRAFT_CPUS", "*")
     )

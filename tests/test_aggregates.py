@@ -1,0 +1,108 @@
+"""Aggregate-check tests (SURVEY.md §2.5; FIXTURES.md V-dup-docid,
+V-ref-source, V-null-rate, V-drift)."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from schemasaurus_spark import datagen
+from schemasaurus_spark.operators import aggregates as agg
+from schemasaurus_spark.operators import sketch
+
+
+def test_column_stats_one_pass(spark):
+    df = datagen.finalize(datagen.gen_sequences(spark, 500, 8))
+    stats = agg.column_stats(df, ["n_tok", "doc_id"], by="source")
+    rows = {(r["group_key"], r["column"]): r for r in stats.collect()}
+    assert ("web", "n_tok") in rows
+    r = rows[("web", "n_tok")]
+    assert r["n_nulls"] == 0 and r["null_rate"] == 0.0
+    assert int(r["min"]) >= 1 and int(r["max"]) <= 2048
+
+
+def test_uniqueness_clean_short_circuits(spark):
+    df = datagen.finalize(datagen.gen_sequences(spark, 300, 4))
+    res = agg.uniqueness_check(df, "doc_id")
+    assert res.screened_clean
+    assert res.violations.count() == 0
+
+
+def test_uniqueness_duplicates_reported_per_occurrence(spark):
+    df = datagen.finalize(datagen.corrupt_dup_docid(datagen.gen_sequences(spark, 300, 4), every=30))
+    n_dups = df.count() - df.select("doc_id").distinct().count()
+    res = agg.uniqueness_check(df, "doc_id")
+    assert not res.screened_clean
+    v = res.violations
+    assert v.count() == n_dups  # one per extra occurrence
+    codes = {r["constraint_id"] for r in v.collect()}
+    assert codes == {"unique.doc_id"}
+
+
+def test_referential_broadcast_anti_join(spark):
+    df = datagen.finalize(datagen.corrupt_ref_source(datagen.gen_sequences(spark, 300, 4), every=30))
+    dim = datagen.sources_dim(spark)
+    v = agg.referential_check(df, dim, "source")
+    rows = v.collect()
+    assert rows and all(r["value"] == "shadowlib" for r in rows)
+    # plan must contain a broadcast join, not a shuffle join
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+
+
+def test_null_rate_check(spark):
+    df = datagen.gen_sequences(spark, 400, 4)
+    # null 50% of n_tok in 'books' only
+    m = (F.col("source") == "books") & (F.pmod(F.col("i"), F.lit(2)) == 0)
+    df = datagen.finalize(df.withColumn("n_tok", F.when(m, None).otherwise(F.col("n_tok"))))
+    v = agg.null_rate_check(df, "n_tok", max_rate=0.2, by="source").collect()
+    assert len(v) == 1 and v[0]["doc_id"] == "books"
+    assert v[0]["constraint_id"] == "stats.null_rate"
+
+
+def test_drift_psi_ks(spark):
+    clean = datagen.finalize(datagen.gen_sequences(spark, 2000, 8))
+    edges = [float(x) for x in [0, 8, 16, 32, 64, 128, 256, 512, 1024, 2048]]
+    baseline = agg.histogram(clean, "n_tok", edges, by="source")
+    # no drift vs itself
+    ok = agg.drift_check(clean, baseline, "n_tok", edges, by="source")
+    assert all(r.passed for r in ok)
+    # shift n_tok x4 in one source → drift
+    shifted = clean.withColumn(
+        "n_tok",
+        F.when(F.col("source") == "web", F.least(F.col("n_tok") * 4, F.lit(2048)))
+        .otherwise(F.col("n_tok")),
+    )
+    bad = agg.drift_check(shifted, baseline, "n_tok", edges, by="source")
+    by_key = {r.group_key: r for r in bad}
+    assert not by_key["web"].passed and by_key["web"].psi > 0.2
+    assert by_key["books"].passed
+    viol = agg.drift_violations(spark, bad, 0.2, 0.15)
+    assert viol.where("doc_id = 'web'").count() >= 1
+
+
+def test_tdigest_sketch_quantiles(spark):
+    df = datagen.finalize(datagen.gen_sequences(spark, 3000, 8))
+    sk = sketch.tdigest_sketch(df, "n_tok", by="source", compression=64)
+    per_key = sk.groupBy("key").count().collect()
+    assert all(r["count"] <= 64 for r in per_key)
+    q = sketch.quantiles_from_sketch(sk, [0.5])
+    exact = {
+        r["source"]: r["med"]
+        for r in df.groupBy("source").agg(F.expr("percentile(n_tok, 0.5)").alias("med")).collect()
+    }
+    for k, (med,) in q.items():
+        assert abs(med - exact[k]) <= max(6.0, 0.15 * exact[k]), (k, med, exact[k])
+
+
+def test_sketch_merge_is_associative_enough(spark):
+    a = datagen.finalize(datagen.gen_sequences(spark, 1000, 4))
+    b = datagen.finalize(datagen.gen_sequences(spark, 1000, 4)).withColumn(
+        "n_tok", F.least(F.col("n_tok") * 2, F.lit(2048))
+    )
+    sa = sketch.tdigest_sketch(a, "n_tok", compression=64)
+    sb = sketch.tdigest_sketch(b, "n_tok", compression=64)
+    merged = sketch.merge_sketches(sa, sb, compression=64)
+    q = sketch.quantiles_from_sketch(merged, [0.5])["*"][0]
+    union = a.unionByName(b)
+    exact = union.selectExpr("percentile(n_tok, 0.5) as m").first()["m"]
+    assert abs(q - exact) <= max(8.0, 0.2 * exact)
