@@ -1,38 +1,40 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The engine lives in ``schemasaurus_spark`` (see SURVEY.md): a from-scratch
+PySpark-native schema + constraint validation engine re-expressing the
+reference's compile-the-schema-once design
+(``/root/reference/src/compiler.js:194-211``) as DSL → Catalyst expression
+plans, plus the aggregate checks (stats/uniqueness/referential/drift) and
+training-data operators (dedup/similarity/text) the north star mandates.
+
+``queries()`` / ``oracle_sql()`` are re-exported from
+``schemasaurus_spark.queries`` — each query is engine-backed and has an
+ANSI-SQL DuckDB oracle with identical column names and value semantics
+(parity mirrored locally by tests/test_oracle_parity.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+from schemasaurus_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full validation suite over sf0.001 documents → violation
+    rows (doc_id, constraint_id, column, value)."""
+    return QUERIES["validate_documents"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,160 @@
+"""Deduplication operators: exact, prefix-bucket near-dup, MinHash/LSH,
+SimHash, n-gram Jaccard.
+
+Scale design:
+
+* **exact** — hash-groupBy on a content fingerprint; map-side partial
+  aggregation keeps the shuffle at O(distinct hashes).
+* **MinHash+LSH** — per-row signature built entirely with array expressions
+  (shingle → K portable hashes → min); banding groups rows by band hash so
+  candidate generation is a groupBy, not an all-pairs join. Only buckets
+  with >1 doc fan out to pair verification.
+* **portable hashing** — hash = first 8 hex chars of md5 (lexicographic min
+  of fixed-width hex == numeric min), so the DuckDB oracle computes the
+  *identical* signatures. At production scale one would swap in xxhash64;
+  the structure (shingle→min→band→bucket-join) is the scale-bearing part.
+* **n-gram Jaccard** — exact verification on candidate pairs only
+  (bucket-join output), never all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from schemasaurus_spark.operators.text import words
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """k-word shingles as strings (positions 1..n-k+1)."""
+    w = words(text)
+    n = F.size(w)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+    )
+
+
+def _h(col: Column, salt: int) -> Column:
+    """Portable 32-bit-ish hash: md5 hex prefix (string). Fixed-width hex
+    compares lexicographically == numerically, so min() works directly."""
+    return F.substring(F.md5(F.concat(F.lit(f"s{salt}|"), col)), 1, 8)
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via normalized-content hash-groupBy: groups with >1 doc.
+    Returns (fp, n_docs, keep_id) — keep_id = min doc id (stable keeper)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    return (
+        df.select(F.md5(norm).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def prefix_buckets(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", n_words: int = 4) -> DataFrame:
+    """Cheap near-dup candidate buckets: hash of the first n words. Returns
+    buckets with >1 doc: (bucket, n_docs, min_id, max_id)."""
+    w = words(F.col(text_col))
+    prefix = F.concat_ws(" ", F.slice(w, 1, n_words))
+    return (
+        df.select(F.md5(prefix).alias("bucket"), F.col(id_col))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k_shingle: int = 5,
+                      n_hashes: int = 8) -> DataFrame:
+    """Per-doc MinHash signature: n_hashes min-hash values (hex strings)
+    over k-word shingles — all array expressions, one narrow projection."""
+    sh = shingles(F.col(text_col), k_shingle)
+
+    def _minhash(salt: int):
+        return F.array_min(F.transform(sh, lambda s: _h(s, salt)))
+
+    cols = [_minhash(i).alias(f"mh{i}") for i in range(n_hashes)]
+    return df.select(F.col(id_col), *cols)
+
+
+def lsh_buckets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                k_shingle: int = 5, n_hashes: int = 8,
+                band_size: int = 2) -> DataFrame:
+    """LSH banding: concat band_size consecutive minhashes into a band key;
+    emit (band_idx, band_key) buckets holding >1 doc — the candidate
+    generator. Shuffle is on (band_idx, band_key), skew-resistant because
+    near-identical docs are rare by construction."""
+    sig = minhash_signature(df, text_col, id_col, k_shingle, n_hashes)
+    n_bands = n_hashes // band_size
+    bands = F.array(*[
+        F.concat_ws("", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)])
+        for b in range(n_bands)
+    ])
+    exploded = sig.select(
+        F.col(id_col), F.posexplode(bands).alias("band_idx", "band_key")
+    )
+    return (
+        exploded.groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n_words: int = 4, threshold: float = 0.0) -> DataFrame:
+    """Exact word-set Jaccard on candidate pairs from prefix buckets.
+    Self-join happens ONLY on bucketed candidates (broadcast-sized at any
+    realistic dup rate), never all-pairs."""
+    w = words(F.col(text_col))
+    prefix = F.md5(F.concat_ws(" ", F.slice(w, 1, n_words)))
+    slim = df.select(
+        prefix.alias("bucket"),
+        F.col(id_col).alias("id"),
+        F.array_distinct(w).alias("ws"),
+    )
+    a = slim.alias("a")
+    b = slim.alias("b")
+    pairs = a.join(b, on="bucket").where(F.col("a.id") < F.col("b.id"))
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    union = F.size(F.array_union(F.col("a.ws"), F.col("b.ws")))
+    jac = F.round(inter.cast("double") / union, 6)
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 16) -> DataFrame:
+    """SimHash over word features: per bit, sign of sum of ±1 votes from
+    each distinct word's hash bit. Implemented with array expressions:
+    for each bit position, count words whose md5-derived bit is set; bit is
+    1 iff votes > n_words/2. Returns (id, simhash bigint)."""
+    w = F.array_distinct(words(F.lower(F.col(text_col))))
+    n = F.size(w)
+    # bit b of word hash = (hex digit) test: use md5 prefix → conv to bigint
+    word_h = lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint")
+
+    def _votes(bit: int):
+        return F.size(F.filter(w, lambda x: word_h(x).bitwiseAND(F.lit(1 << bit)) != 0))
+
+    bit_cols = [
+        F.when(_votes(b) * 2 > n, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(bits)
+    ]
+    sh = bit_cols[0]
+    for c in bit_cols[1:]:
+        sh = sh + c
+    return df.select(F.col(id_col), sh.cast("bigint").alias("simhash"))

@@ -1,0 +1,89 @@
+"""Text-analysis operators for training-data pipelines.
+
+No reference counterpart (the reference validates structure, not content);
+these are the engine-level text checks a 100 TB corpus pipeline needs:
+token counting, quality scoring, language-ID heuristics, fingerprinting.
+
+All pure Catalyst expressions (split/transform/filter/aggregate/regexp) —
+JVM-side, whole-stage codegen, zero Python on the hot path. Each has an
+ANSI-SQL oracle in queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+WORD_SPLIT = r"\s+"
+
+# tiny per-language marker vocabularies for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "a"],
+    "es": ["el", "la", "de", "los"],
+    "de": ["der", "die", "das", "und"],
+    "fr": ["le", "les", "des", "et"],
+}
+
+
+def words(text: Column) -> Column:
+    return F.split(F.trim(text), WORD_SPLIT)
+
+
+def token_count(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count — the cheap n_tok proxy for raw text."""
+    return df.select(
+        F.col(id_col),
+        F.size(words(F.col(text_col))).alias("n_tokens"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   filler: tuple = ("the", "a", "of")) -> DataFrame:
+    """Length / word-shape / filler-ratio quality features."""
+    w = words(F.col(text_col))
+    n_words = F.size(w)
+    n_chars = F.length(F.col(text_col))
+    # average word length over non-space characters
+    nospace = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    filler_hits = F.size(F.filter(w, lambda x: x.isin(*filler)))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_calc"),
+        n_words.alias("n_words"),
+        F.round(nospace.cast("double") / n_words, 6).alias("avg_word_len"),
+        F.round(filler_hits.cast("double") / n_words, 6).alias("filler_ratio"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language ID: count hits per language's marker set and
+    pick the argmax (deterministic tie-break by fixed language order)."""
+    w = words(F.lower(F.col(text_col)))
+
+    def _hit_counter(markers):
+        # single-arg lambda — a default-arg lambda would look like the
+        # (element, index) two-arg form to F.filter
+        return F.size(F.filter(w, lambda x: x.isin(*markers)))
+
+    hits = {lang: _hit_counter(markers) for lang, markers in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    best = hits[langs[0]]
+    pred = F.lit(langs[0])
+    for lang in langs[1:]:
+        pred = F.when(hits[lang] > best, F.lit(lang)).otherwise(pred)
+        best = F.when(hits[lang] > best, hits[lang]).otherwise(best)
+    return df.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        *[hits[lang].alias(f"{lang}_hits") for lang in langs],
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Normalization fingerprint: md5 of lowercase alphanumerics — the
+    canonical content hash used by exact dedup across formatting variants."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    return df.select(F.col(id_col), F.md5(norm).alias("fp"))

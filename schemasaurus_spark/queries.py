@@ -1,0 +1,476 @@
+"""Driver-contract query registry: name → (spark_fn, oracle_sql).
+
+Each entry exercises one engine operator family (SURVEY.md §2) over the
+driver-provided tables and carries an ANSI-SQL oracle with IDENTICAL output
+column names and value semantics, runnable by DuckDB on the same parquet.
+The driver compares row-count + schema + order-insensitive value-hash at
+sf=0.01 (CORRECTNESS gate); tests/test_oracle_parity.py mirrors that gate
+locally.
+
+Numeric-parity rules used throughout:
+* doubles that pass through different summation orders are rounded (6 dp)
+  or computed via DECIMAL sums (exact) before comparison;
+* portable hashing is md5-based (identical in Spark and DuckDB);
+* every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from schemasaurus_spark import dsl
+from schemasaurus_spark.validate import validate
+from schemasaurus_spark.compiler import VIOLATIONS_COL
+from schemasaurus_spark.operators import aggregates as agg
+from schemasaurus_spark.operators import dedup, similarity, text
+
+# --------------------------------------------------------------------- util
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+DOC_LANGS = ["en", "es", "de", "fr"]  # zh deliberately excluded → violations
+NCHARS_MIN, NCHARS_MAX = 50, 520
+HIST_EDGES = [0.0, 100.0, 200.0, 300.0, 400.0, 500.0, 600.0]
+
+
+def documents_suite() -> dsl.Suite:
+    """Flagship validation suite over the `documents` table — one constraint
+    per reference operator family (enum/minimum/maximum/minLength/conform;
+    v4validator.js:181-190, 294-302, 194-203, 305-322)."""
+    return dsl.Suite(
+        id_column="doc_id",
+        columns={
+            "doc_id": [dsl.NotNull()],
+            "lang": [dsl.NotNull(), dsl.Enum(DOC_LANGS)],
+            "n_chars": [dsl.Minimum(NCHARS_MIN), dsl.Maximum(NCHARS_MAX)],
+            "text": [dsl.MinLength(NCHARS_MIN)],
+        },
+        row=[
+            ("n_chars", dsl.Conform(
+                name="len_eq",
+                expr=lambda c: F.col("n_chars") == F.length("text"),
+            )),
+        ],
+        name="documents_v1",
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = validate(_t(spark, sf_dir, "documents"), documents_suite())
+    return res.violations().select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "constraint_id", "column", "value",
+    )
+
+
+SQL_VALIDATE_DOCUMENTS = f"""
+SELECT doc_id, 'enum' AS constraint_id, 'lang' AS column, lang AS value
+  FROM documents WHERE lang IS NOT NULL AND lang NOT IN ('en','es','de','fr')
+UNION ALL
+SELECT doc_id, 'required', 'lang', NULL FROM documents WHERE lang IS NULL
+UNION ALL
+SELECT doc_id, 'minimum', 'n_chars', CAST(n_chars AS VARCHAR)
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars < {NCHARS_MIN}
+UNION ALL
+SELECT doc_id, 'maximum', 'n_chars', CAST(n_chars AS VARCHAR)
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > {NCHARS_MAX}
+UNION ALL
+SELECT doc_id, 'minLength', 'text', text
+  FROM documents WHERE text IS NOT NULL AND length(text) < {NCHARS_MIN}
+UNION ALL
+SELECT doc_id, 'custom.len_eq', 'n_chars', CAST(n_chars AS VARCHAR)
+  FROM documents WHERE n_chars IS DISTINCT FROM length(text)
+"""
+
+
+def q_verdict_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = validate(_t(spark, sf_dir, "documents"), documents_suite())
+    return (
+        res.validated
+        .groupBy(F.col("source").alias("group_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.size(VIOLATIONS_COL)).alias("n_violations"),
+        )
+        .withColumn("pass", F.col("n_violations") == 0)
+    )
+
+
+SQL_VERDICT_BY_SOURCE = f"""
+WITH per_row AS (
+  SELECT source,
+         (CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+       + (CASE WHEN lang IS NOT NULL AND lang NOT IN ('en','es','de','fr') THEN 1 ELSE 0 END)
+       + (CASE WHEN n_chars IS NOT NULL AND n_chars < {NCHARS_MIN} THEN 1 ELSE 0 END)
+       + (CASE WHEN n_chars IS NOT NULL AND n_chars > {NCHARS_MAX} THEN 1 ELSE 0 END)
+       + (CASE WHEN text IS NOT NULL AND length(text) < {NCHARS_MIN} THEN 1 ELSE 0 END)
+       + (CASE WHEN n_chars IS DISTINCT FROM length(text) THEN 1 ELSE 0 END) AS v
+  FROM documents)
+SELECT source AS group_key, COUNT(*) AS n_rows, SUM(v) AS n_violations,
+       SUM(v) = 0 AS pass
+FROM per_row GROUP BY source
+"""
+
+
+def q_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = agg.column_stats(_t(spark, sf_dir, "documents"), ["n_chars"], by="lang")
+    return stats.select(
+        "group_key",
+        "n_rows",
+        "n_nulls",
+        F.round("null_rate", 6).alias("null_rate"),
+        F.col("min").cast("long").alias("min_val"),
+        F.col("max").cast("long").alias("max_val"),
+    )
+
+
+SQL_STATS_DOCUMENTS = """
+SELECT lang AS group_key, COUNT(*) AS n_rows,
+       SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       ROUND(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS null_rate,
+       MIN(n_chars) AS min_val, MAX(n_chars) AS max_val
+FROM documents GROUP BY lang
+"""
+
+
+def q_unique_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = agg.uniqueness_check(_t(spark, sf_dir, "events"), key="user_id")
+    return res.violations.select(
+        F.col("doc_id").cast("long").alias("key_id"), "constraint_id", "arg",
+    )
+
+
+SQL_UNIQUE_USER_EVENTS = """
+WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id HAVING COUNT(*) > 1)
+SELECT user_id AS key_id, 'unique.doc_id' AS constraint_id,
+       CAST(UNNEST(generate_series(2, n)) AS VARCHAR) AS arg
+FROM c
+"""
+
+
+def q_ref_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark_dim = spark.createDataFrame([(x,) for x in DOC_LANGS], "lang string")
+    v = agg.referential_check(
+        _t(spark, sf_dir, "documents"), spark_dim, column="lang", id_column="doc_id"
+    )
+    return v.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "constraint_id", "value")
+
+
+SQL_REF_LANG = """
+SELECT doc_id, 'ref.lang' AS constraint_id, lang AS value
+FROM documents WHERE lang NOT IN ('en','es','de','fr')
+"""
+
+
+def q_hist_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.histogram(_t(spark, sf_dir, "documents"), "n_chars",
+                         HIST_EDGES, by="lang").select(
+        "group_key", "bucket", "count")
+
+
+SQL_HIST_NCHARS = """
+SELECT lang AS group_key,
+       CASE WHEN n_chars < 0 THEN -1
+            WHEN n_chars < 100 THEN 0 WHEN n_chars < 200 THEN 1
+            WHEN n_chars < 300 THEN 2 WHEN n_chars < 400 THEN 3
+            WHEN n_chars < 500 THEN 4 WHEN n_chars < 600 THEN 5
+            ELSE 6 END AS bucket,
+       COUNT(*) AS count
+FROM documents WHERE n_chars IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_oneof_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OneOf combinator (v4validator.js:154-170): branches overlap on
+    [100, 400] → those rows fail with code `oneOf` (matched >1)."""
+    suite = dsl.Suite(
+        id_column="doc_id",
+        columns={"n_chars": [dsl.OneOf([[dsl.Minimum(100)], [dsl.Maximum(400)]])]},
+    )
+    res = validate(_t(spark, sf_dir, "documents"), suite)
+    return res.violations().select(
+        F.col("doc_id").cast("long").alias("doc_id"), "constraint_id", "value")
+
+
+SQL_ONEOF_NCHARS = """
+SELECT doc_id, 'oneOf' AS constraint_id, CAST(n_chars AS VARCHAR) AS value
+FROM documents
+WHERE n_chars IS NOT NULL AND n_chars >= 100 AND n_chars <= 400
+"""
+
+
+def q_dependency_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency (v4validator.js:104-123): when lang='zh', source must be in
+    src0..src4 → 'dependency' + sub-error rows for the rest."""
+    allowed = [f"src{i}" for i in range(5)]
+    suite = dsl.Suite(
+        id_column="doc_id",
+        columns={},
+        row=[("lang", dsl.Dependency(
+            on="lang_zh", constraints=[("source", dsl.Enum(allowed))]))],
+    )
+    df = _t(spark, sf_dir, "documents").withColumn(
+        "lang_zh", F.when(F.col("lang") == "zh", F.lit("zh")))
+    res = validate(df, suite)
+    return res.violations().select(
+        F.col("doc_id").cast("long").alias("doc_id"), "constraint_id", "column")
+
+
+SQL_DEPENDENCY_LANG_SOURCE = """
+WITH bad AS (
+  SELECT doc_id FROM documents
+  WHERE lang = 'zh' AND source NOT IN ('src0','src1','src2','src3','src4'))
+SELECT doc_id, 'dependency' AS constraint_id, 'lang' AS column FROM bad
+UNION ALL
+SELECT doc_id, 'enum' AS constraint_id, 'source' AS column FROM bad
+"""
+
+
+# ------------------------------------------------------- text / dedup / ann
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_count(_t(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_QUALITY = r"""
+WITH w AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents)
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       len(ws) AS n_words,
+       ROUND(length(regexp_replace(text, '\s', '', 'g')) / CAST(len(ws) AS DOUBLE), 6) AS avg_word_len,
+       ROUND(len(list_filter(ws, x -> x IN ('the','a','of'))) / CAST(len(ws) AS DOUBLE), 6) AS filler_ratio
+FROM w
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(_t(spark, sf_dir, "documents"))
+
+
+SQL_LANG_ID = r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents),
+h AS (SELECT doc_id,
+       len(list_filter(ws, x -> x IN ('the','and','of','a'))) AS en_hits,
+       len(list_filter(ws, x -> x IN ('el','la','de','los'))) AS es_hits,
+       len(list_filter(ws, x -> x IN ('der','die','das','und'))) AS de_hits,
+       len(list_filter(ws, x -> x IN ('le','les','des','et'))) AS fr_hits
+FROM w)
+SELECT doc_id,
+       CASE WHEN fr_hits > GREATEST(en_hits, es_hits, de_hits) THEN 'fr'
+            WHEN de_hits > GREATEST(en_hits, es_hits) THEN 'de'
+            WHEN es_hits > en_hits THEN 'es'
+            ELSE 'en' END AS pred_lang,
+       en_hits, es_hits, de_hits, fr_hits
+FROM h
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+FROM documents
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+       COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def q_dedup_prefix_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.prefix_buckets(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_PREFIX_BUCKETS = r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents)
+SELECT md5(array_to_string(ws[1:4], ' ')) AS bucket, COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM w GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_buckets(_t(spark, sf_dir, "documents"))
+
+
+SQL_MINHASH_LSH = r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+sh AS (SELECT doc_id,
+       list_transform(generate_series(1, GREATEST(len(ws) - 4, 1)),
+                      i -> array_to_string(ws[i:i+4], ' ')) AS shingles
+FROM w),
+sig AS (SELECT doc_id,
+  list_min(list_transform(shingles, s -> substr(md5('s0|' || s), 1, 8))) AS mh0,
+  list_min(list_transform(shingles, s -> substr(md5('s1|' || s), 1, 8))) AS mh1,
+  list_min(list_transform(shingles, s -> substr(md5('s2|' || s), 1, 8))) AS mh2,
+  list_min(list_transform(shingles, s -> substr(md5('s3|' || s), 1, 8))) AS mh3,
+  list_min(list_transform(shingles, s -> substr(md5('s4|' || s), 1, 8))) AS mh4,
+  list_min(list_transform(shingles, s -> substr(md5('s5|' || s), 1, 8))) AS mh5,
+  list_min(list_transform(shingles, s -> substr(md5('s6|' || s), 1, 8))) AS mh6,
+  list_min(list_transform(shingles, s -> substr(md5('s7|' || s), 1, 8))) AS mh7
+FROM sh),
+bands AS (
+  SELECT doc_id, 0 AS band_idx, mh0 || mh1 AS band_key FROM sig
+  UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig
+  UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig
+  UNION ALL SELECT doc_id, 3, mh6 || mh7 FROM sig)
+SELECT band_idx, band_key, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
+FROM bands GROUP BY 1, 2 HAVING COUNT(*) > 1
+"""
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+SQL_JACCARD_PAIRS = r"""
+WITH w AS (SELECT doc_id AS id,
+                  md5(array_to_string(regexp_split_to_array(trim(text), '\s+')[1:4], ' ')) AS bucket,
+                  list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ws
+           FROM documents)
+SELECT a.id AS id_a, b.id AS id_b,
+       ROUND(len(list_intersect(a.ws, b.ws)) /
+             CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE), 6) AS jaccard
+FROM w a JOIN w b ON a.bucket = b.bucket AND a.id < b.id
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.cosine_topk(emb, qvec, k=10)
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (SELECT vec_id,
+             ROUND(
+               list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)),
+                                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / ( sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform((SELECT qv FROM q), x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+               5) AS score
+      FROM embeddings)
+SELECT vec_id, score FROM s ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
+def q_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.sign_lsh_buckets(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_SIGN_LSH = """
+SELECT concat(
+         CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+         CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+         CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+         CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+         CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+         CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+         CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+         CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket,
+       COUNT(*) AS n_vecs, MIN(vec_id) AS min_id
+FROM embeddings GROUP BY 1
+"""
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style scan-heavy aggregation — the throughput headline.
+    DECIMAL sums keep cross-engine parity exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("decimal(38,6)").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("decimal(38,6)").alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# -------------------------------------------------------------- registry
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "validate_documents": q_validate_documents,
+    "verdict_by_source": q_verdict_by_source,
+    "stats_documents": q_stats_documents,
+    "unique_user_events": q_unique_user_events,
+    "ref_lang": q_ref_lang,
+    "hist_nchars": q_hist_nchars,
+    "oneof_nchars": q_oneof_nchars,
+    "dependency_lang_source": q_dependency_lang_source,
+    "token_count": q_token_count,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_prefix_buckets": q_dedup_prefix_buckets,
+    "minhash_lsh": q_minhash_lsh,
+    "jaccard_pairs": q_jaccard_pairs,
+    "ann_topk": q_ann_topk,
+    "sign_lsh": q_sign_lsh,
+    "tpch_q1": q_tpch_q1,
+}
+
+ORACLES: dict[str, str] = {
+    "validate_documents": SQL_VALIDATE_DOCUMENTS,
+    "verdict_by_source": SQL_VERDICT_BY_SOURCE,
+    "stats_documents": SQL_STATS_DOCUMENTS,
+    "unique_user_events": SQL_UNIQUE_USER_EVENTS,
+    "ref_lang": SQL_REF_LANG,
+    "hist_nchars": SQL_HIST_NCHARS,
+    "oneof_nchars": SQL_ONEOF_NCHARS,
+    "dependency_lang_source": SQL_DEPENDENCY_LANG_SOURCE,
+    "token_count": SQL_TOKEN_COUNT,
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "fingerprint": SQL_FINGERPRINT,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_prefix_buckets": SQL_DEDUP_PREFIX_BUCKETS,
+    "minhash_lsh": SQL_MINHASH_LSH,
+    "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "ann_topk": SQL_ANN_TOPK,
+    "sign_lsh": SQL_SIGN_LSH,
+    "tpch_q1": SQL_TPCH_Q1,
+}
