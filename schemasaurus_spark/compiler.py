@@ -341,6 +341,8 @@ class ConstraintCompiler:
             if tname == "string":
                 return isinstance(dt, T.StringType)
             if tname == "integer":
+                if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+                    return None  # whole-valued doubles pass: runtime % 1 check
                 return isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
             if tname == "number":
                 return isinstance(dt, _NUMERIC)
@@ -359,12 +361,12 @@ class ConstraintCompiler:
                 sm = static_matches(tname)
                 if sm is not None:
                     return F.lit(sm) | col.isNull()
-            # cast-probe path (permissive string ingest)
+            # cast-probe path (permissive string ingest; try_cast is ANSI-safe)
             if tname == "integer":
-                d = col.cast("double")
+                d = col.try_cast("double")
                 return col.isNull() | (d.isNotNull() & (d % 1.0 == 0.0))
             if tname == "number":
-                return col.isNull() | col.cast("double").isNotNull()
+                return col.isNull() | col.try_cast("double").isNotNull()
             if tname == "boolean":
                 return col.isNull() | F.lower(col.cast("string")).isin("true", "false")
             if tname == "string":

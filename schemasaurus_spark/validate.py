@@ -47,15 +47,15 @@ class ValidationResult:
         v = (
             self.validated
             .where(F.size(VIOLATIONS_COL) > 0)
-            .select(F.col(idc), F.posexplode(VIOLATIONS_COL).alias("__pos", "v"))
+            .select(F.col(idc), F.posexplode(VIOLATIONS_COL).alias("__pos", "__v"))
         )
         return v.select(
             idc,
-            "v.constraint_id",
-            "v.column",
-            "v.value",
-            "v.arg",
-            "v.message",
+            "__v.constraint_id",
+            "__v.column",
+            "__v.value",
+            "__v.arg",
+            "__v.message",
             F.col("__pos").alias("pos"),
         )
 

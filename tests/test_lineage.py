@@ -1,0 +1,88 @@
+"""Snapshot store + checkpoint/resume + incremental validation tests
+(north rule: resumable from checkpoint with per-partition lineage)."""
+
+import pyspark.sql.functions as F
+
+from schemasaurus_spark import Enum, Minimum, NotNull, Suite
+from schemasaurus_spark import datagen
+from schemasaurus_spark.plans.lineage import ValidationCheckpoint
+from schemasaurus_spark.sources.storage import SnapshotStore
+from schemasaurus_spark.streaming.incremental import (
+    IncrementalState, validate_new_snapshots,
+)
+
+
+def _suite():
+    return Suite(
+        id_column="doc_id",
+        columns={"doc_id": [NotNull()],
+                 "n_tok": [Minimum(1)],
+                 "source": [Enum(datagen.SOURCES)]},
+        name="lineage_suite",
+    )
+
+
+def test_snapshot_append_and_incremental_read(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    d1 = datagen.finalize(datagen.gen_sequences(spark, 100, 2))
+    d2 = datagen.finalize(datagen.gen_sequences(spark, 50, 2))
+    s1 = store.append(d1)
+    s2 = store.append(d2)
+    assert store.read(spark, s1.id).count() == 100
+    assert store.read(spark, s2.id).count() == 150
+    delta = store.added_files(s1.id, s2.id)
+    assert delta and set(delta) == set(s2.files) - set(s1.files)
+
+
+def test_checkpointed_run_and_resume(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    df = datagen.finalize(
+        datagen.corrupt_enum(datagen.gen_sequences(spark, 200, 4), every=20))
+    store.append(df)
+    cp = ValidationCheckpoint(str(tmp_path / "state"))
+
+    r1 = cp.run(spark, store, _suite())
+    assert r1.files_validated > 0 and r1.files_skipped == 0
+    assert r1.n_rows == 200 and r1.n_violations > 0
+
+    # resume: nothing left to do, but totals are reconstructed from lineage
+    r2 = cp.run(spark, store, _suite())
+    assert r2.files_validated == 0
+    assert r2.files_skipped == r1.files_validated
+    assert r2.n_rows == 200 and r2.n_violations == r1.n_violations
+
+    # violations table carries lineage columns
+    v = cp.violations(spark)
+    assert v.count() == r1.n_violations
+    cols = set(v.columns)
+    assert {"snapshot_id", "suite_hash", "file", "constraint_id"} <= cols
+
+
+def test_suite_change_invalidates_checkpoint(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    store.append(datagen.finalize(datagen.gen_sequences(spark, 100, 2)))
+    cp = ValidationCheckpoint(str(tmp_path / "state"))
+    r1 = cp.run(spark, store, _suite())
+    stricter = Suite(id_column="doc_id",
+                     columns={"n_tok": [Minimum(100)]}, name="stricter")
+    r2 = cp.run(spark, store, stricter)
+    assert r2.files_validated == r1.files_validated  # re-ran everything
+    assert r2.suite_hash != r1.suite_hash
+
+
+def test_incremental_only_validates_delta(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    cp = ValidationCheckpoint(str(tmp_path / "state"))
+    state = IncrementalState()
+
+    store.append(datagen.finalize(datagen.gen_sequences(spark, 100, 2)))
+    runs = validate_new_snapshots(spark, store, _suite(), cp, state)
+    assert len(runs) == 1 and runs[0].files_validated == 2
+
+    store.append(datagen.finalize(datagen.gen_sequences(spark, 60, 2)))
+    runs = validate_new_snapshots(spark, store, _suite(), cp, state)
+    # only the 2 new files are validated; the 2 carried files are skipped
+    assert len(runs) == 1
+    assert runs[0].files_validated == 2
+    assert runs[0].files_skipped == 2
+    assert runs[0].n_rows == 160

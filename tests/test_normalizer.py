@@ -1,0 +1,85 @@
+"""Normalizer parity tests — translations of
+/root/reference/test/normalizer_spec.js cases to DataFrame assertions."""
+
+import pytest
+
+from schemasaurus_spark.normalizer import NormalizerSpec, col_spec, normalize
+
+
+def test_defaults_applied_for_null(spark):
+    """normalizer_spec.js: default replaces null/undefined (js:12-16)."""
+    df = spark.createDataFrame([(None,), ("x",)], "a string")
+    spec = NormalizerSpec([col_spec("a", "string", default="dflt")])
+    out = [r["a"] for r in normalize(df, spec).collect()]
+    assert sorted(out) == ["dflt", "x"]
+
+
+def test_missing_column_materialized_with_default(spark):
+    """normalizer_spec.js:46-57: {} → {a:{b:3}} — a fully missing declared
+    field materializes so its default applies."""
+    df = spark.createDataFrame([(1,)], "other int")
+    spec = NormalizerSpec([col_spec("b", "integer", default=3)],
+                          prune_additional=True)
+    rows = normalize(df, spec).collect()
+    assert rows[0]["b"] == 3
+    assert rows[0].asDict().keys() == {"b"}
+
+
+def test_prune_additional_columns(spark):
+    """normalizer.js:22-24: undeclared property deleted."""
+    df = spark.createDataFrame([("a", "b")], "keep string, drop string")
+    spec = NormalizerSpec([col_spec("keep", "string")])
+    out = normalize(df, spec)
+    assert out.columns == ["keep"]
+
+
+def test_type_casts_string_sources(spark):
+    """normalizer.js:25-56 casts: parseInt prefix semantics, parseFloat,
+    boolean truth table ('true'/'on'/'false'/'off', else truthiness)."""
+    df = spark.createDataFrame(
+        [("42abc", "3.5", "true"), ("7", "x", "off"), ("nope", "2", "weird")],
+        "i string, n string, b string",
+    )
+    spec = NormalizerSpec([
+        col_spec("i", "integer"), col_spec("n", "number"), col_spec("b", "boolean"),
+    ])
+    rows = normalize(df, spec).collect()
+    assert [r["i"] for r in rows] == [42, 7, None]
+    ns = [r["n"] for r in rows]
+    assert ns[0] == 3.5 and ns[1] is None and ns[2] == 2.0
+    assert [r["b"] for r in rows] == [True, False, True]
+
+
+def test_float_to_integer_truncates(spark):
+    """parseInt(3.9) semantics: truncate toward zero."""
+    df = spark.createDataFrame([(3.9,), (-2.7,)], "x double")
+    spec = NormalizerSpec([col_spec("x", "integer")])
+    assert [r["x"] for r in normalize(df, spec).collect()] == [3, -2]
+
+
+def test_array_wrap(spark):
+    """normalizer.js:51-55: non-array wrapped as [x]."""
+    df = spark.createDataFrame([(5,)], "x int")
+    spec = NormalizerSpec([col_spec("x", "array<long>")])
+    assert normalize(df, spec).collect()[0]["x"] == [5]
+
+
+def test_null_passthrough_without_default(spark):
+    """normalizer_spec: null stays null when no default declared."""
+    df = spark.createDataFrame([(None,)], "x string")
+    spec = NormalizerSpec([col_spec("x", "integer")])
+    assert normalize(df, spec).collect()[0]["x"] is None
+
+
+def test_numeric_boolean_truthiness(spark):
+    """JS Boolean(0) == false, Boolean(2) == true (normalizer.js:43-50)."""
+    df = spark.createDataFrame([(0,), (2,)], "x int")
+    spec = NormalizerSpec([col_spec("x", "boolean")])
+    assert [r["x"] for r in normalize(df, spec).collect()] == [False, True]
+
+
+def test_normalize_is_single_projection(spark):
+    df = spark.createDataFrame([("1", "y")], "a string, b string")
+    spec = NormalizerSpec([col_spec("a", "integer"), col_spec("b", "string")])
+    plan = normalize(df, spec)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Project") == 1
