@@ -29,23 +29,30 @@ spark = get_spark("scaling", master=f"local[{cores}]", shuffle_partitions=max(co
                   extra_conf={"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024)})
 spark.sparkContext.setLogLevel("ERROR")
 path = bench.ensure_sequences(spark, bench.SEQ_ROWS, 256)
-# build the plan once (compile-once production model), warm up JIT/page
-# cache with one pass, then time 2 executions; report best
-first = bench.run_sequences_bench(spark, path)
-pre = first.pop("_prebuilt")
-runs = [bench.run_sequences_bench(spark, path, prebuilt=pre) for _ in range(2)]
+# warm-up (JIT + page cache), then 2 timed runs, each with a FRESH plan:
+# re-collecting one Dataset would skip its completed shuffle stages and
+# time only the final agg. Plan-build (~1s serial) is amortized by input
+# size, mirroring production where one plan scans TBs.
+bench.run_sequences_bench(spark, path)
+runs = [bench.run_sequences_bench(spark, path) for _ in range(2)]
 best = max(runs, key=lambda r: r["sequences_per_sec"])
 best.pop("_prebuilt", None)
-best["plan_build_s"] = first["plan_build_s"]
 print("RESULT " + json.dumps(best))
 """
 
 
 def run_at(cores: int) -> dict:
+    """One 'cluster size': `taskset` pins the process tree to exactly
+    `cores` CPUs (otherwise JVM GC/JIT threads scale with the MACHINE's
+    cores and the small run borrows extra CPUs), and the heap scales with
+    cores (1 GiB/core) the way a real 4N-executor cluster carries 4x the
+    memory."""
     code = CHILD % {"repo": REPO}
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=f"{cores}g")
     out = subprocess.run(
-        [sys.executable, "-c", code, str(cores)],
-        capture_output=True, text=True, timeout=1200,
+        ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code,
+         str(cores)],
+        capture_output=True, text=True, timeout=2400, env=env,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):

@@ -292,6 +292,23 @@ class ConstraintCompiler:
             if _is_array(dt):
                 self._compile_items(out, col_name, col, c, null_guard)
 
+        elif isinstance(c, dsl.TupleItems):
+            if _is_array(dt):
+                self._compile_tuple_items(out, col_name, col, c, null_guard)
+
+        elif isinstance(c, dsl.MinProperties):
+            if dt is None or isinstance(dt, T.MapType):
+                emit("minProperties", F.size(F.map_keys(col)) < c.value,
+                     arg=c.value, message=m)
+        elif isinstance(c, dsl.MaxProperties):
+            if dt is None or isinstance(dt, T.MapType):
+                emit("maxProperties", F.size(F.map_keys(col)) > c.value,
+                     arg=c.value, message=m)
+
+        elif isinstance(c, dsl.KeyPattern):
+            if dt is None or isinstance(dt, T.MapType):
+                self._compile_key_pattern(out, col_name, col, c, m, null_guard)
+
         elif isinstance(c, dsl.Conform):
             self._compile_conform(out, col_name, col, c, m, null_guard)
 
@@ -320,7 +337,11 @@ class ConstraintCompiler:
             self._compile_dependency(out, col_name, c, m)
 
         else:
-            raise SuiteCompileError(f"Unknown constraint {type(c).__name__}")
+            ext = dsl.get_extension(type(c))
+            if ext is None:
+                raise SuiteCompileError(f"Unknown constraint {type(c).__name__}")
+            # V4Validator.extend analog: plugin appends fragments itself
+            ext(self, out, col_name, col, c, m, null_guard)
         return out
 
     # -- type ---------------------------------------------------------------
@@ -440,6 +461,65 @@ class ConstraintCompiler:
             )
             ok = ~failed_any
             out.valid = ok if out.valid is None else out.valid & ok
+
+    def _compile_tuple_items(self, out, col_name, col, c: dsl.TupleItems,
+                             null_guard):
+        """Positional tuple items + additionalItems
+        (processor.js:54-61,113-124). Position i (1-based element_at) checks
+        specs[i]; extras beyond len(specs) each emit `additionalItems` when
+        additional=False — one violation per extra element, value = element."""
+        for i, spec in enumerate(c.specs):
+            elem = F.element_at(col, i + 1)  # null if shorter — guards skip
+            for sub in spec:
+                pred, code, arg = self._element_predicate(sub)
+                failed = F.size(col) > i
+                failed = failed & ~F.coalesce(pred(elem), F.lit(False))
+                if null_guard:
+                    failed = col.isNotNull() & failed
+                msg = sub.message or self._msg(code, arg)
+                out.fragments.append(_scalar_fragment(
+                    failed, f"items.{i}.{code}", col_name, elem, arg, msg))
+                ok = ~failed
+                out.valid = ok if out.valid is None else out.valid & ok
+        if not c.additional:
+            n_spec = len(c.specs)
+            has_extra = F.size(col) > n_spec
+            if null_guard:
+                has_extra = col.isNotNull() & has_extra
+            msg = c.message or self._msg("additionalItems")
+            extras = F.slice(col, n_spec + 1,
+                             F.greatest(F.size(col) - n_spec, F.lit(0)))
+            structs = F.transform(
+                extras,
+                lambda x: _vio_struct("additionalItems", col_name, x, None, msg))
+            out.fragments.append(
+                F.when(has_extra, structs).otherwise(_empty_violations()))
+            ok = ~has_extra
+            out.valid = ok if out.valid is None else out.valid & ok
+
+    def _compile_key_pattern(self, out, col_name, col, c: dsl.KeyPattern, m,
+                             null_guard):
+        """patternProperties analog for maps: keys matching no allowed regex
+        each emit `additionalProperties` carrying the key
+        (processor.js:90-111 + v4validator.js:287)."""
+        def allowed(k):
+            ok = F.lit(False)
+            for p in c.patterns:
+                ok = ok | k.rlike(p)
+            return ok
+
+        bad_keys = F.filter(F.map_keys(col), lambda k: ~allowed(k))
+        has_bad = F.size(bad_keys) > 0
+        if null_guard:
+            has_bad = col.isNotNull() & F.coalesce(has_bad, F.lit(False))
+        msg = m or self._msg("additionalProperties")
+        structs = F.transform(
+            bad_keys,
+            lambda k: _vio_struct("additionalProperties", col_name, k,
+                                  _render_arg(list(c.patterns)), msg))
+        out.fragments.append(
+            F.when(has_bad, structs).otherwise(_empty_violations()))
+        out.valid = ~has_bad
 
     def _element_predicate(self, sub: dsl.Constraint):
         """Map a scalar constraint onto array elements (lambda-variable form)."""

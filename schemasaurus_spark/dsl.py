@@ -220,6 +220,56 @@ class Items(Constraint):
 
 
 @dataclass(frozen=True)
+class TupleItems(Constraint):
+    """Positional tuple form of ``items: [s1, s2, ...]`` + ``additionalItems``
+    (``src/int/processor.js:54-61,113-124``; error `additionalItems`
+    v4validator.js:217): element i must satisfy specs[i]; with
+    ``additional=False``, one `additionalItems` violation per element beyond
+    the spec list."""
+
+    specs: Sequence[Sequence[Constraint]] = ()
+    additional: bool = True
+
+    @property
+    def code(self) -> str:
+        return "items"
+
+
+@dataclass(frozen=True)
+class MinProperties(Constraint):
+    """Key-count lower bound on a MapType column — v4validator.js:275-285."""
+
+    value: int = 0
+
+    @property
+    def code(self) -> str:
+        return "minProperties"
+
+
+@dataclass(frozen=True)
+class MaxProperties(Constraint):
+    value: int = 0
+
+    @property
+    def code(self) -> str:
+        return "maxProperties"
+
+
+@dataclass(frozen=True)
+class KeyPattern(Constraint):
+    """patternProperties/additionalProperties=false analog for MapType
+    columns (``src/int/processor.js:90-111``): every map key must match one
+    of the allowed key regexes; each offending key yields one
+    `additionalProperties` violation carrying the key."""
+
+    patterns: Sequence[str] = ()
+
+    @property
+    def code(self) -> str:
+        return "additionalProperties"
+
+
+@dataclass(frozen=True)
 class Conform(Constraint):
     """Custom predicate — the escape hatch, v4validator.js:305-322.
 
@@ -319,6 +369,27 @@ class Dependency(Constraint):
 # --------------------------------------------------------------------- suite
 
 
+# ------------------------------------------------------- extension registry
+# The analog of V4Validator.extend (src/validator_extend.js:4-27;
+# README.md:229-261): plugins register a DSL dataclass plus a compile hook
+# `(compiler, out, col_name, col, constraint, message, null_guard) -> None`
+# that appends violation fragments. Consulted by the compiler before failing
+# on an unknown constraint type.
+
+_EXTENSIONS: dict[type, object] = {}
+
+
+def register_constraint(cls: type, compile_fn) -> None:
+    _EXTENSIONS[cls] = compile_fn
+
+
+def get_extension(cls: type):
+    for base in cls.__mro__:
+        if base in _EXTENSIONS:
+            return _EXTENSIONS[base]
+    return None
+
+
 @dataclass
 class Suite:
     """A full constraint suite over one table — the analog of one schema
@@ -334,6 +405,10 @@ class Suite:
     row: Sequence[tuple] = field(default_factory=list)  # (column_label, Constraint)
     messages: dict[str, str] = field(default_factory=dict)  # catalog overrides
     name: str = "suite"
+    # additionalProperty=false at table level (v4validator.js:287 +
+    # processor.js:90-111): undeclared DataFrame columns are violations.
+    # Static against df.schema, so it reports per column, not per row.
+    allow_undeclared_columns: bool = True
 
     def fingerprint(self) -> str:
         """Stable hash of the suite definition, used in lineage rows so

@@ -74,15 +74,37 @@ def prefix_buckets(df: DataFrame, text_col: str = "text",
 def minhash_signature(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k_shingle: int = 5,
                       n_hashes: int = 8) -> DataFrame:
-    """Per-doc MinHash signature: n_hashes min-hash values (hex strings)
-    over k-word shingles — all array expressions, one narrow projection."""
+    """Per-doc MinHash signature: n_hashes min-hash values (8-hex-char
+    strings) over k-word shingles — all array expressions, two narrow
+    projections.
+
+    Perf shape: the shingle array is materialized ONCE (a prior projection —
+    higher-order-function subtrees are not CSE'd across sibling expressions),
+    and each md5 digest is sliced into four 32-bit hash values (bits of a
+    wide hash act as independent hash functions), so a doc costs
+    ceil(n_hashes/4) md5 passes over its shingles instead of n_hashes."""
     sh = shingles(F.col(text_col), k_shingle)
+    # hashing is CPU-heavy and inputs are often few large files: spread the
+    # work across the cluster before the expression stage (one tiny shuffle
+    # of raw text buys full-width parallelism; the LSH groupBy shuffles
+    # anyway). 100 TB inputs already have >cores splits — repartition is a
+    # no-op there if the count matches defaultParallelism.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    if df.rdd.getNumPartitions() < n_parts:
+        df = df.repartition(n_parts)
+    staged = df.select(F.col(id_col), sh.alias("__sh"))
 
-    def _minhash(salt: int):
-        return F.array_min(F.transform(sh, lambda s: _h(s, salt)))
+    def _mins(salt: int, chunk: int):
+        return F.array_min(F.transform(
+            F.col("__sh"),
+            lambda s: F.substring(
+                F.md5(F.concat(F.lit(f"s{salt}|"), s)), 1 + 8 * chunk, 8),
+        ))
 
-    cols = [_minhash(i).alias(f"mh{i}") for i in range(n_hashes)]
-    return df.select(F.col(id_col), *cols)
+    cols = [
+        _mins(*divmod(i, 4)).alias(f"mh{i}") for i in range(n_hashes)
+    ]
+    return staged.select(F.col(id_col), *cols)
 
 
 def lsh_buckets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

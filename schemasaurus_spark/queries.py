@@ -331,13 +331,13 @@ sh AS (SELECT doc_id,
 FROM w),
 sig AS (SELECT doc_id,
   list_min(list_transform(shingles, s -> substr(md5('s0|' || s), 1, 8))) AS mh0,
-  list_min(list_transform(shingles, s -> substr(md5('s1|' || s), 1, 8))) AS mh1,
-  list_min(list_transform(shingles, s -> substr(md5('s2|' || s), 1, 8))) AS mh2,
-  list_min(list_transform(shingles, s -> substr(md5('s3|' || s), 1, 8))) AS mh3,
-  list_min(list_transform(shingles, s -> substr(md5('s4|' || s), 1, 8))) AS mh4,
-  list_min(list_transform(shingles, s -> substr(md5('s5|' || s), 1, 8))) AS mh5,
-  list_min(list_transform(shingles, s -> substr(md5('s6|' || s), 1, 8))) AS mh6,
-  list_min(list_transform(shingles, s -> substr(md5('s7|' || s), 1, 8))) AS mh7
+  list_min(list_transform(shingles, s -> substr(md5('s0|' || s), 9, 8))) AS mh1,
+  list_min(list_transform(shingles, s -> substr(md5('s0|' || s), 17, 8))) AS mh2,
+  list_min(list_transform(shingles, s -> substr(md5('s0|' || s), 25, 8))) AS mh3,
+  list_min(list_transform(shingles, s -> substr(md5('s1|' || s), 1, 8))) AS mh4,
+  list_min(list_transform(shingles, s -> substr(md5('s1|' || s), 9, 8))) AS mh5,
+  list_min(list_transform(shingles, s -> substr(md5('s1|' || s), 17, 8))) AS mh6,
+  list_min(list_transform(shingles, s -> substr(md5('s1|' || s), 25, 8))) AS mh7
 FROM sh),
 bands AS (
   SELECT doc_id, 0 AS band_idx, mh0 || mh1 AS band_key FROM sig

@@ -49,7 +49,7 @@ class ValidationResult:
             .where(F.size(VIOLATIONS_COL) > 0)
             .select(F.col(idc), F.posexplode(VIOLATIONS_COL).alias("__pos", "__v"))
         )
-        return v.select(
+        out = v.select(
             idc,
             "__v.constraint_id",
             "__v.column",
@@ -58,6 +58,29 @@ class ValidationResult:
             "__v.message",
             F.col("__pos").alias("pos"),
         )
+        extra = self.undeclared_columns()
+        if extra:
+            # additionalProperty=false analog (v4validator.js:287): the
+            # schema is static, so one violation per undeclared COLUMN
+            # (doc_id null), not per row — documented divergence.
+            from schemasaurus_spark.messages import render_message
+
+            spark = self.validated.sparkSession
+            msg = render_message("additionalProperties",
+                                 overrides=self.plan.suite.messages)
+            rows = [(None, "additionalProperties", c, None, None, msg, 0)
+                    for c in extra]
+            schema_cols = out.schema
+            out = out.unionByName(spark.createDataFrame(rows, schema_cols))
+        return out
+
+    def undeclared_columns(self) -> list[str]:
+        suite = self.plan.suite
+        if suite.allow_undeclared_columns:
+            return []
+        declared = set(suite.columns) | {suite.id_column, VIOLATIONS_COL}
+        declared |= {label for label, _ in suite.row}
+        return [c for c in self.validated.columns if c not in declared]
 
     def verdicts(self) -> DataFrame:
         """Per-partition (partition_id, n_rows, n_violations, pass)."""

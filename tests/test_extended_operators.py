@@ -1,0 +1,89 @@
+"""TupleItems/additionalItems, Map properties, KeyPattern, extension
+registry, undeclared-column check — the rest of SURVEY.md §2.1."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from schemasaurus_spark import dsl
+from schemasaurus_spark.validate import validate
+
+
+def test_tuple_items_positional(spark):
+    """processor.js:54-61: element i checked against specs[i]."""
+    df = spark.createDataFrame([([1, 50],), ([99, 2],)], "v array<int>")
+    suite = dsl.Suite(id_column="v", columns={"v": [
+        dsl.TupleItems([[dsl.Maximum(10)], [dsl.Minimum(10)]])]})
+    rows = validate(df, suite).violations().collect()
+    got = {(str(r["v"]), r["constraint_id"]) for r in rows}
+    assert got == {("[99, 2]", "items.0.maximum"), ("[99, 2]", "items.1.minimum")}
+
+
+def test_additional_items_false(spark):
+    """v4validator.js:217 + processor.js:113-124: one error per extra
+    element, carrying the element."""
+    df = spark.createDataFrame([([1, 2, 7, 8],)], "v array<int>")
+    suite = dsl.Suite(id_column="v", columns={"v": [
+        dsl.TupleItems([[dsl.Minimum(0)], [dsl.Minimum(0)]], additional=False)]})
+    rows = validate(df, suite).violations().collect()
+    extras = [(r["constraint_id"], r["value"]) for r in rows]
+    assert extras == [("additionalItems", "7"), ("additionalItems", "8")]
+
+
+def test_map_properties_bounds(spark):
+    """v4validator.js:275-285 key-count bounds on MapType."""
+    df = spark.createDataFrame([({"a": 1},), ({"a": 1, "b": 2, "c": 3},)],
+                               "v map<string,int>")
+    suite = dsl.Suite(id_column="v", columns={"v": [
+        dsl.MinProperties(2), dsl.MaxProperties(2)]})
+    rows = validate(df, suite).violations().collect()
+    codes = sorted(r["constraint_id"] for r in rows)
+    assert codes == ["maxProperties", "minProperties"]
+
+
+def test_key_pattern(spark):
+    """patternProperties analog: offending keys reported individually."""
+    df = spark.createDataFrame([({"ok_1": 1, "bad!": 2, "ok_2": 3},)],
+                               "v map<string,int>")
+    suite = dsl.Suite(id_column="v", columns={"v": [
+        dsl.KeyPattern([r"^ok_\d+$"])]})
+    rows = validate(df, suite).violations().collect()
+    assert len(rows) == 1
+    assert rows[0]["constraint_id"] == "additionalProperties"
+    assert rows[0]["value"] == "bad!"
+
+
+def test_extension_registry(spark):
+    """V4Validator.extend analog (validator_extend.js:4-27): plugin
+    constraint classes compile to fragments via a registered hook."""
+    from dataclasses import dataclass
+    from schemasaurus_spark.compiler import _scalar_fragment
+
+    @dataclass(frozen=True)
+    class IsUpper(dsl.Constraint):
+        @property
+        def code(self):
+            return "custom.isUpper"
+
+    def compile_is_upper(compiler, out, col_name, col, c, m, null_guard):
+        failed = col.isNotNull() & (F.upper(col) != col)
+        out.fragments.append(_scalar_fragment(
+            failed, "custom.isUpper", col_name, col, None, m or "shall be uppercase"))
+        out.valid = ~failed
+
+    dsl.register_constraint(IsUpper, compile_is_upper)
+    df = spark.createDataFrame([("HI",), ("lo",)], "v string")
+    suite = dsl.Suite(id_column="v", columns={"v": [IsUpper()]})
+    rows = validate(df, suite).violations().collect()
+    assert len(rows) == 1 and rows[0]["v"] == "lo"
+    assert rows[0]["message"] == "shall be uppercase"
+
+
+def test_undeclared_columns_reported(spark):
+    """additionalProperty=false table-level analog (v4validator.js:287)."""
+    df = spark.createDataFrame([("a", 1, "x")], "doc_id string, n int, rogue string")
+    suite = dsl.Suite(columns={"n": [dsl.Minimum(0)]},
+                      allow_undeclared_columns=False)
+    res = validate(df, suite)
+    assert res.undeclared_columns() == ["rogue"]
+    rows = res.violations().where("constraint_id = 'additionalProperties'").collect()
+    assert len(rows) == 1 and rows[0]["column"] == "rogue"

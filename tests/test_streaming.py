@@ -1,0 +1,75 @@
+"""Structured Streaming validation tests (rate source → memory sink)."""
+
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from schemasaurus_spark import dsl
+from schemasaurus_spark.streaming.stream import (
+    stream_violations, windowed_verdicts,
+)
+
+
+def _rate_sequences(spark, rows_per_sec=200):
+    """Rate source shaped into the sequences schema; every 5th row violates
+    the n_tok minimum."""
+    rate = spark.readStream.format("rate").option(
+        "rowsPerSecond", rows_per_sec).load()
+    return rate.select(
+        F.concat(F.lit("web-"), F.lpad(F.col("value").cast("string"), 8, "0")
+                 ).alias("doc_id"),
+        F.when(F.pmod("value", F.lit(5)) == 0, F.lit(0))
+         .otherwise(F.lit(100)).cast("int").alias("n_tok"),
+        F.lit("web").alias("source"),
+        F.col("timestamp").alias("ts"),
+    )
+
+
+def _suite():
+    return dsl.Suite(columns={
+        "doc_id": [dsl.NotNull(), dsl.Pattern(r"^web-")],
+        "n_tok": [dsl.Minimum(1)],
+    })
+
+
+def _run_until(q, pred, timeout_s=60):
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        q.processAllAvailable()
+        if pred():
+            return True
+        time.sleep(0.5)
+    return False
+
+
+def test_stream_violations_append(spark):
+    v = stream_violations(_rate_sequences(spark), _suite())
+    q = (v.writeStream.format("memory").queryName("vio_t")
+         .outputMode("append").start())
+    try:
+        ok = _run_until(
+            q, lambda: spark.sql("select count(*) c from vio_t").first()["c"] >= 3)
+        assert ok, "no violations arrived in time"
+        rows = spark.sql("select distinct constraint_id from vio_t").collect()
+        assert {r["constraint_id"] for r in rows} == {"minimum"}
+    finally:
+        q.stop()
+
+
+def test_windowed_verdicts_with_watermark(spark):
+    wv = windowed_verdicts(_rate_sequences(spark), _suite(),
+                           window="5 seconds", watermark="10 seconds")
+    q = (wv.writeStream.format("memory").queryName("verd_t")
+         .outputMode("update").start())
+    try:
+        ok = _run_until(
+            q, lambda: spark.sql("select count(*) c from verd_t").first()["c"] >= 1)
+        assert ok, "no windows materialized"
+        row = spark.sql(
+            "select * from verd_t order by n_rows desc limit 1").first()
+        assert row["n_rows"] > 0
+        assert row["n_violations"] >= 0 and not row["pass"] or row["pass"]
+        assert row["source"] == "web"
+    finally:
+        q.stop()
