@@ -103,18 +103,26 @@ class CompiledColumn:
 class ValidationPlan:
     """The compiled artifact — analog of the specialized closure the
     reference returns (``compiler.js:201-211``). Holds the single violation
-    expression; ``apply`` projects it onto a DataFrame."""
+    expression; ``apply`` projects it onto a DataFrame.
+
+    Fast-path/slow-path split: ``row_valid`` is the conjunction of all pass
+    predicates — cheap (no struct/array construction). The violation-array
+    concat is evaluated ONLY for failing rows, so the common clean row costs
+    little more than the scan itself (the columnar analog of the reference's
+    early-exit codegen, ``compiler.js:132`` / ``ctx.stop``)."""
 
     suite: dsl.Suite
     fragments: list[Column]
     suite_hash: str
+    row_valid: Optional[Column] = None
 
     def violations_expr(self) -> Column:
         if not self.fragments:
             return _empty_violations()
-        if len(self.fragments) == 1:
-            return self.fragments[0]
-        return F.concat(*self.fragments)
+        full = self.fragments[0] if len(self.fragments) == 1 else F.concat(*self.fragments)
+        if self.row_valid is not None:
+            return F.when(~self.row_valid, full).otherwise(_empty_violations())
+        return full
 
     def apply(self, df: DataFrame) -> DataFrame:
         """One narrow projection: df + ``__violations`` array column."""
@@ -173,13 +181,20 @@ class ConstraintCompiler:
 
     def compile(self) -> ValidationPlan:
         fragments: list[Column] = []
+        valids: list[Column] = []
         for col_name, constraints in self.suite.columns.items():
             cc = self._compile_column(col_name, list(constraints))
             fragments.extend(cc.fragments)
+            if cc.valid is not None:
+                valids.append(F.coalesce(cc.valid, F.lit(False)))
         for label, constraint in self.suite.row:
             cc = self._compile_one(label, F.col(label) if self._has(label) else F.lit(None), constraint, null_guard=False)
             fragments.extend(cc.fragments)
-        return ValidationPlan(self.suite, fragments, self.suite.fingerprint())
+            if cc.valid is not None:
+                valids.append(F.coalesce(cc.valid, F.lit(False)))
+        row_valid = _and_all(valids) if valids else None
+        return ValidationPlan(self.suite, fragments, self.suite.fingerprint(),
+                              row_valid)
 
     # -- internals ----------------------------------------------------------
 
@@ -447,7 +462,15 @@ class ConstraintCompiler:
         loop, with codes `items.<subcode>`."""
         for sub in c.constraints:
             pred, code, arg = self._element_predicate(sub)
-            failed_any = ~F.forall(col, pred)
+            # range checks get specialized O(n) pass tests (array_min/max
+            # beat a lambda loop in codegen); offender extraction below is
+            # unchanged and only runs on failing rows
+            if isinstance(sub, dsl.Minimum):
+                failed_any = F.array_min(col) < F.lit(sub.value)
+            elif isinstance(sub, dsl.Maximum):
+                failed_any = F.array_max(col) > F.lit(sub.value)
+            else:
+                failed_any = ~F.forall(col, pred)
             if null_guard:
                 failed_any = col.isNotNull() & F.coalesce(failed_any, F.lit(True))
             msg = sub.message or self._msg(code, arg)
