@@ -411,8 +411,13 @@ class Suite:
     allow_undeclared_columns: bool = True
 
     def fingerprint(self) -> str:
-        """Stable hash of the suite definition, used in lineage rows so
-        resume only skips partitions validated with the *same* suite."""
+        """Stable, process-independent hash of the suite definition, used in
+        lineage rows so resume only skips partitions validated with the SAME
+        suite. Function objects (Conform expr/pandas_fn) repr with memory
+        addresses — those are normalized away (their qualname survives in
+        the constraint's `name`, which is part of the structure)."""
         import hashlib
+        import re
 
-        return hashlib.sha256(repr(self).encode()).hexdigest()[:16]
+        canon = re.sub(r"0x[0-9a-f]+", "0x0", repr(self))
+        return hashlib.sha256(canon.encode()).hexdigest()[:16]

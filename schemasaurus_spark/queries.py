@@ -428,6 +428,154 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+# ------------------------------------------------- window / date / json
+
+
+def q_violation_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function coverage (SURVEY §2.4): rank constraint_ids by
+    violation count within each column (violation triage view)."""
+    from pyspark.sql.window import Window
+
+    res = validate(_t(spark, sf_dir, "documents"), documents_suite())
+    counts = (
+        res.violations()
+        .groupBy("column", "constraint_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("column").orderBy(F.desc("n"), "constraint_id")
+    return counts.withColumn("rnk", F.row_number().over(w))
+
+
+SQL_VIOLATION_RANK = f"""
+WITH v AS ({SQL_VALIDATE_DOCUMENTS}),
+c AS (SELECT "column", constraint_id, COUNT(*) AS n FROM v GROUP BY 1, 2)
+SELECT "column", constraint_id, n,
+       ROW_NUMBER() OVER (PARTITION BY "column" ORDER BY n DESC, constraint_id) AS rnk
+FROM c
+"""
+
+
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date functions + decimal-exact aggregates over the events stream."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_DAILY = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions: extract props.k, aggregate per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY 1
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schemasaurus_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"), bits=8)
+
+
+SQL_SIMHASH = r"""
+WITH w AS (SELECT doc_id,
+                  list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS ws
+           FROM documents)
+SELECT doc_id,
+  CAST((
+    (CASE WHEN 2*len(list_filter(ws, x -> (CAST(('0x' || substr(md5(x),1,15)) AS BIGINT) & 1) != 0)) > len(ws) THEN 1 ELSE 0 END) +
+    (CASE WHEN 2*len(list_filter(ws, x -> (CAST(('0x' || substr(md5(x),1,15)) AS BIGINT) & 2) != 0)) > len(ws) THEN 2 ELSE 0 END) +
+    (CASE WHEN 2*len(list_filter(ws, x -> (CAST(('0x' || substr(md5(x),1,15)) AS BIGINT) & 4) != 0)) > len(ws) THEN 4 ELSE 0 END) +
+    (CASE WHEN 2*len(list_filter(ws, x -> (CAST(('0x' || substr(md5(x),1,15)) AS BIGINT) & 8) != 0)) > len(ws) THEN 8 ELSE 0 END) +
+    (CASE WHEN 2*len(list_filter(ws, x -> (CAST(('0x' || substr(md5(x),1,15)) AS BIGINT) & 16) != 0)) > len(ws) THEN 16 ELSE 0 END) +
+    (CASE WHEN 2*len(list_filter(ws, x -> (CAST(('0x' || substr(md5(x),1,15)) AS BIGINT) & 32) != 0)) > len(ws) THEN 32 ELSE 0 END) +
+    (CASE WHEN 2*len(list_filter(ws, x -> (CAST(('0x' || substr(md5(x),1,15)) AS BIGINT) & 64) != 0)) > len(ws) THEN 64 ELSE 0 END) +
+    (CASE WHEN 2*len(list_filter(ws, x -> (CAST(('0x' || substr(md5(x),1,15)) AS BIGINT) & 128) != 0)) > len(ws) THEN 128 ELSE 0 END)
+  ) AS BIGINT) AS simhash
+FROM w
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schemasaurus_spark.operators.similarity import cosine_neardup_pairs
+
+    return cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.2)
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH b AS (SELECT vec_id AS id, embedding AS v,
+  concat(
+    CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+    CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+    CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+    CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+    CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+    CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+    CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+    CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+  FROM embeddings)
+SELECT a.id AS id_a, b.id AS id_b,
+       ROUND(
+         list_sum(list_transform(list_zip(a.v, b.v),
+                                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / ( sqrt(list_sum(list_transform(a.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(b.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         5) AS score
+FROM b a JOIN b b ON a.bucket = b.bucket AND a.id < b.id
+WHERE ROUND(
+         list_sum(list_transform(list_zip(a.v, b.v),
+                                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / ( sqrt(list_sum(list_transform(a.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(b.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         5) >= 0.2
+"""
+
+
+# ------------------------------------------- rows-only (no SQL oracle)
+
+
+def q_tdigest_ntok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (applyInPandas partial+merge) — approximate
+    by design, so no exact SQL oracle; driver records rows-only."""
+    from schemasaurus_spark.operators.sketch import tdigest_sketch
+
+    return tdigest_sketch(_t(spark, sf_dir, "documents"), "n_chars",
+                          by="lang", compression=32)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction (stub decoder) — Arrow batch
+    plumbing; rows-only check."""
+    from schemasaurus_spark.operators import multimodal as mm
+
+    media = mm.attach_fake_media(_t(spark, sf_dir, "documents"))
+    return mm.extract_features(media).select("id", "n_bytes", "sha1")
+
+
 # -------------------------------------------------------------- registry
 
 
@@ -451,6 +599,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "sign_lsh": q_sign_lsh,
     "tpch_q1": q_tpch_q1,
+    "violation_rank": q_violation_rank,
+    "events_daily": q_events_daily,
+    "events_json": q_events_json,
+    "simhash": q_simhash,
+    "embedding_neardup": q_embedding_neardup,
+    "tdigest_ntok": q_tdigest_ntok,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -473,4 +628,11 @@ ORACLES: dict[str, str] = {
     "ann_topk": SQL_ANN_TOPK,
     "sign_lsh": SQL_SIGN_LSH,
     "tpch_q1": SQL_TPCH_Q1,
+    "violation_rank": SQL_VIOLATION_RANK,
+    "events_daily": SQL_EVENTS_DAILY,
+    "events_json": SQL_EVENTS_JSON,
+    "simhash": SQL_SIMHASH,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    # tdigest_ntok / multimodal_features: approximate or binary plumbing —
+    # intentionally no SQL oracle (driver records rows-only)
 }
