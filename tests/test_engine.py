@@ -1,0 +1,90 @@
+"""Full-engine facade + salted aggregation tests."""
+
+import pyspark.sql.functions as F
+
+from schemasaurus_spark import Enum, Minimum, NotNull, Pattern, Suite
+from schemasaurus_spark import datagen
+from schemasaurus_spark.engine import AggregateChecks, run_full_validation
+from schemasaurus_spark.operators import aggregates as agg
+
+
+def _suite():
+    return Suite(
+        id_column="doc_id",
+        columns={
+            "doc_id": [NotNull(), Pattern(r"^[a-z]+-[0-9]{8}$")],
+            "n_tok": [NotNull(), Minimum(1)],
+            "source": [Enum(datagen.SOURCES)],
+        },
+    )
+
+
+def test_full_validation_combines_row_and_aggregate(spark):
+    df = datagen.gen_sequences(spark, 400, 4)
+    df = datagen.corrupt_enum(df, every=40)          # row-level enum
+    df = datagen.corrupt_ref_source(df, every=40)    # referential
+    df = datagen.corrupt_dup_docid(df, every=40)     # uniqueness
+    df = datagen.finalize(df)
+
+    res = run_full_validation(
+        df, _suite(),
+        AggregateChecks(sources_dim=datagen.sources_dim(spark)),
+    )
+    codes = {r["constraint_id"]
+             for r in res.violations().select("constraint_id").distinct().collect()}
+    assert "enum" in codes            # row-level (sp4m AND shadowlib hit enum too)
+    assert "ref.source" in codes      # aggregate referential
+    assert "unique.doc_id" in codes   # aggregate uniqueness
+    assert not res.is_valid()
+
+    verd = res.verdicts().collect()
+    pseudo = [r for r in verd if r["partition_id"] == -1]
+    assert len(pseudo) == 1 and not pseudo[0]["pass"]
+
+
+def test_full_validation_clean_passes(spark):
+    df = datagen.finalize(datagen.gen_sequences(spark, 200, 4))
+    res = run_full_validation(
+        df, _suite(), AggregateChecks(sources_dim=datagen.sources_dim(spark)))
+    assert res.is_valid()
+    assert res.violations().count() == 0
+
+
+def test_full_validation_with_drift_and_null_rate(spark):
+    clean = datagen.finalize(datagen.gen_sequences(spark, 2000, 8))
+    edges = [0.0, 8, 16, 32, 64, 128, 256, 512, 1024, 2048]
+    baseline = agg.histogram(clean, "n_tok", edges, by="source")
+    shifted = clean.withColumn(
+        "n_tok",
+        F.when(F.col("source") == "web",
+               F.least(F.col("n_tok") * 4, F.lit(2048))).otherwise(F.col("n_tok")))
+    res = run_full_validation(
+        shifted, _suite(),
+        AggregateChecks(drift_baseline=baseline, drift_edges=edges,
+                        null_rate_max={"n_tok": 0.01}))
+    codes = {r["constraint_id"] for r in res.violations().collect()}
+    assert any(c.startswith("drift.psi") for c in codes)
+    assert not any(c == "stats.null_rate" for c in codes)  # no nulls injected
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    df = datagen.finalize(datagen.gen_sequences(spark, 2000, 8))
+    salted = {r["source"]: (r["count"], r["sum_n_tok"], r["max_n_tok"])
+              for r in agg.salted_agg(
+                  df, "source",
+                  [("count",), ("sum", "n_tok"), ("max", "n_tok")]).collect()}
+    plain = {r["source"]: (r["c"], r["s"], r["m"])
+             for r in df.groupBy("source").agg(
+                 F.count(F.lit(1)).alias("c"), F.sum("n_tok").alias("s"),
+                 F.max("n_tok").alias("m")).collect()}
+    assert salted == plain
+
+
+def test_salted_agg_spreads_hot_key(spark):
+    """Phase-1 output must contain multiple salt rows for the hot key."""
+    df = datagen.finalize(datagen.gen_sequences(spark, 2000, 8))
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(16))
+    p1 = (df.withColumn("__salt", salt).groupBy("source", "__salt")
+          .agg(F.count(F.lit(1)).alias("c")))
+    web_parts = p1.where(F.col("source") == "web").count()
+    assert web_parts > 8  # hot key spread across many reducers
