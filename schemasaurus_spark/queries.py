@@ -114,7 +114,7 @@ WITH per_row AS (
        + (CASE WHEN text IS NOT NULL AND length(text) < {NCHARS_MIN} THEN 1 ELSE 0 END)
        + (CASE WHEN n_chars IS DISTINCT FROM length(text) THEN 1 ELSE 0 END) AS v
   FROM documents)
-SELECT source AS group_key, COUNT(*) AS n_rows, SUM(v) AS n_violations,
+SELECT source AS group_key, COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS n_violations,
        SUM(v) = 0 AS pass
 FROM per_row GROUP BY source
 """
@@ -134,7 +134,7 @@ def q_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_STATS_DOCUMENTS = """
 SELECT lang AS group_key, COUNT(*) AS n_rows,
-       SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        ROUND(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS null_rate,
        MIN(n_chars) AS min_val, MAX(n_chars) AS max_val
 FROM documents GROUP BY lang
@@ -489,7 +489,7 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EVENTS_JSON = """
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY 1
 """

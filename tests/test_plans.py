@@ -1,0 +1,97 @@
+"""Physical-plan regression guards — the plan *shape* is part of the
+contract at 100 TB (SURVEY.md §4): no accidental shuffles, broadcasts stay
+broadcasts, scans prune columns, codegen spans stay wide."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from schemasaurus_spark import datagen
+from schemasaurus_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_row_validation_is_single_stage_no_shuffle(spark):
+    df = datagen.finalize(datagen.gen_sequences(spark, 100, 2))
+    from schemasaurus_spark import validate
+    from bench import full_sequences_suite
+    res = validate(df, full_sequences_suite())
+    p = _plan(res.validated)
+    assert "Exchange" not in p          # narrow: zero shuffle
+    assert "BatchEvalPython" not in p   # no per-row Python
+    assert "ArrowEvalPython" not in p   # no UDF unless conform(pandas_fn)
+
+
+def test_hof_free_suite_stays_in_codegen(spark):
+    """Suites without array-lambda constraints must stay inside
+    WholeStageCodegen (higher-order functions are CodegenFallback in Spark —
+    a known engine-wide tradeoff documented in BENCH.md)."""
+    from schemasaurus_spark import validate
+    from schemasaurus_spark import dsl
+    df = datagen.finalize(datagen.gen_sequences(spark, 100, 2))
+    suite = dsl.Suite(columns={
+        "doc_id": [dsl.NotNull(), dsl.Pattern(r"^[a-z]+")],
+        "n_tok": [dsl.Minimum(1), dsl.Maximum(2048)],
+        "source": [dsl.Enum(datagen.SOURCES)],
+        "tokens": [dsl.MinItems(1), dsl.MaxItems(2048)],
+    })
+    res = validate(df, suite)
+    p = _plan(res.validated)
+    assert "WholeStageCodegen" in p or "*(1)" in p
+
+
+def test_verdicts_shuffle_is_partial_agg_only(spark):
+    df = datagen.finalize(datagen.gen_sequences(spark, 100, 2))
+    from schemasaurus_spark import validate
+    from bench import full_sequences_suite
+    res = validate(df, full_sequences_suite())
+    p = _plan(res.verdicts())
+    # partial agg before the exchange => only aggregated rows move
+    before_exchange = p.split("Exchange")[0]
+    assert "HashAggregate" in p
+    assert p.count("Exchange") == 1
+
+
+def test_referential_check_broadcasts_dimension(spark):
+    from schemasaurus_spark.operators.aggregates import referential_check
+    df = datagen.finalize(datagen.gen_sequences(spark, 100, 2))
+    v = referential_check(df, datagen.sources_dim(spark), "source")
+    p = _plan(v)
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_ann_topk_uses_take_ordered(spark):
+    df = QUERIES["ann_topk"](spark, SF)
+    p = _plan(df)
+    # global sort+limit compiles to per-partition top-k + single merge
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p.split("TakeOrderedAndProject")[0]
+
+
+def test_token_count_prunes_columns(spark):
+    df = QUERIES["token_count"](spark, SF)
+    p = _plan(df)
+    scan = p[p.index("ReadSchema"):].splitlines()[0]
+    assert "text" in scan and "doc_id" in scan
+    assert "lang" not in scan and "source" not in scan and "n_chars" not in scan
+
+
+def test_tpch_q1_partial_aggregation(spark):
+    df = QUERIES["tpch_q1"](spark, SF)
+    p = _plan(df)
+    assert p.count("HashAggregate") >= 2  # partial + final
+    assert p.count("Exchange") == 1
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.where(F.col("lang") == "en").select("doc_id")
+    p = _plan(q)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in p or \
+           "PushedFilters: [IsNotNull(lang), EqualTo(lang, en)]" in p or \
+           ("PushedFilters" in p and "EqualTo(lang" in p)
