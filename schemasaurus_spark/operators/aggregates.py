@@ -55,13 +55,16 @@ def _vio(df_cols: dict, code: str, column: str, value, arg, message: str):
 
 
 def column_stats(df: DataFrame, columns: list[str] | None = None,
-                 by: str | None = None) -> DataFrame:
+                 by: str | None = None,
+                 quantile_columns: list[str] | None = None) -> DataFrame:
     """One-pass fused per-column stats: count, nulls, null_rate, min, max,
-    approx distinct. Optional grouping key `by` (e.g. 'source').
+    approx distinct — plus p50/p95/p99 (JVM-side ``percentile_approx``
+    sketch) for ``quantile_columns``. Optional grouping key `by`.
 
     The whole stats suite is ONE job / ONE scan — see module docstring.
     """
     columns = columns or [c for c in df.columns]
+    qcols = set(quantile_columns or [])
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in columns:
         aggs += [
@@ -70,6 +73,10 @@ def column_stats(df: DataFrame, columns: list[str] | None = None,
             F.max(c).alias(f"{c}__max"),
             F.approx_count_distinct(c).alias(f"{c}__approx_distinct"),
         ]
+        if c in qcols:
+            aggs.append(
+                F.percentile_approx(c, [0.5, 0.95, 0.99], 10_000)
+                .alias(f"{c}__quantiles"))
     g = df.groupBy(F.col(by).alias("group_key")) if by else df.groupBy(F.lit("*").alias("group_key"))
     wide = g.agg(*aggs)
     # unpivot to long form (group_key, column, stat rows) for the metrics table
@@ -81,6 +88,8 @@ def column_stats(df: DataFrame, columns: list[str] | None = None,
             F.col(f"{c}__min").cast("string").alias("min"),
             F.col(f"{c}__max").cast("string").alias("max"),
             F.col(f"{c}__approx_distinct").cast("long").alias("approx_distinct"),
+            (F.col(f"{c}__quantiles").cast("array<double>") if c in qcols
+             else F.lit(None).cast("array<double>")).alias("p50_p95_p99"),
         )
         for c in columns
     ]

@@ -555,6 +555,37 @@ WHERE ROUND(
 """
 
 
+def q_normalize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalizer coverage (normalizer.js parity): stage documents as
+    all-strings (plus an undeclared column), normalize back to typed —
+    defaults, parseInt, boolean truth table, pruning in one projection."""
+    from schemasaurus_spark.normalizer import NormalizerSpec, col_spec, normalize
+
+    staged = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("n_chars").cast("string").alias("n_chars"),
+        F.when(F.col("n_chars") % 2 == 0, F.lit("on")).otherwise(F.lit("off")).alias("flag"),
+        F.when(F.col("lang") == "zh", F.lit(None)).otherwise(F.col("lang")).alias("lang"),
+        F.lit("junk").alias("undeclared"),
+    )
+    spec = NormalizerSpec([
+        col_spec("doc_id", "integer"),
+        col_spec("n_chars", "integer"),
+        col_spec("flag", "boolean"),
+        col_spec("lang", "string", default="unknown"),
+    ])
+    return normalize(staged, spec)
+
+
+SQL_NORMALIZE_ROUNDTRIP = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       n_chars % 2 = 0 AS flag,
+       CASE WHEN lang = 'zh' THEN 'unknown' ELSE lang END AS lang
+FROM documents
+"""
+
+
 # ------------------------------------------- rows-only (no SQL oracle)
 
 
@@ -604,6 +635,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_json": q_events_json,
     "simhash": q_simhash,
     "embedding_neardup": q_embedding_neardup,
+    "normalize_roundtrip": q_normalize_roundtrip,
     "tdigest_ntok": q_tdigest_ntok,
     "multimodal_features": q_multimodal_features,
 }
@@ -633,6 +665,7 @@ ORACLES: dict[str, str] = {
     "events_json": SQL_EVENTS_JSON,
     "simhash": SQL_SIMHASH,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "normalize_roundtrip": SQL_NORMALIZE_ROUNDTRIP,
     # tdigest_ntok / multimodal_features: approximate or binary plumbing —
     # intentionally no SQL oracle (driver records rows-only)
 }
