@@ -38,6 +38,8 @@ HEADLINE = [
     "validate_documents", "verdict_by_source", "stats_documents",
     "unique_user_events", "hist_nchars", "token_count", "text_quality",
     "dedup_exact", "minhash_lsh", "jaccard_pairs", "ann_topk", "tpch_q1",
+    "events_daily", "events_json", "simhash", "normalize_roundtrip",
+    "embedding_neardup", "violation_rank",
 ]
 
 
@@ -115,6 +117,8 @@ def main() -> None:
         extra_conf={"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024)},
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # session warmup so the first query doesn't absorb JVM/codegen startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -180,6 +180,13 @@ class ConstraintCompiler:
     # -- public -------------------------------------------------------------
 
     def compile(self) -> ValidationPlan:
+        if self.schema is not None:
+            available = set(self.schema.fieldNames())
+            missing = [c for c in self.suite.columns if c not in available]
+            if missing:
+                raise SuiteCompileError(
+                    f"suite references missing column(s) {missing}; "
+                    f"available: {sorted(available)}")
         fragments: list[Column] = []
         valids: list[Column] = []
         for col_name, constraints in self.suite.columns.items():

@@ -103,6 +103,21 @@ class ValidationResult:
             .agg(F.count(F.lit(1)).alias("n_violations"))
         )
 
+    def violation_examples(self, k: int = 5) -> DataFrame:
+        """Up to k example violations per (constraint_id, column) — the
+        triage view (SURVEY §2.4 window-functions row). The window runs over
+        the already-exploded violation rows (small), never the input."""
+        from pyspark.sql.window import Window
+
+        v = self.violations()
+        w = Window.partitionBy("constraint_id", "column").orderBy(
+            F.col(self.id_column))
+        return (
+            v.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .drop("rn")
+        )
+
     def valid_rows(self) -> DataFrame:
         return self.validated.where(F.size(VIOLATIONS_COL) == 0).drop(VIOLATIONS_COL)
 

@@ -1,0 +1,81 @@
+"""Property-based tests (hypothesis) — beyond the reference's test suite
+(it has none, SURVEY §5): engine invariants that must hold for arbitrary
+bounds/values."""
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from schemasaurus_spark import dsl
+from schemasaurus_spark.compiler import SuiteCompileError, compile_suite
+from schemasaurus_spark.messages import render_message
+from schemasaurus_spark.validate import validate
+
+
+@settings(max_examples=25, deadline=None)
+@given(lo=st.integers(-1000, 1000), hi=st.integers(-1000, 1000),
+       vals=st.lists(st.one_of(st.none(), st.integers(-2000, 2000)),
+                     min_size=1, max_size=8))
+def test_bounds_violations_match_python_semantics(spark, lo, hi, vals):
+    """For any Minimum/Maximum pair and any values, violations == the rows a
+    direct Python evaluation flags (nulls skip, reference optional
+    semantics)."""
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "i int, v long")
+    suite = dsl.Suite(id_column="i",
+                      columns={"v": [dsl.Minimum(lo), dsl.Maximum(hi)]})
+    got = {(r["i"], r["constraint_id"])
+           for r in validate(df, suite).violations().collect()}
+    want = set()
+    for i, v in enumerate(vals):
+        if v is None:
+            continue
+        if v < lo:
+            want.add((i, "minimum"))
+        if v > hi:
+            want.add((i, "maximum"))
+    assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(values=st.lists(st.text(alphabet="abc", min_size=0, max_size=3),
+                       min_size=1, max_size=6, unique=True),
+       probe=st.text(alphabet="abcd", min_size=0, max_size=3))
+def test_enum_matches_set_membership(spark, values, probe):
+    df = spark.createDataFrame([(probe,)], "v string")
+    suite = dsl.Suite(id_column="v", columns={"v": [dsl.Enum(values)]})
+    violated = validate(df, suite).violations().count() > 0
+    assert violated == (probe not in values)
+
+
+@settings(max_examples=20, deadline=None)
+@given(arr=st.lists(st.integers(0, 5), min_size=0, max_size=10))
+def test_unique_items_occurrence_count(spark, arr):
+    """#violations == len(arr) - len(set(arr)) — exactly one per duplicate
+    occurrence (v4validator.js:233-246 parity) for ANY array."""
+    df = spark.createDataFrame([(arr,)], "v array<int>")
+    suite = dsl.Suite(id_column="v", columns={"v": [dsl.UniqueItems()]})
+    n = validate(df, suite).violations().count()
+    assert n == len(arr) - len(set(arr))
+
+
+def test_missing_column_raises_compile_error(spark):
+    df = spark.createDataFrame([(1,)], "a int")
+    with pytest.raises(SuiteCompileError, match="missing column.*nope"):
+        validate(df, dsl.Suite(columns={"nope": [dsl.NotNull()]}))
+
+
+def test_violation_examples_capped(spark):
+    df = spark.createDataFrame([(i, -1) for i in range(20)], "i int, v int")
+    suite = dsl.Suite(id_column="i", columns={"v": [dsl.Minimum(0)]})
+    res = validate(df, suite)
+    ex = res.violation_examples(k=3)
+    assert ex.count() == 3
+
+
+@settings(max_examples=30, deadline=None)
+@given(code=st.sampled_from(["minimum", "maxLength", "enum", "pattern"]),
+       arg=st.one_of(st.integers(-5, 5), st.text(max_size=4),
+                     st.lists(st.text(max_size=2), max_size=3)))
+def test_message_rendering_never_crashes(code, arg):
+    msg = render_message(code, arg)
+    assert isinstance(msg, str) and msg
