@@ -308,7 +308,7 @@ class ConstraintCompiler:
 
         elif isinstance(c, dsl.UniqueItems):
             if _is_array(dt):
-                self._compile_unique_items(out, col_name, col, m, null_guard)
+                self._compile_unique_items(out, col_name, col, c, m, null_guard)
 
         elif isinstance(c, dsl.Items):
             if _is_array(dt):
@@ -439,7 +439,7 @@ class ConstraintCompiler:
 
     # -- arrays ---------------------------------------------------------------
 
-    def _compile_unique_items(self, out, col_name, col, m, null_guard):
+    def _compile_unique_items(self, out, col_name, col, c, m, null_guard):
         """Intra-array duplicates, one violation per duplicate *occurrence*
         carrying the duplicated value (v4validator.js:233-246). Pass test is
         O(n) (`array_distinct` size); the O(n²) occurrence extraction runs
@@ -447,12 +447,18 @@ class ConstraintCompiler:
         has_dup = F.size(col) != F.size(F.array_distinct(col))
         if null_guard:
             has_dup = col.isNotNull() & has_dup
+        msg = m or self._msg("uniqueItems")
+        if not c.extract_occurrences:
+            out.fragments.append(
+                _scalar_fragment(has_dup, "uniqueItems", col_name, col, None, msg)
+            )
+            out.valid = ~has_dup
+            return
         # element at 0-based index i is a duplicate occurrence iff it appears
         # among the first i elements
         dup_occurrences = F.filter(
             col, lambda x, i: F.exists(F.slice(col, 1, i), lambda y: y == x)
         )
-        msg = m or self._msg("uniqueItems")
         structs = F.transform(
             dup_occurrences,
             lambda x: _vio_struct("uniqueItems", col_name, x, None, msg),
@@ -482,13 +488,19 @@ class ConstraintCompiler:
                 failed_any = col.isNotNull() & F.coalesce(failed_any, F.lit(True))
             msg = sub.message or self._msg(code, arg)
             full_code = f"items.{code}"
-            offenders = F.filter(col, lambda x: ~F.coalesce(pred(x), F.lit(False)))
-            structs = F.transform(
-                offenders, lambda x: _vio_struct(full_code, col_name, x, arg, msg)
-            )
-            out.fragments.append(
-                F.when(failed_any, structs).otherwise(_empty_violations())
-            )
+            if c.extract_offenders:
+                offenders = F.filter(col, lambda x: ~F.coalesce(pred(x), F.lit(False)))
+                structs = F.transform(
+                    offenders, lambda x: _vio_struct(full_code, col_name, x, arg, msg)
+                )
+                out.fragments.append(
+                    F.when(failed_any, structs).otherwise(_empty_violations())
+                )
+            else:
+                # codegen-friendly: one violation per array, value = array
+                out.fragments.append(
+                    _scalar_fragment(failed_any, full_code, col_name, col, arg, msg)
+                )
             ok = ~failed_any
             out.valid = ok if out.valid is None else out.valid & ok
 

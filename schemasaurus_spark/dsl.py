@@ -199,7 +199,14 @@ class MaxItems(Constraint):
 class UniqueItems(Constraint):
     """Intra-array duplicate check — v4validator.js:233-246. The cross-row
     generalization (doc_id uniqueness) is an aggregate check
-    (operators/aggregates.py), per SURVEY.md §2.5."""
+    (operators/aggregates.py), per SURVEY.md §2.5.
+
+    ``extract_occurrences=False`` reports one violation per ARRAY instead of
+    one per duplicate occurrence: loses per-occurrence parity but keeps the
+    whole projection inside WholeStageCodegen (higher-order-function lambdas
+    are CodegenFallback — see BENCH.md)."""
+
+    extract_occurrences: bool = True
 
     @property
     def code(self) -> str:
@@ -209,10 +216,16 @@ class UniqueItems(Constraint):
 @dataclass(frozen=True)
 class Items(Constraint):
     """``items: {schema}`` element constraints — processor.js:31-47. Element
-    checks compile to ``F.forall`` (pass test) / ``F.filter`` (offender
-    extraction); codes are ``items.<subcode>``."""
+    checks compile to specialized pass tests (array_min/array_max for range,
+    ``F.forall`` otherwise); codes are ``items.<subcode>``.
+
+    ``extract_offenders=False`` emits one violation per ARRAY (value = the
+    array) instead of one per offending element — the codegen-friendly mode
+    (no lambda expressions in the plan); default keeps exact per-element
+    reference parity."""
 
     constraints: Sequence[Constraint] = ()
+    extract_offenders: bool = True
 
     @property
     def code(self) -> str:

@@ -87,3 +87,19 @@ def test_undeclared_columns_reported(spark):
     assert res.undeclared_columns() == ["rogue"]
     rows = res.violations().where("constraint_id = 'additionalProperties'").collect()
     assert len(rows) == 1 and rows[0]["column"] == "rogue"
+
+
+def test_items_no_extraction_mode_is_codegen(spark):
+    """extract_offenders=False: one violation per array, plan stays in
+    WholeStageCodegen (no lambda expressions)."""
+    df = spark.createDataFrame([([1, -2, -3],), ([1, 2],)], "v array<int>")
+    suite = dsl.Suite(id_column="v", columns={"v": [
+        dsl.Items([dsl.Minimum(0)], extract_offenders=False),
+        dsl.UniqueItems(extract_occurrences=False),
+    ]})
+    res = validate(df, suite)
+    rows = res.violations().collect()
+    assert len(rows) == 1 and rows[0]["constraint_id"] == "items.minimum"
+    assert rows[0]["value"] == "[1, -2, -3]"
+    p = res.validated._jdf.queryExecution().executedPlan().toString()
+    assert "WholeStageCodegen" in p or "*(1)" in p

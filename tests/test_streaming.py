@@ -73,3 +73,33 @@ def test_windowed_verdicts_with_watermark(spark):
         assert row["source"] == "web"
     finally:
         q.stop()
+
+
+def test_stateful_cross_batch_duplicate_detection(spark):
+    """applyInPandasWithState: duplicates spanning micro-batches are caught
+    (state = per-key occurrence count)."""
+    from schemasaurus_spark.streaming.stateful import stream_duplicate_keys
+
+    rate = spark.readStream.format("rate").option("rowsPerSecond", 100).load()
+    # key space of 25 → every key repeats across batches
+    keyed = rate.select(
+        F.concat(F.lit("doc-"), F.pmod("value", F.lit(25)).cast("string")
+                 ).alias("doc_id"))
+    dup = stream_duplicate_keys(keyed, "doc_id")
+    q = (dup.writeStream.format("memory").queryName("dups_t")
+         .outputMode("append").start())
+    try:
+        ok = _run_until(
+            q, lambda: spark.sql("select count(*) c from dups_t").first()["c"] >= 10)
+        assert ok, "no duplicate occurrences detected"
+        row = spark.sql(
+            "select key, max(occurrence) m, count(*) c from dups_t "
+            "group by key order by m desc limit 1").first()
+        assert row["m"] >= 2            # occurrences counted across batches
+        # occurrences for one key are dense 2..m (no gaps/dupes in state)
+        occs = [r["occurrence"] for r in spark.sql(
+            f"select occurrence from dups_t where key = '{row['key']}' "
+            "order by occurrence").collect()]
+        assert occs == list(range(2, row["m"] + 1))
+    finally:
+        q.stop()
