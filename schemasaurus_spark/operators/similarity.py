@@ -70,6 +70,78 @@ def sign_lsh_buckets(df: DataFrame, dims: list[int] | None = None,
     )
 
 
+def ivf_train_centroids(df: DataFrame, n_centroids: int = 16,
+                        n_iters: int = 8, sample_rows: int = 10_000,
+                        vec_col: str = "embedding", seed: int = 42):
+    """Train an IVF coarse quantizer: seeded Lloyd's k-means over a bounded
+    driver-side sample (≤ sample_rows vectors — sketch-sized, never
+    data-sized). Returns a numpy array (n_centroids, dim). At 100 TB the
+    sample is still 10k rows; training cost is O(sample), constant."""
+    import numpy as np
+
+    sample = df.select(vec_col).limit(sample_rows).collect()
+    x = np.asarray([list(r[vec_col]) for r in sample], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(n_iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cents)):
+            pts = x[assign == c]
+            if len(pts):
+                cents[c] = pts.mean(0)
+    return cents
+
+
+def ivf_assign(df: DataFrame, centroids, vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """Assign each vector to its nearest centroid — vectorized Arrow kernel
+    (numpy matmul per batch), centroids broadcast via closure capture."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    def kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].map(np.asarray).values).astype(np.float64)
+            d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            yield pd.DataFrame({"id": pdf[id_col], "cluster": d.argmin(1)})
+
+    return df.select(id_col, vec_col).mapInPandas(kernel, "id long, cluster int")
+
+
+def ann_ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                 n_probe: int = 4, centroids=None,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 round_to: int = 5) -> DataFrame:
+    """IVF search: probe only the n_probe clusters nearest the query —
+    the scan shrinks to n_probe/n_centroids of the table (the scale path);
+    exact cosine re-ranks within the probed subset."""
+    import numpy as np
+
+    if centroids is None:
+        centroids = ivf_train_centroids(df, vec_col=vec_col)
+    cents = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    probe = np.argsort(((cents - q) ** 2).sum(1))[:n_probe].tolist()
+
+    assigned = ivf_assign(df, cents, vec_col, id_col)
+    candidates = (
+        df.join(assigned.where(F.col("cluster").isin(probe)),
+                df[id_col] == assigned["id"])
+        .select(df[id_col], df[vec_col])
+    )
+    qlit = F.lit([float(v) for v in query_vec]).cast("array<double>")
+    score = F.round(cosine(F.col(vec_col), qlit), round_to)
+    return (
+        candidates.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
                          dims: list[int] | None = None,
                          vec_col: str = "embedding", id_col: str = "vec_id",

@@ -586,6 +586,17 @@ FROM documents
 """
 
 
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path (coarse quantizer + probe subset) — approximate,
+    rows-only check."""
+    from schemasaurus_spark.operators.similarity import ann_ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return ann_ivf_topk(emb, qvec, k=10, n_probe=8)
+
+
 # ------------------------------------------- rows-only (no SQL oracle)
 
 
@@ -636,6 +647,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "embedding_neardup": q_embedding_neardup,
     "normalize_roundtrip": q_normalize_roundtrip,
+    "ann_ivf": q_ann_ivf,
     "tdigest_ntok": q_tdigest_ntok,
     "multimodal_features": q_multimodal_features,
 }
