@@ -213,15 +213,13 @@ class ConstraintCompiler:
 
     def _compile_column(self, col_name: str, constraints: list[dsl.Constraint]) -> CompiledColumn:
         col = F.col(col_name)
-        not_null_required = any(isinstance(c, dsl.NotNull) for c in constraints)
         cc = CompiledColumn(col_name)
         valids: list[Column] = []
         for c in constraints:
+            # null short-circuit parity (ctx.stop(), v4validator.js:80):
+            # every non-required check null-skips via its guard, so a null
+            # value surfaces only `required`
             one = self._compile_one(col_name, col, c, null_guard=True)
-            # Null short-circuit: if NotNull is in the suite and the value is
-            # null, only the `required` violation may surface
-            # (ctx.stop() parity, v4validator.js:80). Non-required checks are
-            # already null-skipping via their guards.
             cc.fragments.extend(one.fragments)
             if one.valid is not None:
                 valids.append(one.valid)
@@ -511,7 +509,7 @@ class ConstraintCompiler:
         specs[i]; extras beyond len(specs) each emit `additionalItems` when
         additional=False — one violation per extra element, value = element."""
         for i, spec in enumerate(c.specs):
-            elem = F.element_at(col, i + 1)  # null if shorter — guards skip
+            elem = F.get(col, i)  # 0-based, null-safe (ANSI element_at throws)
             for sub in spec:
                 pred, code, arg = self._element_predicate(sub)
                 failed = F.size(col) > i
@@ -598,9 +596,11 @@ class ConstraintCompiler:
             pred = udf(col, *extra)
         code = c.code
         failed = ~F.coalesce(pred, F.lit(False))
-        if null_guard and c.expr is None:
-            # keep UDF semantics: reference custom fns see the raw value
-            pass
+        if null_guard:
+            # column-level conform skips absent (null) values like every
+            # other non-required check; row-level conform (null_guard=False)
+            # sees raw values — the reference's custom fns decide themselves
+            failed = col.isNotNull() & failed
         msg = m or (self._msg("custom") if code == "custom" else
                     render_message(code, self._msg("custom"), overrides=self.suite.messages))
         out.fragments.append(

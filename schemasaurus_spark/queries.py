@@ -555,6 +555,56 @@ WHERE ROUND(
 """
 
 
+def q_rollup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets coverage (SURVEY §2.4): ROLLUP(lang, source) doc counts
+    with subtotals — used for multi-granularity verdict dashboards."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.rollup("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(F.col("n_chars").cast("decimal(18,2)")).cast("decimal(38,2)").alias("sum_chars"))
+    )
+
+
+SQL_ROLLUP_DOCS = """
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_chars
+FROM documents GROUP BY ROLLUP (lang, source)
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via window lag + cumulative gap counting (30-minute
+    inactivity boundary) — per user session counts."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.unix_timestamp(F.col("ts"))  # TIMESTAMP_NTZ: no direct long cast in ANSI
+    gap = ep - F.lag(ep).over(w)
+    flagged = ev.select(
+        "user_id",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_session"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_SESSIONIZE_EVENTS = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
 def q_normalize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalizer coverage (normalizer.js parity): stage documents as
     all-strings (plus an undeclared column), normalize back to typed —
@@ -647,6 +697,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "embedding_neardup": q_embedding_neardup,
     "normalize_roundtrip": q_normalize_roundtrip,
+    "rollup_docs": q_rollup_docs,
+    "sessionize_events": q_sessionize_events,
     "ann_ivf": q_ann_ivf,
     "tdigest_ntok": q_tdigest_ntok,
     "multimodal_features": q_multimodal_features,
@@ -678,6 +730,8 @@ ORACLES: dict[str, str] = {
     "simhash": SQL_SIMHASH,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "normalize_roundtrip": SQL_NORMALIZE_ROUNDTRIP,
+    "rollup_docs": SQL_ROLLUP_DOCS,
+    "sessionize_events": SQL_SESSIONIZE_EVENTS,
     # tdigest_ntok / multimodal_features: approximate or binary plumbing —
     # intentionally no SQL oracle (driver records rows-only)
 }

@@ -103,3 +103,23 @@ def test_items_no_extraction_mode_is_codegen(spark):
     assert rows[0]["value"] == "[1, -2, -3]"
     p = res.validated._jdf.queryExecution().executedPlan().toString()
     assert "WholeStageCodegen" in p or "*(1)" in p
+
+
+def test_tuple_items_array_shorter_than_specs(spark):
+    """Array shorter than the spec list: missing positions silently skip
+    (schema-only semantics, processor.js:43-47) without ANSI index errors."""
+    df = spark.createDataFrame([([5],)], "v array<int>")
+    suite = dsl.Suite(id_column="v", columns={"v": [
+        dsl.TupleItems([[dsl.Maximum(3)], [dsl.Minimum(0)], [dsl.Minimum(0)]])]})
+    rows = validate(df, suite).violations().collect()
+    assert [(r["constraint_id"], r["value"]) for r in rows] == [("items.0.maximum", "5")]
+
+
+def test_column_conform_skips_null(spark):
+    """Column-level conform must skip absent (null) values like other
+    non-required checks."""
+    df = spark.createDataFrame([(None,), (3,)], "v int")
+    suite = dsl.Suite(id_column="v", columns={"v": [
+        dsl.Conform(name="even", expr=lambda c: c % 2 == 0)]})
+    rows = validate(df, suite).violations().collect()
+    assert len(rows) == 1 and rows[0]["value"] == "3"
