@@ -145,12 +145,35 @@ _NUMERIC = (
 
 
 def _dtype(schema: Optional[T.StructType], col: str):
+    """Resolve a (possibly dotted) column path through nested StructTypes —
+    the engine's analog of the reference's nested-object descent
+    (``src/int/processor.js:66-88``); the dotted path plays the role of the
+    error ``path`` chain."""
     if schema is None:
         return None
-    try:
-        return schema[col.split(".")[0]].dataType
-    except KeyError:
-        return None
+    dt: object = schema
+    for part in col.split("."):
+        if not isinstance(dt, T.StructType):
+            return None
+        try:
+            dt = dt[part].dataType
+        except (KeyError, ValueError):
+            return None
+    return dt
+
+
+def _has_path(schema: Optional[T.StructType], col: str) -> bool:
+    if schema is None:
+        return True
+    dt: object = schema
+    for part in col.split("."):
+        if not isinstance(dt, T.StructType):
+            return False
+        try:
+            dt = dt[part].dataType
+        except (KeyError, ValueError):
+            return False
+    return True
 
 
 def _is_string(dt) -> bool:
@@ -181,12 +204,12 @@ class ConstraintCompiler:
 
     def compile(self) -> ValidationPlan:
         if self.schema is not None:
-            available = set(self.schema.fieldNames())
-            missing = [c for c in self.suite.columns if c not in available]
+            missing = [c for c in self.suite.columns
+                       if not _has_path(self.schema, c)]
             if missing:
                 raise SuiteCompileError(
                     f"suite references missing column(s) {missing}; "
-                    f"available: {sorted(available)}")
+                    f"available: {sorted(self.schema.fieldNames())}")
         fragments: list[Column] = []
         valids: list[Column] = []
         for col_name, constraints in self.suite.columns.items():
@@ -206,7 +229,7 @@ class ConstraintCompiler:
     # -- internals ----------------------------------------------------------
 
     def _has(self, col_name: str) -> bool:
-        return self.schema is None or col_name in self.schema.fieldNames()
+        return _has_path(self.schema, col_name)
 
     def _msg(self, code: str, arg=None) -> str:
         return render_message(code, arg, overrides=self.suite.messages)

@@ -164,3 +164,17 @@ def test_dependency_property_form(spark):
     rows = validate(df, suite).violations().collect()
     got = {(r["a"], r["constraint_id"]) for r in rows}
     assert got == {("x", "dependency"), ("x", "required")}
+
+
+def test_conform_cross_column_extra_cols(spark):
+    """ctx.parent analog (README.md:205-208): a conform check reading
+    sibling columns via extra_cols."""
+    df = spark.createDataFrame([(10, 5), (3, 5)], "a int, b int")
+    suite = dsl.Suite(
+        id_column="a",
+        columns={"a": [dsl.Conform(
+            name="gte_b", expr=lambda a, b: a >= b, extra_cols=["b"])]},
+    )
+    rows = validate(df, suite).violations().collect()
+    assert len(rows) == 1 and rows[0]["a"] == 3
+    assert rows[0]["constraint_id"] == "custom.gte_b"

@@ -123,3 +123,27 @@ def test_column_conform_skips_null(spark):
         dsl.Conform(name="even", expr=lambda c: c % 2 == 0)]})
     rows = validate(df, suite).violations().collect()
     assert len(rows) == 1 and rows[0]["value"] == "3"
+
+
+def test_nested_struct_field_constraints(spark):
+    """Nested-object descent parity (processor.js:66-88): dotted paths in
+    the suite reach struct fields; violation `column` carries the path —
+    the analog of the reference error path chain."""
+    df = spark.createDataFrame(
+        [(1, {"width": 640, "codec": "h264"}),
+         (2, {"width": -5, "codec": "weird"})],
+        "id long, media struct<width:int, codec:string>")
+    suite = dsl.Suite(id_column="id", columns={
+        "media.width": [dsl.Minimum(0)],
+        "media.codec": [dsl.Enum(["h264", "vp9"])],
+    })
+    rows = validate(df, suite).violations().orderBy("pos").collect()
+    got = {(r["id"], r["constraint_id"], r["column"]) for r in rows}
+    assert got == {(2, "minimum", "media.width"), (2, "enum", "media.codec")}
+
+
+def test_nested_missing_path_raises(spark):
+    from schemasaurus_spark.compiler import SuiteCompileError
+    df = spark.createDataFrame([(1, {"w": 1})], "id long, m struct<w:int>")
+    with pytest.raises(SuiteCompileError, match="m.nope"):
+        validate(df, dsl.Suite(columns={"m.nope": [dsl.NotNull()]}))
