@@ -281,6 +281,36 @@ def histogram(df: DataFrame, column: str, edges: list[float],
     )
 
 
+def array_histogram(df: DataFrame, array_col: str, edges: list[float],
+                    by: str | None = None) -> DataFrame:
+    """Fixed-edge histogram over the ELEMENTS of an array column (the
+    token-id histogram of the north star) WITHOUT exploding: each row
+    contributes per-bucket partial counts via `size(filter(...))`, and a
+    single agg sums them — so a 10^12-row table never shuffles 10^14
+    elements, only (groups × buckets) partial sums."""
+    n = len(edges) - 1
+    col = F.col(array_col)
+
+    def bucket_count(lo, hi, last):
+        upper = (lambda x: x <= hi) if last else (lambda x: x < hi)
+        return F.size(F.filter(col, lambda x: (x >= lo) & upper(x)))
+
+    aggs = [
+        F.sum(bucket_count(edges[i], edges[i + 1], i == n - 1)).alias(f"b{i}")
+        for i in range(n)
+    ]
+    keys = [F.col(by).alias("group_key")] if by else [F.lit("*").alias("group_key")]
+    wide = df.where(col.isNotNull()).groupBy(*keys).agg(*aggs)
+    structs = [
+        F.struct(F.lit(i).alias("bucket"),
+                 F.col(f"b{i}").cast("long").alias("count"))
+        for i in range(n)
+    ]
+    return wide.select(
+        "group_key", F.explode(F.array(*structs)).alias("s")
+    ).select("group_key", "s.bucket", "s.count")
+
+
 def _counts_to_probs(counts: dict[int, int], n_buckets: int, eps: float = 1e-6):
     total = sum(counts.values()) or 1
     # include under/overflow buckets -1 and n
@@ -328,12 +358,16 @@ def drift_check(
     by: str | None = None,
     psi_threshold: float = 0.2,
     ks_threshold: float = 0.15,
+    is_array: bool = False,
 ) -> list[DriftResult]:
     """PSI + KS of `column`'s distribution vs a checkpointed baseline
-    histogram (same fixed edges). Row data never leaves the cluster — only
-    bucket counts (≤ groups × buckets rows) are collected for the math."""
+    histogram (same fixed edges). `is_array=True` switches to the
+    element-level histogram (token-id drift). Row data never leaves the
+    cluster — only bucket counts (≤ groups × buckets rows) are collected
+    for the math."""
     n = len(edges) - 1
-    cur = histogram(df, column, edges, by=by).collect()
+    hist_fn = array_histogram if is_array else histogram
+    cur = hist_fn(df, column, edges, by=by).collect()
     base = baseline_hist.collect()
 
     def to_map(rows):

@@ -106,3 +106,45 @@ def test_sketch_merge_is_associative_enough(spark):
     union = a.unionByName(b)
     exact = union.selectExpr("percentile(n_tok, 0.5) as m").first()["m"]
     assert abs(q - exact) <= max(8.0, 0.2 * exact)
+
+
+def test_token_id_histogram_no_explode(spark):
+    """Element-level histogram matches the explode-based reference
+    computation without shuffling elements."""
+    df = datagen.finalize(datagen.gen_sequences(spark, 500, 4))
+    edges = [0.0, 10000.0, 20000.0, 30000.0, 40000.0, 50257.0]
+    got = {(r["group_key"], r["bucket"]): r["count"]
+           for r in agg.array_histogram(df, "tokens", edges, by="source").collect()}
+    ref = (df.select("source", F.explode("tokens").alias("t"))
+             .groupBy("source",
+                      F.floor(F.col("t") / 10000).cast("int").alias("b"))
+             .count().collect())
+    want = {}
+    for r in ref:
+        b = min(r["b"], 4)  # last bucket closed at 50257
+        want[(r["source"], b)] = want.get((r["source"], b), 0) + r["count"]
+    assert got == want
+    # plan: tokens are never exploded pre-aggregation (the only Generate is
+    # the 5-row post-agg unpivot, printed ABOVE the Aggregate node)
+    plan = agg.array_histogram(df, "tokens", edges, by="source") \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "explode(tokens" not in plan
+    assert plan.index("Generate") < plan.index("Aggregate")
+
+
+def test_token_id_drift(spark):
+    """North-star token-id drift: shifting the token distribution in one
+    source trips drift.psi on the array histogram."""
+    clean = datagen.finalize(datagen.gen_sequences(spark, 1000, 4))
+    edges = [0.0, 10000.0, 20000.0, 30000.0, 40000.0, 50257.0]
+    base = agg.array_histogram(clean, "tokens", edges, by="source")
+    skewed = clean.withColumn(
+        "tokens",
+        F.when(F.col("source") == "web",
+               F.transform("tokens", lambda t: F.pmod(t, F.lit(9000)).cast("int")))
+        .otherwise(F.col("tokens")))
+    res = agg.drift_check(skewed, base, "tokens", edges, by="source",
+                          is_array=True)
+    by_key = {r.group_key: r for r in res}
+    assert not by_key["web"].passed
+    assert by_key["books"].passed
