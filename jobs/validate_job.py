@@ -48,6 +48,10 @@ def main() -> int:
     ap.add_argument("--state", required=True, help="checkpoint state dir")
     ap.add_argument("--snapshot", default=None)
     ap.add_argument("--suite", default="sequences_full", choices=sorted(SUITES))
+    ap.add_argument("--incremental", action="store_true",
+                    help="validate every snapshot not yet covered by "
+                         "lineage (delta files only, carried-forward "
+                         "lineage for unchanged files)")
     args = ap.parse_args()
 
     # On a cluster, spark-submit provides the session; get_spark only fills
@@ -59,7 +63,19 @@ def main() -> int:
     spark = get_spark("validate_job")
     store = SnapshotStore(args.table)
     cp = ValidationCheckpoint(args.state)
-    run = cp.run(spark, store, SUITES[args.suite](), args.snapshot)
+    suite = SUITES[args.suite]()
+    if args.incremental:
+        from schemasaurus_spark.streaming.incremental import (
+            IncrementalState, validate_new_snapshots)
+
+        runs = validate_new_snapshots(spark, store, suite, cp,
+                                      IncrementalState())
+        if not runs:
+            print(json.dumps({"snapshots_validated": 0, "pass": True}))
+            return 0
+        run = runs[-1]
+    else:
+        run = cp.run(spark, store, suite, args.snapshot)
     print(json.dumps({
         "snapshot_id": run.snapshot_id,
         "suite_hash": run.suite_hash,

@@ -32,25 +32,36 @@ from schemasaurus_spark.dsl import (
     MinItems,
     MinLength,
     Minimum,
+    Items,
+    KeyPattern,
+    MaxProperties,
+    MinProperties,
     MultipleOf,
     Not,
     NotNull,
     OneOf,
     Pattern,
     Suite,
+    TupleItems,
     TypeIs,
     UniqueItems,
+    register_constraint,
 )
 from schemasaurus_spark.compiler import compile_suite, ValidationPlan
 from schemasaurus_spark.validate import validate, ValidationResult
+from schemasaurus_spark.engine import AggregateChecks, run_full_validation
+from schemasaurus_spark.normalizer import NormalizerSpec, col_spec, normalize
 
 __all__ = [
     "AllOf", "AnyOf", "Conform", "Dependency", "Enum",
     "ExclusiveMaximum", "ExclusiveMinimum", "Format", "MaxItems",
     "MaxLength", "Maximum", "MinItems", "MinLength", "Minimum",
+    "Items", "KeyPattern", "MaxProperties", "MinProperties",
     "MultipleOf", "Not", "NotNull", "OneOf", "Pattern", "Suite",
-    "TypeIs", "UniqueItems",
+    "TupleItems", "TypeIs", "UniqueItems", "register_constraint",
     "compile_suite", "ValidationPlan", "validate", "ValidationResult",
+    "AggregateChecks", "run_full_validation",
+    "NormalizerSpec", "col_spec", "normalize",
 ]
 
 __version__ = "0.1.0"
