@@ -1,0 +1,142 @@
+"""Suite walker + derived tools — the analog of ``newIterator``.
+
+The reference's third entry point (``src/iterator.js:14``) lets users build
+new tools from the same schema walk (its README dedicates half its length to
+a form generator built this way, ``README.md:314-646``). The engine analog:
+:func:`walk_suite` performs the same deterministic traversal over a
+:class:`~schemasaurus_spark.dsl.Suite` firing visitor callbacks
+(``column_start`` / ``constraint`` / ``column_end`` — the ``:start``/plain/
+``:end`` selector modifiers, ``src/int/matchers.js:3-63``), and two example
+tools are built on it:
+
+* :func:`suite_to_markdown` — human-readable constraint documentation
+  (the "form generator" of a data platform);
+* :func:`suite_to_ddl` — a ``CREATE TABLE`` skeleton with constraints as
+  ``CHECK``-style comments for catalogs that support them.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from schemasaurus_spark import dsl
+from schemasaurus_spark.messages import render_message
+
+
+class SuiteVisitor:
+    """Subclass and override — the analog of a selector class
+    (``README.md:399-412``)."""
+
+    def begin(self, suite: dsl.Suite) -> None: ...
+
+    def column_start(self, name: str) -> None: ...
+
+    def constraint(self, column: str, c: dsl.Constraint) -> None: ...
+
+    def column_end(self, name: str) -> None: ...
+
+    def row_constraint(self, label: str, c: dsl.Constraint) -> None: ...
+
+    def end(self, suite: dsl.Suite): ...
+
+
+def walk_suite(suite: dsl.Suite, visitor: SuiteVisitor):
+    """Deterministic traversal in declaration order (the reference's
+    traversal-order guarantee, ``compiler.js:156-173``)."""
+    visitor.begin(suite)
+    for name, constraints in suite.columns.items():
+        visitor.column_start(name)
+        for c in constraints:
+            visitor.constraint(name, c)
+        visitor.column_end(name)
+    for label, c in suite.row:
+        visitor.row_constraint(label, c)
+    return visitor.end(suite)
+
+
+def _describe(c: dsl.Constraint) -> str:
+    """One-line human description via the message catalog."""
+    arg = None
+    for attr in ("value", "values", "regex", "name", "on"):
+        if hasattr(c, attr):
+            arg = getattr(c, attr)
+            break
+    try:
+        return render_message(c.code, arg)
+    except Exception:
+        return c.code
+
+
+class _MarkdownVisitor(SuiteVisitor):
+    def begin(self, suite):
+        self.lines = [f"# Constraint suite `{suite.name}`",
+                      f"Id column: `{suite.id_column}` · fingerprint "
+                      f"`{suite.fingerprint()}`", ""]
+
+    def column_start(self, name):
+        self.lines.append(f"## `{name}`")
+
+    def constraint(self, column, c):
+        self.lines.append(f"- **{c.code}** — {_describe(c)}")
+
+    def column_end(self, name):
+        self.lines.append("")
+
+    def row_constraint(self, label, c):
+        self.lines.append(f"- cross-field on `{label}`: **{c.code}** — {_describe(c)}")
+
+    def end(self, suite):
+        return "\n".join(self.lines).rstrip() + "\n"
+
+
+def suite_to_markdown(suite: dsl.Suite) -> str:
+    return walk_suite(suite, _MarkdownVisitor())
+
+
+_DDL_TYPES = {
+    "doc_id": "STRING", "tokens": "ARRAY<INT>", "n_tok": "INT",
+    "source": "STRING",
+}
+
+
+class _DdlVisitor(SuiteVisitor):
+    def __init__(self, table: str, types: Optional[dict] = None):
+        self.table = table
+        self.types = {**_DDL_TYPES, **(types or {})}
+
+    def begin(self, suite):
+        self.cols: list[str] = []
+        self.comments: list[str] = []
+
+    def column_start(self, name):
+        self._not_null = False
+        self._checks: list[str] = []
+
+    def constraint(self, column, c):
+        if isinstance(c, dsl.NotNull):
+            self._not_null = True
+        else:
+            self._checks.append(f"{c.code}: {_describe(c)}")
+        self._col = column
+
+    def column_end(self, name):
+        t = self.types.get(name, "STRING")
+        nn = " NOT NULL" if self._not_null else ""
+        comment = "; ".join(self._checks)
+        c = f"  {name} {t}{nn}"
+        if comment:
+            c += f" COMMENT '{comment}'"
+        self.cols.append(c)
+
+    def row_constraint(self, label, c):
+        self.comments.append(f"-- cross-field [{label}] {c.code}: {_describe(c)}")
+
+    def end(self, suite):
+        body = ",\n".join(self.cols)
+        tail = ("\n" + "\n".join(self.comments)) if self.comments else ""
+        return f"CREATE TABLE {self.table} (\n{body}\n) USING iceberg;{tail}\n"
+
+
+def suite_to_ddl(suite: dsl.Suite, table: str = "sequences",
+                 types: Optional[dict] = None) -> str:
+    return walk_suite(suite, _DdlVisitor(table, types))
