@@ -39,7 +39,8 @@ HEADLINE = [
     "unique_user_events", "hist_nchars", "token_count", "text_quality",
     "dedup_exact", "minhash_lsh", "jaccard_pairs", "ann_topk", "tpch_q1",
     "events_daily", "events_json", "simhash", "normalize_roundtrip",
-    "embedding_neardup", "violation_rank",
+    "embedding_neardup", "violation_rank", "winnow_fingerprints",
+    "rollup_docs", "sessionize_events",
 ]
 
 

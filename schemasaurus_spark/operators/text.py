@@ -81,6 +81,58 @@ def lang_id(df: DataFrame, text_col: str = "text",
     )
 
 
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 8,
+                        w: int = 4) -> DataFrame:
+    """Rolling-hash document fingerprints (winnowing): hash every character
+    k-gram, slide a window of w hashes, keep each window's minimum, dedupe.
+    The fingerprint set is robust to local edits — the standard
+    plagiarism/near-dup signature (cf. MOSS). All array expressions: one
+    narrow projection, portable md5 hashing (DuckDB-reproducible).
+
+    Returns (id, n_fps, fp_min, fp_max) — summary columns chosen to be
+    exactly SQL-comparable; the full set is an intermediate array."""
+    if w != 4:
+        raise ValueError("winnow_fingerprints currently implements w=4")
+    t = F.col(text_col)
+    n_grams = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    # Two performance rules shape this implementation:
+    # 1. sliding-window min via zip_with DOUBLING — a per-window
+    #    `array_min(slice(hs, j, w))` lambda would re-evaluate the hash
+    #    array per window (lambda args are not memoized): quadratic/doc.
+    #    m1[j] = min(h[j], h[j+1]); m2[j] = min(m1[j], m1[j+2]) = window min.
+    # 2. STAGED projections — each intermediate array lands as a column, so
+    #    downstream references read an attribute instead of re-inlining the
+    #    producing expression (CollapseProject keeps the stages because
+    #    lambda expressions are not "cheap"). Measured 6x vs single-select.
+    staged = (
+        df.select(
+            F.col(id_col),
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.substring(F.md5(F.substring(t, i, k)), 1, 8),
+            ).alias("__hs"),
+        )
+        .select(id_col, "__hs",
+                F.zip_with("__hs", F.slice("__hs", 2, F.size("__hs")),
+                           lambda a, b: F.least(a, b)).alias("__m1"))
+        .select(id_col, "__hs",
+                F.zip_with("__m1", F.slice("__m1", 3, F.size("__m1")),
+                           lambda a, b: F.least(a, b)).alias("__m2"))
+        .select(id_col,
+                F.array_distinct(
+                    F.slice("__m2", 1,
+                            F.greatest(F.size("__hs") - (w - 1), F.lit(1)))
+                ).alias("__fps"))
+    )
+    return staged.select(
+        F.col(id_col),
+        F.size("__fps").alias("n_fps"),
+        F.array_min("__fps").alias("fp_min"),
+        F.array_max("__fps").alias("fp_max"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Normalization fingerprint: md5 of lowercase alphanumerics — the

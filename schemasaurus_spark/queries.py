@@ -555,6 +555,29 @@ WHERE ROUND(
 """
 
 
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+SQL_WINNOW_FINGERPRINTS = r"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, GREATEST(length(text) - 7, 1)),
+                        i -> substr(md5(substr(text, i, 8)), 1, 8)) AS hs
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(generate_series(1, GREATEST(len(hs) - 3, 1)),
+                          j -> list_min(hs[j:j+3]))) AS fps
+  FROM g)
+SELECT doc_id, len(fps) AS n_fps, list_min(fps) AS fp_min,
+       list_max(fps) AS fp_max
+FROM m
+"""
+
+
 def q_rollup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets coverage (SURVEY §2.4): ROLLUP(lang, source) doc counts
     with subtotals — used for multi-granularity verdict dashboards."""
@@ -684,6 +707,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "dedup_exact": q_dedup_exact,
     "dedup_prefix_buckets": q_dedup_prefix_buckets,
     "minhash_lsh": q_minhash_lsh,
@@ -717,6 +741,7 @@ ORACLES: dict[str, str] = {
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
+    "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_prefix_buckets": SQL_DEDUP_PREFIX_BUCKETS,
     "minhash_lsh": SQL_MINHASH_LSH,
