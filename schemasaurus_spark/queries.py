@@ -578,6 +578,69 @@ FROM m
 """
 
 
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift PSI, fully in DataFrame ops: each lang's n_chars
+    histogram vs the 'en' baseline over HIST_EDGES; eps-smoothed
+    proportions, PSI = sum((q-p)*ln(q/p)) rounded to 4 dp (bucket math is
+    exact ints; only the final ln/sum touches floats)."""
+    h = agg.histogram(_t(spark, sf_dir, "documents"), "n_chars",
+                      HIST_EDGES, by="lang")
+    totals = h.groupBy("group_key").agg(F.sum("count").alias("tot"))
+    probs = (
+        h.join(totals, "group_key")
+        .select("group_key", "bucket",
+                (F.col("count") / F.col("tot")).alias("p"))
+    )
+    base = probs.where(F.col("group_key") == "en").select(
+        F.col("bucket"), F.col("p").alias("p_base"))
+    eps = 1e-6
+    joined = (
+        probs.join(base, "bucket", "outer")
+        .where(F.col("group_key").isNotNull())
+        .select(
+            "group_key",
+            F.coalesce("p", F.lit(0.0)).alias("q"),
+            F.coalesce("p_base", F.lit(0.0)).alias("p0"),
+        )
+        .select(
+            "group_key",
+            F.greatest(F.col("q"), F.lit(eps)).alias("q"),
+            F.greatest(F.col("p0"), F.lit(eps)).alias("p0"),
+        )
+    )
+    return (
+        joined.groupBy("group_key")
+        .agg(F.round(F.sum((F.col("q") - F.col("p0"))
+                           * F.log(F.col("q") / F.col("p0"))), 4).alias("psi"))
+    )
+
+
+SQL_DRIFT_PSI = """
+WITH h AS (
+  SELECT lang AS group_key,
+         CASE WHEN n_chars < 0 THEN -1
+              WHEN n_chars < 100 THEN 0 WHEN n_chars < 200 THEN 1
+              WHEN n_chars < 300 THEN 2 WHEN n_chars < 400 THEN 3
+              WHEN n_chars < 500 THEN 4 WHEN n_chars < 600 THEN 5
+              ELSE 6 END AS bucket,
+         COUNT(*) AS count
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT group_key, SUM(count) AS tot FROM h GROUP BY 1),
+probs AS (
+  SELECT h.group_key, h.bucket, h.count / CAST(t.tot AS DOUBLE) AS p
+  FROM h JOIN t USING (group_key)),
+base AS (SELECT bucket, p AS p_base FROM probs WHERE group_key = 'en'),
+j AS (
+  SELECT probs.group_key,
+         GREATEST(COALESCE(probs.p, 0.0), 1e-6) AS q,
+         GREATEST(COALESCE(base.p_base, 0.0), 1e-6) AS p0
+  FROM probs FULL OUTER JOIN base USING (bucket)
+  WHERE probs.group_key IS NOT NULL)
+SELECT group_key, ROUND(SUM((q - p0) * ln(q / p0)), 4) AS psi
+FROM j GROUP BY group_key
+"""
+
+
 def q_rollup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets coverage (SURVEY §2.4): ROLLUP(lang, source) doc counts
     with subtotals — used for multi-granularity verdict dashboards."""
@@ -721,6 +784,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "embedding_neardup": q_embedding_neardup,
     "normalize_roundtrip": q_normalize_roundtrip,
+    "drift_psi": q_drift_psi,
     "rollup_docs": q_rollup_docs,
     "sessionize_events": q_sessionize_events,
     "ann_ivf": q_ann_ivf,
@@ -755,6 +819,7 @@ ORACLES: dict[str, str] = {
     "simhash": SQL_SIMHASH,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "normalize_roundtrip": SQL_NORMALIZE_ROUNDTRIP,
+    "drift_psi": SQL_DRIFT_PSI,
     "rollup_docs": SQL_ROLLUP_DOCS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     # tdigest_ntok / multimodal_features: approximate or binary plumbing —
