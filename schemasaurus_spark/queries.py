@@ -578,6 +578,24 @@ FROM m
 """
 
 
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation via F.window (batch form of the
+    streaming windowed verdicts) — epoch-aligned 6h buckets."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+    )
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT time_bucket(INTERVAL 6 HOURS, ts) AS w_start, event_type,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift PSI, fully in DataFrame ops: each lang's n_chars
     histogram vs the 'en' baseline over HIST_EDGES; eps-smoothed
@@ -785,6 +803,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_embedding_neardup,
     "normalize_roundtrip": q_normalize_roundtrip,
     "drift_psi": q_drift_psi,
+    "events_tumbling": q_events_tumbling,
     "rollup_docs": q_rollup_docs,
     "sessionize_events": q_sessionize_events,
     "ann_ivf": q_ann_ivf,
@@ -820,6 +839,7 @@ ORACLES: dict[str, str] = {
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "normalize_roundtrip": SQL_NORMALIZE_ROUNDTRIP,
     "drift_psi": SQL_DRIFT_PSI,
+    "events_tumbling": SQL_EVENTS_TUMBLING,
     "rollup_docs": SQL_ROLLUP_DOCS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     # tdigest_ntok / multimodal_features: approximate or binary plumbing —

@@ -79,3 +79,42 @@ def test_violation_examples_capped(spark):
 def test_message_rendering_never_crashes(code, arg):
     msg = render_message(code, arg)
     assert isinstance(msg, str) and msg
+
+
+@settings(max_examples=15, deadline=None)
+@given(data=st.data())
+def test_fuzz_random_suites_compile_and_run(spark, data):
+    """Compiler totality: any well-formed random suite over a mixed-type
+    frame compiles, runs, and yields violations only for existing rows."""
+    int_constraints = st.sampled_from([
+        dsl.NotNull(), dsl.Minimum(0), dsl.Maximum(50), dsl.MultipleOf(3),
+        dsl.Enum([1, 2, 3]), dsl.Not([dsl.Minimum(100)]),
+        dsl.AnyOf([[dsl.Minimum(10)], [dsl.Maximum(5)]]),
+        dsl.OneOf([[dsl.Minimum(0)], [dsl.Maximum(100)]]),
+    ])
+    str_constraints = st.sampled_from([
+        dsl.NotNull(), dsl.MinLength(1), dsl.MaxLength(10),
+        dsl.Pattern("^[a-z]"), dsl.Enum(["aa", "bb"]),
+    ])
+    arr_constraints = st.sampled_from([
+        dsl.MinItems(0), dsl.MaxItems(10), dsl.UniqueItems(),
+        dsl.Items([dsl.Minimum(-100), dsl.Maximum(100)]),
+    ])
+    suite = dsl.Suite(id_column="i", columns={
+        "n": data.draw(st.lists(int_constraints, min_size=0, max_size=3)),
+        "s": data.draw(st.lists(str_constraints, min_size=0, max_size=3)),
+        "a": data.draw(st.lists(arr_constraints, min_size=0, max_size=2)),
+    })
+    rows = data.draw(st.lists(
+        st.tuples(st.integers(0, 99),
+                  st.one_of(st.none(), st.integers(-100, 100)),
+                  st.one_of(st.none(), st.text(alphabet="abz", max_size=5)),
+                  st.one_of(st.none(), st.lists(st.integers(-200, 200), max_size=5))),
+        min_size=1, max_size=6))
+    df = spark.createDataFrame(rows, "i int, n long, s string, a array<long>")
+    res = validate(df, suite)
+    v = res.violations().collect()
+    ids = {r[0] for r in rows}
+    assert all(r["i"] in ids for r in v)
+    # verdict coherence: table valid iff zero violations
+    assert res.is_valid() == (len(v) == 0)
