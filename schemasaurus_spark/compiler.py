@@ -500,9 +500,17 @@ class ConstraintCompiler:
             # beat a lambda loop in codegen); offender extraction below is
             # unchanged and only runs on failing rows
             if isinstance(sub, dsl.Minimum):
-                failed_any = F.array_min(col) < F.lit(sub.value)
+                # array_min/max are NULL on empty arrays and the null_guard
+                # coalesces NULL to failed — but empty arrays must PASS
+                # (reference semantics; round-1 ADVICE): gate on size>0 and
+                # coalesce these branches to False, never True.
+                failed_any = F.coalesce(
+                    (F.size(col) > 0) & (F.array_min(col) < F.lit(sub.value)),
+                    F.lit(False))
             elif isinstance(sub, dsl.Maximum):
-                failed_any = F.array_max(col) > F.lit(sub.value)
+                failed_any = F.coalesce(
+                    (F.size(col) > 0) & (F.array_max(col) > F.lit(sub.value)),
+                    F.lit(False))
             else:
                 failed_any = ~F.forall(col, pred)
             if null_guard:

@@ -16,11 +16,12 @@ Scale design (the part that must survive 10^12 rows):
 * **column_stats** fuses every per-column aggregate into ONE ``agg`` so the
   table is scanned once; partial aggregation makes the shuffle
   O(groups × columns), not O(rows).
-* **uniqueness** is a cheap HLL screen (``approx_count_distinct``, tiny
-  shuffle of partial sketches) followed — only when the screen fails — by a
-  two-phase salted exact count (phase 1 groups on (key, salt) so one
-  hot key cannot skew a reducer; phase 2 sums the tiny partials) and a
-  broadcast semi-join of the suspect keys back to the table.
+* **uniqueness** is an UNCONDITIONAL two-phase salted exact count (phase 1
+  groups on (key, salt) so one hot key cannot skew a reducer; phase 2 sums
+  the tiny partials). An HLL screen cannot certify cleanliness — it
+  overestimates ~half the time, hiding duplicates — so the screen stats are
+  now exact numbers derived from the same aggregation tree (one scan; the
+  violations collection reuses the completed shuffle stages).
 * **referential** broadcasts the dimension (it is small by definition) —
   an anti-join with zero shuffle of the fact table.
 * **drift** reduces the table to fixed-edge histogram counts (one groupBy
@@ -37,18 +38,6 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 
 from schemasaurus_spark.messages import render_message
-
-
-def _vio(df_cols: dict, code: str, column: str, value, arg, message: str):
-    """Build a violation-shaped select list matching compiler.VIOLATION_STRUCT."""
-    return [
-        df_cols["id"].alias("doc_id") if hasattr(df_cols["id"], "alias") else F.lit(None),
-        F.lit(code).alias("constraint_id"),
-        F.lit(column).alias("column"),
-        value.cast("string").alias("value"),
-        F.lit(arg).cast("string").alias("arg"),
-        F.lit(message).alias("message"),
-    ]
 
 
 # ----------------------------------------------------------------- stats
@@ -134,23 +123,47 @@ def uniqueness_check(
     salt_buckets: int = 64,
     hll_rsd: float = 0.01,
 ) -> UniquenessResult:
-    """Cross-row uniqueness — HLL screen + exact salted two-phase groupBy on
-    suspects (north_star). Emits one violation per duplicate occurrence
-    beyond the first, carrying the duplicated value — the cross-row
-    generalization of uniqueItems (v4validator.js:233-246).
+    """Cross-row uniqueness — exact salted two-phase groupBy, ALWAYS run
+    (north_star). Emits one violation per duplicate occurrence beyond the
+    first, carrying the duplicated value — the cross-row generalization of
+    uniqueItems (v4validator.js:233-246).
+
+    An HLL screen CANNOT certify cleanliness: ``approx_count_distinct``
+    overestimates ~half the time, so ``distinct >= total`` silently hides
+    real duplicates (round-1 ADVICE, confirmed empirically at 1k-500k rows).
+    The exact pass is therefore unconditional; ``screen_total`` /
+    ``screen_distinct`` / ``screened_clean`` are now the EXACT numbers,
+    computed from the same salted aggregation tree: one scan, one
+    map-side-combined shuffle of (key, salt) partials, and the violations
+    collection reuses the completed shuffle stages (same plan instance).
+    `hll_rsd` is kept for API compatibility; it is no longer load-bearing.
     """
     id_column = id_column or key
     spark = df.sparkSession
 
-    screen = df.agg(
-        F.count(key).alias("total"),
-        F.approx_count_distinct(key, hll_rsd).alias("distinct"),
+    # Phase 1: salted partial counts — immune to a single mega-hot key.
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    # NULL keys are excluded (SQL UNIQUE semantics: NULL != NULL); NULL
+    # presence belongs to NotNull / null_rate_check.
+    partial = (
+        df.select(F.col(key).alias("k"))
+        .where(F.col("k").isNotNull())
+        .withColumn("salt", salt)
+        .groupBy("k", "salt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # Phase 2: tiny re-agg over (key) — input is ≤ salt_buckets rows per key.
+    per_key = partial.groupBy("k").agg(F.sum("c").alias("occurrences"))
+
+    # Exact screen stats from the same tree (ONE job; the per-key shuffle is
+    # tiny relative to the scan and is reused by the violations collection).
+    screen = per_key.agg(
+        F.coalesce(F.sum("occurrences"), F.lit(0)).alias("total"),
+        F.count(F.lit(1)).alias("distinct"),
+        F.coalesce(F.max("occurrences"), F.lit(0)).alias("max_occ"),
     ).first()
-    total, distinct = screen["total"], screen["distinct"]
-    # HLL has rsd error; anything within the error band could still be clean,
-    # but duplicates can also hide inside it — only a perfect-looking screen
-    # at small scale short-circuits. Err toward the exact pass.
-    clean = total == 0 or (total - distinct) <= 0
+    total, distinct = int(screen["total"]), int(screen["distinct"])
+    clean = int(screen["max_occ"]) <= 1
 
     if clean:
         empty = spark.createDataFrame(
@@ -159,19 +172,7 @@ def uniqueness_check(
         )
         return UniquenessResult(total, distinct, True, empty)
 
-    # Phase 1: salted partial counts — immune to a single mega-hot key.
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
-    partial = (
-        df.select(F.col(key).alias("k"))
-        .withColumn("salt", salt)
-        .groupBy("k", "salt")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    # Phase 2: tiny re-agg over (key) — input is ≤ salt_buckets rows per key.
-    dup_keys = (
-        partial.groupBy("k").agg(F.sum("c").alias("occurrences"))
-        .where(F.col("occurrences") > 1)
-    )
+    dup_keys = per_key.where(F.col("occurrences") > 1)
     msg = render_message("unique.doc_id")
     # Suspect set is small → broadcast it back; one violation per extra
     # occurrence = (occurrences - 1) rows per key via sequence+explode (no

