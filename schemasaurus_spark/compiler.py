@@ -199,6 +199,9 @@ class ConstraintCompiler:
     def __init__(self, suite: dsl.Suite, schema: Optional[T.StructType] = None):
         self.suite = suite
         self.schema = schema
+        # cycle guards — the reference's $$visited marker (compiler.js:136-141)
+        self._visiting: set[int] = set()   # nested constraint objects in flight
+        self._ref_stack: set[str] = set()  # Ref names in flight
 
     # -- public -------------------------------------------------------------
 
@@ -250,6 +253,28 @@ class ConstraintCompiler:
         return cc
 
     def _compile_one(
+        self, col_name: str, col: Column, c: dsl.Constraint, null_guard: bool
+    ) -> CompiledColumn:
+        """Cycle-guarded dispatch: a combinator/Ref whose branch structure
+        reaches itself would recurse forever (the reference marks visited
+        schema nodes, compiler.js:136-141); we detect re-entry on the same
+        constraint object and fail with a clear error instead."""
+        if isinstance(c, (dsl.AllOf, dsl.AnyOf, dsl.OneOf, dsl.Not,
+                          dsl.Dependency, dsl.Ref)):
+            key = id(c)
+            if key in self._visiting:
+                raise SuiteCompileError(
+                    f"cyclic constraint structure: {type(c).__name__} on "
+                    f"'{col_name}' reaches itself — recursive suites have no "
+                    f"finite columnar plan")
+            self._visiting.add(key)
+            try:
+                return self._dispatch_one(col_name, col, c, null_guard)
+            finally:
+                self._visiting.discard(key)
+        return self._dispatch_one(col_name, col, c, null_guard)
+
+    def _dispatch_one(
         self, col_name: str, col: Column, c: dsl.Constraint, null_guard: bool
     ) -> CompiledColumn:
         """Dispatch table — the analog of selector matching
@@ -378,6 +403,30 @@ class ConstraintCompiler:
 
         elif isinstance(c, dsl.Dependency):
             self._compile_dependency(out, col_name, c, m)
+
+        elif isinstance(c, dsl.Ref):
+            target = self.suite.definitions.get(c.name)
+            if target is None:
+                raise SuiteCompileError(
+                    f"Ref('{c.name}') has no entry in suite.definitions "
+                    f"(known: {sorted(self.suite.definitions)})")
+            if c.name in self._ref_stack:
+                raise SuiteCompileError(
+                    f"cyclic Ref('{c.name}') — recursive definitions have "
+                    f"no finite columnar plan")
+            self._ref_stack.add(c.name)
+            try:
+                # inline expansion: identical plan to writing the
+                # definition's constraints directly at this position
+                valids = []
+                for sub in target:
+                    one = self._compile_one(col_name, col, sub, null_guard)
+                    out.fragments.extend(one.fragments)
+                    if one.valid is not None:
+                        valids.append(one.valid)
+                out.valid = _and_all(valids) if valids else None
+            finally:
+                self._ref_stack.discard(c.name)
 
         else:
             ext = dsl.get_extension(type(c))

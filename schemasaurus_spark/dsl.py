@@ -364,6 +364,25 @@ class Not(Constraint):
 
 
 @dataclass(frozen=True)
+class Ref(Constraint):
+    """Named-constraint reuse — the analog of JSON-pointer ``$ref``
+    resolution (``/root/reference/src/int/references.js:11-27``,
+    ``compiler.js:136-144``). Resolves against :attr:`Suite.definitions` at
+    compile time by inline expansion, so a Ref compiles to exactly the plan
+    its target would produce inline. Cyclic refs raise
+    ``SuiteCompileError`` — the reference's ``$$visited`` cycle guard
+    (compiler.js:136-141) re-expressed as a compile error, because a truly
+    recursive schema has no finite columnar expression (documented
+    divergence, SURVEY.md §1.2)."""
+
+    name: str = ""
+
+    @property
+    def code(self) -> str:
+        return f"ref.{self.name}"
+
+
+@dataclass(frozen=True)
 class Dependency(Constraint):
     """v4validator.js:104-123: if ``on`` column is present (non-null), the
     dependent constraints must hold; failure emits ``dependency`` (arg = the
@@ -417,6 +436,9 @@ class Suite:
     columns: dict[str, Sequence[Constraint]] = field(default_factory=dict)
     row: Sequence[tuple] = field(default_factory=list)  # (column_label, Constraint)
     messages: dict[str, str] = field(default_factory=dict)  # catalog overrides
+    # named constraint lists resolvable via Ref("name") — the definitions
+    # map of references.js:11-27
+    definitions: dict[str, Sequence[Constraint]] = field(default_factory=dict)
     name: str = "suite"
     # additionalProperty=false at table level (v4validator.js:287 +
     # processor.js:90-111): undeclared DataFrame columns are violations.

@@ -108,28 +108,80 @@ def _cast(col: Column, dtype, target: str) -> Column:
     raise ValueError(f"Unknown normalizer type '{target}'")
 
 
+def _resolve_path(schema, path: str):
+    """(exists, dtype) for a dotted path through nested StructTypes."""
+    dt = schema
+    for part in path.split("."):
+        if not isinstance(dt, T.StructType):
+            return False, None
+        try:
+            dt = dt[part].dataType
+        except (KeyError, ValueError):
+            return False, None
+    return True, dt
+
+
+def _leaf_expr(df_schema, path: str, cs: ColumnSpec) -> Column:
+    exists, dtype = _resolve_path(df_schema, path)
+    col = F.col(path) if exists else F.lit(None)
+    if cs.has_default:
+        col = F.coalesce(col, F.lit(cs.default))
+    return F.when(col.isNotNull(), _cast(col, dtype, cs.type)).otherwise(
+        _typed_null(cs.type))
+
+
+def _spec_tree(columns: Sequence[ColumnSpec]) -> dict:
+    """Group dotted spec names into a nested tree: leaf = ColumnSpec."""
+    tree: dict = {}
+    for cs in columns:
+        parts = cs.name.split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+            if not isinstance(node, dict):
+                raise ValueError(f"spec '{cs.name}' descends through a leaf")
+        node[parts[-1]] = cs
+    return tree
+
+
+def _struct_expr(df_schema, base: str, subtree: dict,
+                 prune: bool) -> Column:
+    """Nested-default materialization (normalizer_spec.js:46-57:
+    ``{}`` → ``{a:{b:3}}``): rebuild the struct with declared subfields
+    defaulted/cast; undeclared subfields survive unless pruned."""
+    fields = []
+    declared = set(subtree)
+    for name, node in subtree.items():
+        path = f"{base}.{name}" if base else name
+        if isinstance(node, dict):
+            fields.append(_struct_expr(df_schema, path, node, prune).alias(name))
+        else:
+            fields.append(_leaf_expr(df_schema, path, node).alias(name))
+    if not prune:
+        exists, dt = _resolve_path(df_schema, base)
+        if exists and isinstance(dt, T.StructType):
+            fields.extend(F.col(f"{base}.{f.name}").alias(f.name)
+                          for f in dt.fields if f.name not in declared)
+    return F.struct(*fields)
+
+
 def normalize(df: DataFrame, spec: NormalizerSpec) -> DataFrame:
     """One projection: defaults land before casts (selector firing order
-    ``[default]`` → ``[type]``, compiler.js:76 + normalizer.js)."""
+    ``[default]`` → ``[type]``, compiler.js:76 + normalizer.js). Dotted spec
+    names (``a.b``) materialize/rebuild nested structs, so ``{}`` normalizes
+    to ``{a: {b: default}}`` exactly like the reference
+    (test/normalizer_spec.js:46-57)."""
+    tree = _spec_tree(spec.columns)
     declared = []
-    schema = {f.name: f.dataType for f in df.schema.fields}
-    for cs in spec.columns:
-        if cs.name in schema:
-            col = F.col(cs.name)
-            dtype = schema[cs.name]
+    for name, node in tree.items():
+        if isinstance(node, dict):
+            declared.append(
+                _struct_expr(df.schema, name, node, spec.prune_additional)
+                .alias(name))
         else:
-            col = F.lit(None)
-            dtype = None
-        if cs.has_default:
-            col = F.coalesce(col, F.lit(cs.default))
-        col = F.when(col.isNotNull(), _cast(col, dtype, cs.type)).otherwise(
-            _typed_null(cs.type)
-        )
-        declared.append(col.alias(cs.name))
+            declared.append(_leaf_expr(df.schema, name, node).alias(name))
     if not spec.prune_additional:
-        extra = [F.col(c) for c in df.columns
-                 if c not in {cs.name for cs in spec.columns}]
-        declared.extend(extra)
+        declared.extend(F.col(c) for c in df.columns if c not in tree)
     return df.select(*declared)
 
 

@@ -730,6 +730,10 @@ def q_normalize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.when(F.col("n_chars") % 2 == 0, F.lit("on"))
                 .otherwise(F.lit("off"))).alias("flag"),
         F.when(F.col("lang") == "zh", F.lit(None)).otherwise(F.col("lang")).alias("lang"),
+        # nested-struct default materialization (normalizer_spec.js:46-57):
+        # meta.b missing/NULL → default; emitted as a scalar field because
+        # struct rendering differs across engines
+        F.struct(F.when(F.col("doc_id") % 3 != 0, F.col("source")).alias("b")).alias("meta"),
         F.lit("junk").alias("undeclared"),
     )
     spec = NormalizerSpec([
@@ -737,15 +741,19 @@ def q_normalize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         col_spec("n_chars", "integer"),
         col_spec("flag", "boolean"),
         col_spec("lang", "string", default="unknown"),
+        col_spec("meta.b", "string", default="none"),
     ])
-    return normalize(staged, spec)
+    return normalize(staged, spec).select(
+        "doc_id", "n_chars", "flag", "lang",
+        F.col("meta.b").alias("meta_b"))
 
 
 SQL_NORMALIZE_ROUNDTRIP = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(n_chars AS BIGINT) AS n_chars,
        n_chars % 2 = 0 AS flag,
-       CASE WHEN lang = 'zh' THEN 'unknown' ELSE lang END AS lang
+       CASE WHEN lang = 'zh' THEN 'unknown' ELSE lang END AS lang,
+       CASE WHEN doc_id % 3 <> 0 THEN source ELSE 'none' END AS meta_b
 FROM documents
 """
 
@@ -780,6 +788,27 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = mm.attach_fake_media(_t(spark, sf_dir, "documents"))
     return mm.extract_features(media).select("id", "n_bytes", "sha1")
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container decode: deterministic BMP/WAV payloads built in the
+    Arrow kernel, header-parsed back with pure struct/numpy — the decoded
+    fields are exact functions of doc_id, so this one IS oracle-checked."""
+    from schemasaurus_spark.operators import multimodal as mm
+
+    media = mm.attach_real_media(_t(spark, sf_dir, "documents"))
+    return mm.extract_media_info(media)
+
+
+SQL_MULTIMODAL_DECODE = """
+SELECT doc_id AS id,
+       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS kind,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(4 + doc_id % 13 AS INT) END AS width,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(4 + doc_id % 7 AS INT) END AS height,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(8000 + (doc_id % 5) * 1000 AS INT) END AS sample_rate,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(100 + doc_id % 50 AS INT) END AS n_samples
+FROM documents
+"""
 
 
 # -------------------------------------------------------------- registry
@@ -819,6 +848,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": q_ann_ivf,
     "tdigest_ntok": q_tdigest_ntok,
     "multimodal_features": q_multimodal_features,
+    "multimodal_decode": q_multimodal_decode,
 }
 
 from schemasaurus_spark.conformance import (  # noqa: E402
@@ -860,6 +890,7 @@ ORACLES: dict[str, str] = {
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     # tdigest_ntok / multimodal_features: approximate or binary plumbing —
     # intentionally no SQL oracle (driver records rows-only)
+    "multimodal_decode": SQL_MULTIMODAL_DECODE,
 }
 
 ORACLES.update(CONFORMANCE_ORACLES)

@@ -147,3 +147,54 @@ def test_nested_missing_path_raises(spark):
     df = spark.createDataFrame([(1, {"w": 1})], "id long, m struct<w:int>")
     with pytest.raises(SuiteCompileError, match="m.nope"):
         validate(df, dsl.Suite(columns={"m.nope": [dsl.NotNull()]}))
+
+def test_ref_named_reuse_compiles_like_inline(spark):
+    """Ref('name') inline-expands from suite.definitions — identical
+    violations to writing the constraints directly (references.js:11-27)."""
+    df = spark.createDataFrame([(1,), (50,), (200,)], "v int")
+    bounds = [dsl.Minimum(10), dsl.Maximum(100)]
+    ref_suite = dsl.Suite(id_column="v", columns={"v": [dsl.Ref("bounds")]},
+                          definitions={"bounds": bounds})
+    inline_suite = dsl.Suite(id_column="v", columns={"v": bounds})
+    got_ref = sorted((r["v"], r["constraint_id"])
+                     for r in validate(df, ref_suite).violations().collect())
+    got_inline = sorted((r["v"], r["constraint_id"])
+                        for r in validate(df, inline_suite).violations().collect())
+    assert got_ref == got_inline == [(1, "minimum"), (200, "maximum")]
+
+
+def test_unknown_and_cyclic_ref_raise(spark):
+    from schemasaurus_spark.compiler import SuiteCompileError, compile_suite
+
+    with pytest.raises(SuiteCompileError, match="no entry"):
+        compile_suite(dsl.Suite(columns={"v": [dsl.Ref("nope")]}))
+    cyc = dsl.Suite(columns={"v": [dsl.Ref("a")]},
+                    definitions={"a": [dsl.Ref("b")], "b": [dsl.Ref("a")]})
+    with pytest.raises(SuiteCompileError, match="cyclic Ref"):
+        compile_suite(cyc)
+
+
+def test_cyclic_combinator_raises(spark):
+    """A branch list that reaches its own combinator must fail compile with
+    a clear error, not recurse forever ($$visited analog, compiler.js:136-141)."""
+    from schemasaurus_spark.compiler import SuiteCompileError, compile_suite
+
+    branch = [dsl.Minimum(1)]
+    allof = dsl.AllOf([branch])
+    branch.append(allof)  # cycle: allof -> branch -> allof
+    with pytest.raises(SuiteCompileError, match="cyclic constraint"):
+        compile_suite(dsl.Suite(columns={"v": [allof]}))
+
+
+def test_items_empty_array_passes_specialized_paths(spark):
+    """Regression (round-1 ADVICE): empty arrays must PASS Items min/max in
+    BOTH extraction modes (array_min/max are NULL on [])."""
+    df = spark.createDataFrame([([],), ([5],), ([0, 9],)], "v array<int>")
+    for extract in (True, False):
+        suite = dsl.Suite(id_column="v", columns={"v": [
+            dsl.Items([dsl.Minimum(2), dsl.Maximum(8)],
+                      extract_offenders=extract)]})
+        rows = validate(df, suite).violations().collect()
+        assert all(r["v"] != [] for r in rows), f"extract={extract}"
+        codes = sorted(r["constraint_id"] for r in rows if r["v"] == [0, 9])
+        assert codes == ["items.maximum", "items.minimum"], f"extract={extract}"

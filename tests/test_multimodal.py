@@ -50,3 +50,35 @@ def test_column_pruning_in_feature_plan(media):
     assert "media" not in plan.split("ArrowEvalPython")[0].split("Project")[-1] or True
     # payload pipeline must not carry the metadata struct into the Arrow exchange
     assert plan.count("media") <= 1
+
+
+def test_real_bmp_wav_decode_roundtrip():
+    """Pure-numpy container codecs: make_bmp/make_wav → decode_media_info +
+    real_decode recover headers and pixel/sample stats exactly."""
+    import numpy as np
+    from schemasaurus_spark.operators import multimodal as mm
+
+    bmp = mm.make_bmp(5, 3, seed=9)
+    info = mm.decode_media_info(bmp)
+    assert (info["kind"], info["width"], info["height"]) == ("bmp", 5, 3)
+    px = mm._bmp_pixels(bmp)
+    assert px.shape == (3, 5, 3)
+    expect = np.array([(9 * 31 + i) % 256 for i in range(15)])
+    assert px[..., 0].flatten().tolist() == expect.reshape(3, 5)[::-1].flatten().tolist()
+    feats = mm.real_decode(bmp)
+    assert len(feats) == 8 and abs(feats[2] - expect.mean() / 255.0) < 1e-9
+
+    wav = mm.make_wav(16000, 120, seed=4)
+    winfo = mm.decode_media_info(wav)
+    assert (winfo["kind"], winfo["sample_rate"], winfo["n_samples"]) == ("wav", 16000, 120)
+    x = mm._wav_samples(wav)
+    assert len(x) == 120 and x[0] == ((4 * 7) % 200 - 100) * 300
+    wf = mm.real_decode(wav)
+    assert len(wf) == 8 and 0.0 < wf[2] < 1.0  # rms in (0, 1)
+
+
+def test_sniff_decode_dispatch():
+    from schemasaurus_spark.operators import multimodal as mm
+
+    assert len(mm._sniff_decode(mm.make_bmp(4, 4, 1))) == 8   # real path
+    assert len(mm._sniff_decode(b"not a container")) == 8      # stub path

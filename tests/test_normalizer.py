@@ -83,3 +83,18 @@ def test_normalize_is_single_projection(spark):
     spec = NormalizerSpec([col_spec("a", "integer"), col_spec("b", "string")])
     plan = normalize(df, spec)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Project") == 1
+
+def test_nested_struct_defaults_materialize(spark):
+    """normalizer_spec.js:46-57: {} -> {a: {b: 3}} — defaults inside nested
+    structs materialize the struct, and existing nested values survive."""
+    df = spark.createDataFrame([("x",)], "other string")  # no 'a' at all
+    spec = NormalizerSpec([col_spec("a.b", "integer", default=3)])
+    row = normalize(df, spec).collect()[0]
+    assert row["a"]["b"] == 3
+
+    df2 = spark.createDataFrame([((7, "keep"),), ((None, "keep2"),)],
+                                "a struct<b int, c string>")
+    spec2 = NormalizerSpec([col_spec("a.b", "integer", default=3)],
+                           prune_additional=False)
+    rows = normalize(df2, spec2).select("a.b", "a.c").collect()
+    assert [(r["b"], r["c"]) for r in rows] == [(7, "keep"), (3, "keep2")]

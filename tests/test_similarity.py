@@ -49,3 +49,43 @@ def test_ivf_training_deterministic(emb):
     a = sim.ivf_train_centroids(emb, n_centroids=8, seed=7)
     b = sim.ivf_train_centroids(emb, n_centroids=8, seed=7)
     assert np.allclose(a, b)
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The persisted IVF index is partitioned by cluster; a probe query's
+    scan must show a cluster PartitionFilter (files outside the probed
+    clusters are never read) — the 100 TB probe path."""
+    from schemasaurus_spark.operators.similarity import (
+        ann_ivf_topk_from_index, ivf_train_centroids, ivf_write_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_train_centroids(emb, n_centroids=4, sample_rows=500)
+    path = str(tmp_path / "ivf_index")
+    ivf_write_index(emb, cents, path)
+
+    q = [float(x) for x in emb.first()["embedding"]]
+    res = ann_ivf_topk_from_index(spark, path, cents, q, k=5, n_probe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    rows = res.collect()
+    assert len(rows) == 5
+    assert rows[0]["score"] >= rows[-1]["score"]
+
+
+def test_ivf_train_sample_unbiased(spark):
+    """Reservoir sampling sees all partitions (not just the first ones):
+    train on a table whose last partitions hold a distinct cluster and
+    check a centroid lands near it."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from schemasaurus_spark.operators.similarity import ivf_train_centroids
+
+    a = spark.range(400).select(
+        F.array(F.lit(0.0), F.lit(0.0)).alias("embedding"))
+    b = spark.range(400).select(
+        F.array(F.lit(9.0), F.lit(9.0)).alias("embedding"))
+    both = a.repartition(4).union(b.repartition(4))  # cluster B only in the tail
+    cents = ivf_train_centroids(both, n_centroids=2, sample_rows=200, seed=7)
+    dists = np.abs(np.asarray(cents) - 9.0).sum(1)
+    assert dists.min() < 1.0, f"no centroid near the tail cluster: {cents}"
