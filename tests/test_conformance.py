@@ -92,6 +92,119 @@ CASES = [
      [dsl.Not([dsl.Minimum(1)])], 5, {"not"}),
 ]
 
+# Round-2 widening toward the official draft-4 corpus
+# (test/official_suite_spec.js loads the whole JSON-Schema-Test-Suite; the
+# submodule isn't vendored here, so these encode the same public keyword
+# semantics case-by-case — boundaries, unicode, empty containers, nesting).
+CASES += [
+    # --- type: permissive string-staged probes (runtime=True) ---
+    ("rt integer from int-string", S, [dsl.TypeIs("integer", runtime=True)], "42", set()),
+    ("rt integer from frac-string", S, [dsl.TypeIs("integer", runtime=True)], "4.5", {"integer"}),
+    ("rt integer from garbage", S, [dsl.TypeIs("integer", runtime=True)], "abc", {"integer"}),
+    ("rt number from float-string", S, [dsl.TypeIs("number", runtime=True)], "4.5", set()),
+    ("rt number from garbage", S, [dsl.TypeIs("number", runtime=True)], "4x", {"number"}),
+    ("rt boolean from 'True'", S, [dsl.TypeIs("boolean", runtime=True)], "True", set()),
+    ("rt boolean from 'yes'", S, [dsl.TypeIs("boolean", runtime=True)], "yes", {"boolean"}),
+    ("union null-or-string: null passes", S, [dsl.TypeIs(["null", "string"])], None, set()),
+    ("type null alone: value fails", S, [dsl.TypeIs("null")], "x", {"null"}),
+    ("union splice emits all tried types", S,
+     [dsl.TypeIs(["integer", "boolean"], runtime=True)], "nope",
+     {"integer", "boolean"}),
+    ("number accepts long col", "long", [dsl.TypeIs("number")], 7, set()),
+    ("array type static ok", "array<int>", [dsl.TypeIs("array")], [1], set()),
+    # --- strings: boundaries + unicode + formats ---
+    ("minLength 0 accepts empty", S, [dsl.MinLength(0)], "", set()),
+    ("minLength boundary eq ok", S, [dsl.MinLength(2)], "ab", set()),
+    ("maxLength boundary eq ok", S, [dsl.MaxLength(2)], "ab", set()),
+    ("unicode minLength counts chars", S, [dsl.MinLength(3)], "日本語", set()),
+    ("unicode maxLength fail", S, [dsl.MaxLength(2)], "日本語", {"maxLength"}),
+    ("pattern digit search ok", S, [dsl.Pattern(r"\d")], "a1b", set()),
+    ("pattern digit search fail", S, [dsl.Pattern(r"\d")], "abc", {"pattern"}),
+    ("pattern anchored both ends", S, [dsl.Pattern(r"^a+$")], "aab", {"pattern"}),
+    ("format date-time no tz fails", S, [dsl.Format("date-time")],
+     "2024-01-31T10:00:00", {"format.date-time"}),
+    ("format date-time offset ok", S, [dsl.Format("date-time")],
+     "2024-01-31 10:00:00+02:00", set()),
+    ("format ipv6 ok", S, [dsl.Format("ipv6")], "2001:db8::1", set()),
+    ("format ipv6 fail", S, [dsl.Format("ipv6")], "2001:db8:::1", {"format.ipv6"}),
+    ("format hostname fail on underscore", S, [dsl.Format("hostname")],
+     "bad_host.example.com", {"format.hostname"}),
+    ("format uri fail no scheme", S, [dsl.Format("uri")], "//x.y/z", {"format.uri"}),
+    ("format email multiple @ fails", S, [dsl.Format("email")], "a@b@c", {"format.email"}),
+    ("format ipv4 octet 256 fails", S, [dsl.Format("ipv4")], "1.2.3.256", {"format.ipv4"}),
+    # --- numbers: negatives, fractions, boundaries ---
+    ("minimum negative bound ok", "int", [dsl.Minimum(-5)], -5, set()),
+    ("minimum negative bound fail", "int", [dsl.Minimum(-5)], -6, {"minimum"}),
+    ("maximum boundary eq ok", "int", [dsl.Maximum(5)], 5, set()),
+    ("exclusiveMinimum above ok", "int", [dsl.ExclusiveMinimum(5)], 6, set()),
+    ("exclusiveMaximum below ok", "int", [dsl.ExclusiveMaximum(5)], 4, set()),
+    # IEEE754 parity with the JS reference: 19.99/0.01 = 1998.999... % 1 != 0
+    # → fails in BOTH engines (the official suite's rational reading differs;
+    # we match the reference's float arithmetic, v4validator.js:290-292)
+    ("multipleOf float-exact ok", "double", [dsl.MultipleOf(0.25)], 19.25, set()),
+    ("multipleOf float-inexact fails like JS", "double",
+     [dsl.MultipleOf(0.01)], 19.99, {"multipleOf"}),
+    ("multipleOf negative value ok", "int", [dsl.MultipleOf(3)], -9, set()),
+    ("multipleOf fractional fail", "double", [dsl.MultipleOf(0.5)], 1.3, {"multipleOf"}),
+    ("minimum on double col fail", "double", [dsl.Minimum(1.5)], 1.25, {"minimum"}),
+    # --- enum ---
+    ("enum single value ok", S, [dsl.Enum(["only"])], "only", set()),
+    ("enum single value fail", S, [dsl.Enum(["only"])], "other", {"enum"}),
+    ("enum int fail", "int", [dsl.Enum([1, 2, 3])], 9, {"enum"}),
+    # --- arrays: empties, boundaries, element sub-codes ---
+    ("minItems 0 accepts empty", "array<int>", [dsl.MinItems(0)], [], set()),
+    ("minItems boundary eq ok", "array<int>", [dsl.MinItems(2)], [1, 2], set()),
+    ("maxItems boundary eq ok", "array<int>", [dsl.MaxItems(2)], [1, 2], set()),
+    ("uniqueItems empty ok", "array<int>", [dsl.UniqueItems()], [], set()),
+    ("uniqueItems single ok", "array<int>", [dsl.UniqueItems()], [7], set()),
+    ("uniqueItems strings fail", "array<string>",
+     [dsl.UniqueItems()], ["a", "b", "a"], {"uniqueItems"}),
+    ("items empty array passes min/max", "array<int>",
+     [dsl.Items([dsl.Minimum(2), dsl.Maximum(8)])], [], set()),
+    ("items pattern elements fail", "array<string>",
+     [dsl.Items([dsl.Pattern(r"^[a-z]+$")])], ["ok", "NO"], {"items.pattern"}),
+    ("items multipleOf fail", "array<int>",
+     [dsl.Items([dsl.MultipleOf(2)])], [2, 3], {"items.multipleOf"}),
+    ("items exclusive bounds", "array<int>",
+     [dsl.Items([dsl.ExclusiveMinimum(0)])], [1, 0], {"items.minimum.exclusive"}),
+    ("tuple shorter than specs passes", "array<int>",
+     [dsl.TupleItems([[dsl.Minimum(0)], [dsl.Minimum(0)]], additional=False)],
+     [5], set()),
+    ("tuple exact length ok with additional=false", "array<int>",
+     [dsl.TupleItems([[dsl.Minimum(0)], [dsl.Minimum(0)]], additional=False)],
+     [1, 2], set()),
+    ("tuple extra allowed when additional=true", "array<int>",
+     [dsl.TupleItems([[dsl.Minimum(0)]], additional=True)], [1, 2, 3], set()),
+    # --- maps ---
+    ("minProperties boundary ok", "map<string,string>",
+     [dsl.MinProperties(1)], {"a": "x"}, set()),
+    ("maxProperties fail", "map<string,string>",
+     [dsl.MaxProperties(1)], {"a": "x", "b": "y"}, {"maxProperties"}),
+    ("keyPattern multiple patterns ok", "map<string,string>",
+     [dsl.KeyPattern([r"^a", r"^b"])], {"aa": "x", "bb": "y"}, set()),
+    ("keyPattern fail carries key", "map<string,string>",
+     [dsl.KeyPattern([r"^a"])], {"zz": "x"}, {"additionalProperties"}),
+    # --- combinators: nesting + multi-branch splices ---
+    ("allOf both branches fail", "int",
+     [dsl.AllOf([[dsl.Minimum(10)], [dsl.MultipleOf(2)]])], 7,
+     {"allOf", "minimum", "multipleOf"}),
+    ("allOf nested anyOf bubbles", "int",
+     [dsl.AllOf([[dsl.AnyOf([[dsl.Minimum(100)], [dsl.Maximum(0)]])]])], 5,
+     {"allOf", "anyOf", "minimum", "maximum"}),
+    ("oneOf three branches two pass", "int",
+     [dsl.OneOf([[dsl.Minimum(1)], [dsl.Maximum(10)], [dsl.Minimum(100)]])],
+     5, {"oneOf"}),
+    ("oneOf nested not", "int",
+     [dsl.OneOf([[dsl.Not([dsl.Minimum(0)])], [dsl.Minimum(100)]])], 5,
+     {"oneOf.zero", "not", "minimum"}),
+    ("not of enum passes on non-member", S,
+     [dsl.Not([dsl.Enum(["bad"])])], "good", set()),
+    ("not of enum fails on member", S,
+     [dsl.Not([dsl.Enum(["bad"])])], "bad", {"not"}),
+    ("anyOf nested allOf ok", "int",
+     [dsl.AnyOf([[dsl.AllOf([[dsl.Minimum(0)], [dsl.Maximum(10)]])]])], 5, set()),
+]
+
 
 @pytest.mark.parametrize("name,coltype,constraints,value,expected",
                          CASES, ids=[c[0] for c in CASES])
@@ -178,3 +291,74 @@ def test_conform_cross_column_extra_cols(spark):
     rows = validate(df, suite).violations().collect()
     assert len(rows) == 1 and rows[0]["a"] == 3
     assert rows[0]["constraint_id"] == "custom.gte_b"
+
+
+def test_nested_oneof_error_bubbling_struct_path(spark):
+    """validator_spec.js:292-304 'for nested schemas': a oneOf on a nested
+    property fails with BOTH the parent combinator error (path a) and the
+    sub-schema error (path a.b). Columnar analog: dotted-path column."""
+    df = spark.createDataFrame([((5,),), (("ok",),)],
+                               "a struct<b: string>") if False else \
+         spark.createDataFrame([(("5x",),), (("ok",),)], "a struct<b: string>")
+    suite = dsl.Suite(
+        id_column="a",
+        columns={"a.b": [dsl.OneOf([[dsl.Pattern(r"^[a-z]+$")]])]},
+    )
+    rows = validate(df, suite).violations().collect()
+    got = {(r["constraint_id"], r["column"]) for r in rows}
+    assert got == {("oneOf.zero", "a.b"), ("pattern", "a.b")}
+
+
+def test_dependency_schema_form_trigger_absent(spark):
+    """dependencies fire ONLY when the trigger property is present
+    (v4validator.js:104-109): null trigger = no check at all."""
+    df = spark.createDataFrame([(None, "bad")], "a string, b string")
+    suite = dsl.Suite(
+        id_column="b", columns={},
+        row=[("a", dsl.Dependency(on="a",
+                                  constraints=[("b", dsl.Enum(["ok"]))]))],
+    )
+    assert validate(df, suite).violations().count() == 0
+
+
+def test_dependency_multiple_requires(spark):
+    """array-form dependency with several required props: one `required`
+    sub-error per missing prop + one dependency head."""
+    df = spark.createDataFrame([("x", None, None)],
+                               "a string, b string, c string")
+    suite = dsl.Suite(
+        id_column="a", columns={},
+        row=[("a", dsl.Dependency(on="a", requires=["b", "c"]))],
+    )
+    rows = validate(df, suite).violations().collect()
+    got = sorted((r["constraint_id"], r["column"]) for r in rows)
+    assert got == [("dependency", "a"), ("required", "b"), ("required", "c")]
+
+
+def test_dependency_schema_form_sub_error_codes(spark):
+    """schema-form dependency failure = dependency head + the sub-schema's
+    own error codes (v4validator.js:110-123)."""
+    df = spark.createDataFrame([("x", "bad"), ("x", "ok")],
+                               "a string, b string")
+    suite = dsl.Suite(
+        id_column="b", columns={},
+        row=[("a", dsl.Dependency(on="a",
+                                  constraints=[("b", dsl.Enum(["ok"]))]))],
+    )
+    rows = validate(df, suite).violations().collect()
+    got = sorted((r["b"], r["constraint_id"]) for r in rows)
+    assert got == [("bad", "dependency"), ("bad", "enum")]
+
+
+def test_ref_inside_combinator_branch(spark):
+    """Ref resolution nests through combinator branches (references.js used
+    from any schema position)."""
+    df = spark.createDataFrame([(5,), (50,)], "v int")
+    suite = dsl.Suite(
+        id_column="v",
+        columns={"v": [dsl.AnyOf([[dsl.Ref("small")], [dsl.Minimum(100)]])]},
+        definitions={"small": [dsl.Maximum(10)]},
+    )
+    rows = validate(df, suite).violations().collect()
+    got = {(r["v"], r["constraint_id"]) for r in rows}
+    assert got == {(50, "anyOf"), (50, "maximum"), (50, "minimum")}
