@@ -49,6 +49,7 @@ def documents_suite() -> dsl.Suite:
             "lang": [dsl.NotNull(), dsl.Enum(DOC_LANGS)],
             "n_chars": [dsl.Minimum(NCHARS_MIN), dsl.Maximum(NCHARS_MAX)],
             "text": [dsl.MinLength(NCHARS_MIN)],
+            "source": [dsl.Pattern(r"^src[0-9]+$")],
         },
         row=[
             # eqNullSafe ≡ NOT (a IS DISTINCT FROM b): both-NULL passes,
@@ -89,6 +90,9 @@ UNION ALL
 SELECT doc_id, 'minLength', 'text', text
   FROM documents WHERE text IS NOT NULL AND length(text) < {NCHARS_MIN}
 UNION ALL
+SELECT doc_id, 'pattern', 'source', source
+  FROM documents WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$')
+UNION ALL
 SELECT doc_id, 'custom.len_eq', 'n_chars', CAST(n_chars AS VARCHAR)
   FROM documents WHERE n_chars IS DISTINCT FROM length(text)
 """
@@ -115,6 +119,7 @@ WITH per_row AS (
        + (CASE WHEN n_chars IS NOT NULL AND n_chars < {NCHARS_MIN} THEN 1 ELSE 0 END)
        + (CASE WHEN n_chars IS NOT NULL AND n_chars > {NCHARS_MAX} THEN 1 ELSE 0 END)
        + (CASE WHEN text IS NOT NULL AND length(text) < {NCHARS_MIN} THEN 1 ELSE 0 END)
+       + (CASE WHEN source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END)
        + (CASE WHEN n_chars IS DISTINCT FROM length(text) THEN 1 ELSE 0 END) AS v
   FROM documents)
 SELECT source AS group_key, COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS n_violations,
