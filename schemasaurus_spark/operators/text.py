@@ -37,6 +37,26 @@ def token_count(df: DataFrame, text_col: str = "text",
     )
 
 
+# GPT-2-style pretokenizer, simplified to the lookahead-free subset so the
+# SAME pattern runs on Java regex (Spark) and RE2 (DuckDB): contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+# whitespace runs. Counting these matches is the standard "BPE-ish" token
+# estimate for raw text (each match is one pretoken; BPE only splits within
+# them, so the count lower-bounds real BPE tokens).
+BPE_ISH_REGEX = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """BPE-ish token count: number of pretokenizer matches (JVM-side
+    regexp_extract_all — no Python in the loop)."""
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(text_col, F.lit(BPE_ISH_REGEX), 0))
+         .alias("n_bpe_tokens"),
+    )
+
+
 def quality_scores(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id",
                    filler: tuple = ("the", "a", "of")) -> DataFrame:

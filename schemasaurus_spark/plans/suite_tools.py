@@ -35,19 +35,43 @@ class SuiteVisitor:
 
     def column_end(self, name: str) -> None: ...
 
+    # :item / :item-end selector modifiers (src/int/matchers.js:3-63;
+    # processor.js:43-47 schemaOnly item iteration): fired around the
+    # element-schema constraints of Items (index=None, one homogeneous
+    # schema) and TupleItems (one pair per positional spec).
+    def item_start(self, column: str, index) -> None: ...
+
+    def item_end(self, column: str, index) -> None: ...
+
     def row_constraint(self, label: str, c: dsl.Constraint) -> None: ...
 
     def end(self, suite: dsl.Suite): ...
 
 
+def _visit_constraint(visitor: SuiteVisitor, name: str, c: dsl.Constraint):
+    visitor.constraint(name, c)
+    if isinstance(c, dsl.Items):
+        visitor.item_start(name, None)
+        for sub in c.constraints:
+            _visit_constraint(visitor, name, sub)
+        visitor.item_end(name, None)
+    elif isinstance(c, dsl.TupleItems):
+        for i, spec in enumerate(c.specs):
+            visitor.item_start(name, i)
+            for sub in spec:
+                _visit_constraint(visitor, name, sub)
+            visitor.item_end(name, i)
+
+
 def walk_suite(suite: dsl.Suite, visitor: SuiteVisitor):
     """Deterministic traversal in declaration order (the reference's
-    traversal-order guarantee, ``compiler.js:156-173``)."""
+    traversal-order guarantee, ``compiler.js:156-173``), including per-item
+    sub-schema events for Items/TupleItems."""
     visitor.begin(suite)
     for name, constraints in suite.columns.items():
         visitor.column_start(name)
         for c in constraints:
-            visitor.constraint(name, c)
+            _visit_constraint(visitor, name, c)
         visitor.column_end(name)
     for label, c in suite.row:
         visitor.row_constraint(label, c)
@@ -75,9 +99,18 @@ class _MarkdownVisitor(SuiteVisitor):
 
     def column_start(self, name):
         self.lines.append(f"## `{name}`")
+        self._depth = 0
 
     def constraint(self, column, c):
-        self.lines.append(f"- **{c.code}** — {_describe(c)}")
+        self.lines.append(f"{'  ' * self._depth}- **{c.code}** — {_describe(c)}")
+
+    def item_start(self, column, index):
+        label = "each item" if index is None else f"item[{index}]"
+        self.lines.append(f"{'  ' * (self._depth + 1)}- _{label}:_")
+        self._depth += 2
+
+    def item_end(self, column, index):
+        self._depth -= 2
 
     def column_end(self, name):
         self.lines.append("")

@@ -257,6 +257,19 @@ FROM documents
 """
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_count_bpe(_t(spark, sf_dir, "documents"))
+
+
+# the regex starts with a literal apostrophe — doubled ('') inside the SQL
+# string literal
+SQL_TOKEN_COUNT_BPE = (
+    r"SELECT doc_id, len(regexp_extract_all(text, "
+    r"'''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) "
+    r"AS n_bpe_tokens FROM documents"
+)
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_scores(_t(spark, sf_dir, "documents"))
 
@@ -829,6 +842,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "oneof_nchars": q_oneof_nchars,
     "dependency_lang_source": q_dependency_lang_source,
     "token_count": q_token_count,
+    "token_count_bpe": q_token_count_bpe,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -872,6 +886,7 @@ ORACLES: dict[str, str] = {
     "oneof_nchars": SQL_ONEOF_NCHARS,
     "dependency_lang_source": SQL_DEPENDENCY_LANG_SOURCE,
     "token_count": SQL_TOKEN_COUNT,
+    "token_count_bpe": SQL_TOKEN_COUNT_BPE,
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,

@@ -1,0 +1,51 @@
+"""Permissive JSONL/CSV ingest → normalize → validate (sources breadth)."""
+
+from schemasaurus_spark import dsl
+from schemasaurus_spark.normalizer import NormalizerSpec, col_spec
+from schemasaurus_spark.sources.ingest import ingest, read_csv, read_jsonl
+
+COLUMNS = ["doc_id", "n_tok", "flag", "lang"]
+SPEC = NormalizerSpec([
+    col_spec("doc_id", "integer"),
+    col_spec("n_tok", "integer"),
+    col_spec("flag", "boolean"),
+    col_spec("lang", "string", default="unknown"),
+])
+SUITE = dsl.Suite(columns={
+    "doc_id": [dsl.NotNull()],
+    "n_tok": [dsl.Minimum(1)],
+    "lang": [dsl.Enum(["en", "es", "unknown"])],
+})
+
+
+def test_jsonl_ingest_validates(spark, tmp_path):
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"doc_id": "1", "n_tok": "5", "flag": "on", "lang": "en"}\n'
+        '{"doc_id": "2", "n_tok": "0", "flag": "off"}\n'       # n_tok<1, lang default
+        '{"doc_id": "3", "n_tok": "junk", "flag": "1", "lang": "zz"}\n')
+    res = ingest(spark, str(p), "jsonl", COLUMNS, SPEC, SUITE)
+    rows = res.violations().collect()
+    got = sorted((r["doc_id"], r["constraint_id"]) for r in rows)
+    # 'junk' -> parseInt null -> minimum null-skips; zz fails enum
+    assert got == [(2, "minimum"), (3, "enum")]
+    assert res.validated.where("lang = 'unknown'").count() == 1
+
+
+def test_csv_ingest_validates(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("doc_id,n_tok,flag,lang\n"
+                 "1,5,true,en\n"
+                 "2,-3,false,es\n")
+    res = ingest(spark, str(p), "csv", COLUMNS, SPEC, SUITE)
+    rows = res.violations().collect()
+    assert [(r["doc_id"], r["constraint_id"]) for r in rows] == [(2, "minimum")]
+
+
+def test_readers_stage_all_strings(spark, tmp_path):
+    p = tmp_path / "x.jsonl"
+    p.write_text('{"doc_id": "1", "n_tok": "5", "flag": "on", "lang": "en"}\n')
+    assert all(t == "string" for _, t in read_jsonl(spark, str(p), COLUMNS).dtypes)
+    c = tmp_path / "x.csv"
+    c.write_text("doc_id,n_tok,flag,lang\n1,2,on,en\n")
+    assert all(t == "string" for _, t in read_csv(spark, str(c), COLUMNS).dtypes)

@@ -56,3 +56,48 @@ def test_ddl_tool():
     assert "doc_id STRING NOT NULL" in ddl
     assert "n_tok INT" in ddl and "shall be <= 2048" in ddl
     assert "-- cross-field [tokens] custom.size_eq" in ddl
+
+
+def test_walker_item_events():
+    """:item/:item-end events fire around element-schema constraints
+    (matchers.js:3-63; processor.js:43-47 schemaOnly item iteration)."""
+    from schemasaurus_spark import dsl
+    from schemasaurus_spark.plans.suite_tools import SuiteVisitor, walk_suite
+
+    events = []
+
+    class Rec(SuiteVisitor):
+        def constraint(self, column, c):
+            events.append(("c", column, c.code))
+
+        def item_start(self, column, index):
+            events.append(("item", column, index))
+
+        def item_end(self, column, index):
+            events.append(("item-end", column, index))
+
+    suite = dsl.Suite(columns={
+        "toks": [dsl.MinItems(1),
+                 dsl.Items([dsl.Minimum(0), dsl.Maximum(9)])],
+        "tup": [dsl.TupleItems([[dsl.Enum(["a"])], [dsl.Minimum(1)]])],
+    })
+    walk_suite(suite, Rec())
+    assert events == [
+        ("c", "toks", "minItems"),
+        ("c", "toks", "items"),
+        ("item", "toks", None),
+        ("c", "toks", "minimum"), ("c", "toks", "maximum"),
+        ("item-end", "toks", None),
+        ("c", "tup", "items"),
+        ("item", "tup", 0), ("c", "tup", "enum"), ("item-end", "tup", 0),
+        ("item", "tup", 1), ("c", "tup", "minimum"), ("item-end", "tup", 1),
+    ]
+
+
+def test_markdown_renders_item_constraints():
+    from schemasaurus_spark import dsl
+    from schemasaurus_spark.plans.suite_tools import suite_to_markdown
+
+    md = suite_to_markdown(dsl.Suite(columns={
+        "toks": [dsl.Items([dsl.Minimum(0)])]}))
+    assert "each item" in md and "minimum" in md
