@@ -5,7 +5,7 @@ one run over a sequences table:
 
 * row-level constraint suite (compiled, single-pass)        → violations
 * per-partition pass/fail verdicts                          → verdicts
-* doc_id uniqueness (HLL screen → exact salted)             → violations
+* doc_id uniqueness (exact salted two-phase, unconditional) → violations
 * referential check against the sources dimension           → violations
 * per-source null-rate thresholds                           → violations
 * PSI/KS drift vs a checkpointed baseline histogram         → violations

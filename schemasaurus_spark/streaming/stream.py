@@ -11,6 +11,11 @@ new sequences).
 * ``windowed_verdicts`` — per-(window, source) violation counts with a
   watermark so late events are folded in until the lateness bound, then the
   window finalizes (state is bounded — required for unbounded streams).
+* ``windowed_drift`` — streaming PSI against a checkpointed baseline: the
+  per-window histogram lands as wide conditional-sum columns in ONE
+  stateful aggregation (chained stateful operators are restricted in
+  streaming), and the PSI formula folds the baseline probabilities in as
+  literals — state is O(windows × buckets), independent of input rate.
 """
 
 from __future__ import annotations
@@ -56,4 +61,44 @@ def windowed_verdicts(stream_df: DataFrame, suite: Suite,
             F.sum(F.size(VIOLATIONS_COL)).alias("n_violations"),
         )
         .withColumn("pass", F.col("n_violations") == 0)
+    )
+
+
+def windowed_drift(stream_df: DataFrame, column: str, edges: list[float],
+                   baseline_probs: list[float],
+                   time_col: str = "ts", window: str = "10 seconds",
+                   watermark: str = "30 seconds",
+                   psi_threshold: float = 0.2,
+                   eps: float = 1e-6) -> DataFrame:
+    """Per-window PSI of `column`'s fixed-edge histogram vs a checkpointed
+    baseline (north rule: drift detection, streaming form).
+
+    `baseline_probs` has len(edges)-1 entries (the checkpoint's bucket
+    proportions over the SAME frozen edges). The whole check is one
+    watermarked aggregation: bucket counts are conditional sums (wide
+    columns, not a second groupBy — chained stateful aggregations are not
+    allowed in streams), and PSI is a closed-form expression over them."""
+    n = len(edges) - 1
+    if len(baseline_probs) != n:
+        raise ValueError(f"need {n} baseline probs, got {len(baseline_probs)}")
+    x = F.col(column).cast("double")
+    w = stream_df.withWatermark(time_col, watermark)
+    bucket_sums = [
+        F.sum(((x >= edges[i]) & (x < edges[i + 1])).cast("long")).alias(f"b{i}")
+        for i in range(n)
+    ]
+    agged = w.groupBy(F.window(F.col(time_col), window).alias("w")).agg(
+        F.count(x).alias("n_rows"), *bucket_sums)
+    total = F.greatest(F.col("n_rows"), F.lit(1)).cast("double")
+    psi = None
+    for i, p0 in enumerate(baseline_probs):
+        q = F.greatest(F.col(f"b{i}") / total, F.lit(eps))
+        p = F.lit(max(p0, eps))
+        term = (q - p) * F.log(q / p)
+        psi = term if psi is None else psi + term
+    return agged.select(
+        F.col("w.start").alias("w_start"),
+        "n_rows",
+        F.round(psi, 6).alias("psi"),
+        (psi > psi_threshold).alias("drifted"),
     )

@@ -103,3 +103,41 @@ def test_stateful_cross_batch_duplicate_detection(spark):
         assert occs == list(range(2, row["m"] + 1))
     finally:
         q.stop()
+
+
+def test_windowed_drift_streaming_psi(spark):
+    """Streaming PSI vs a checkpointed baseline: a stream whose n_tok sits
+    entirely in one bucket drifts hard against a uniform baseline; a stream
+    matching the baseline doesn't."""
+    from schemasaurus_spark.streaming.stream import windowed_drift
+
+    rate = spark.readStream.format("rate").option("rowsPerSecond", 200).load()
+    # values uniform over [0, 100): matches a uniform 2-bucket baseline
+    uniform = rate.select(
+        F.pmod("value", F.lit(100)).cast("double").alias("n_tok"),
+        F.col("timestamp").alias("ts"))
+    # values all in [0, 50): drifts against the same baseline
+    skewed = rate.select(
+        F.pmod("value", F.lit(50)).cast("double").alias("n_tok"),
+        F.col("timestamp").alias("ts"))
+
+    edges = [0.0, 50.0, 100.0]
+    base = [0.5, 0.5]
+    for name, src, want_drift in [("drift_u", uniform, False),
+                                  ("drift_s", skewed, True)]:
+        d = windowed_drift(src, "n_tok", edges, base,
+                           window="5 seconds", watermark="5 seconds",
+                           psi_threshold=0.2)
+        q = (d.writeStream.format("memory").queryName(name)
+             .outputMode("update").start())
+        try:
+            ok = _run_until(
+                q, lambda: spark.sql(
+                    f"select count(*) c from {name} where n_rows >= 100"
+                ).first()["c"] >= 1)
+            assert ok, f"no populated windows for {name}"
+            row = spark.sql(
+                f"select * from {name} order by n_rows desc limit 1").first()
+            assert bool(row["drifted"]) == want_drift, row
+        finally:
+            q.stop()
