@@ -40,7 +40,8 @@ HEADLINE = [
     "dedup_exact", "minhash_lsh", "jaccard_pairs", "ann_topk", "tpch_q1",
     "events_daily", "events_json", "simhash", "normalize_roundtrip",
     "embedding_neardup", "violation_rank", "winnow_fingerprints",
-    "rollup_docs", "sessionize_events",
+    "rollup_docs", "sessionize_events", "validate_lineitem",
+    "salted_events_stats",
 ]
 
 

@@ -787,6 +787,82 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(emb, qvec, k=10, n_probe=8)
 
 
+def q_validate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-heavy validation: the full constraint machinery over the largest
+    table (lineitem), one projection, ~10% violation rate. Composite row id
+    staged as l_orderkey*10 + l_linenumber."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "li_id", F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+    suite = dsl.Suite(
+        id_column="li_id",
+        columns={
+            "l_quantity": [dsl.NotNull(), dsl.Minimum(1), dsl.Maximum(45)],
+            "l_discount": [dsl.Maximum(0.08)],
+            "l_returnflag": [dsl.Pattern(r"^[AN]$")],
+        },
+        name="lineitem_v1",
+    )
+    return validate(li, suite).violations().select(
+        F.col("li_id").cast("long").alias("li_id"), "constraint_id", "column")
+
+
+SQL_VALIDATE_LINEITEM = """
+WITH li AS (SELECT l_orderkey * 10 + l_linenumber AS li_id, *
+            FROM lineitem)
+SELECT li_id, 'required' AS constraint_id, 'l_quantity' AS column
+  FROM li WHERE l_quantity IS NULL
+UNION ALL
+SELECT li_id, 'minimum', 'l_quantity'
+  FROM li WHERE l_quantity IS NOT NULL AND l_quantity < 1
+UNION ALL
+SELECT li_id, 'maximum', 'l_quantity'
+  FROM li WHERE l_quantity IS NOT NULL AND l_quantity > 45
+UNION ALL
+SELECT li_id, 'maximum', 'l_discount'
+  FROM li WHERE l_discount IS NOT NULL AND l_discount > 0.08
+UNION ALL
+SELECT li_id, 'pattern', 'l_returnflag'
+  FROM li WHERE l_returnflag IS NOT NULL
+         AND NOT regexp_matches(l_returnflag, '^[AN]$')
+"""
+
+
+def q_salted_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (skew path) must equal a plain groupBy:
+    sums run on DECIMAL for exactness, final column emitted as
+    ROUND(double, 2) on both engines."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,6)"))
+    out = agg.salted_agg(ev, "event_type",
+                         [("count", "n"), ("sum", "value_dec")],
+                         salt_buckets=16)
+    return out.select(
+        "event_type", F.col("n").cast("long").alias("n"),
+        F.round(F.col("sum_value_dec").cast("double"), 2).alias("sum_value"))
+
+
+SQL_SALTED_EVENTS_STATS = """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_docs_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-ops coverage (SURVEY §2.4): exceptAll — documents minus the
+    English subset, multiplicity-preserving."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    en = d.where(F.col("lang") == "en")
+    return d.exceptAll(en)
+
+
+SQL_DOCS_EXCEPT = """
+SELECT doc_id, lang FROM documents
+EXCEPT ALL
+SELECT doc_id, lang FROM documents WHERE lang = 'en'
+"""
+
+
 # ------------------------------------------- rows-only (no SQL oracle)
 
 
@@ -864,6 +940,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling": q_events_tumbling,
     "rollup_docs": q_rollup_docs,
     "sessionize_events": q_sessionize_events,
+    "validate_lineitem": q_validate_lineitem,
+    "salted_events_stats": q_salted_events_stats,
+    "docs_except": q_docs_except,
     "ann_ivf": q_ann_ivf,
     "tdigest_ntok": q_tdigest_ntok,
     "multimodal_features": q_multimodal_features,
@@ -908,6 +987,9 @@ ORACLES: dict[str, str] = {
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "rollup_docs": SQL_ROLLUP_DOCS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
+    "validate_lineitem": SQL_VALIDATE_LINEITEM,
+    "salted_events_stats": SQL_SALTED_EVENTS_STATS,
+    "docs_except": SQL_DOCS_EXCEPT,
     # tdigest_ntok / multimodal_features: approximate or binary plumbing —
     # intentionally no SQL oracle (driver records rows-only)
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
