@@ -95,3 +95,16 @@ def test_filter_pushdown_reaches_scan(spark):
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in p or \
            "PushedFilters: [IsNotNull(lang), EqualTo(lang, en)]" in p or \
            ("PushedFilters" in p and "EqualTo(lang" in p)
+
+
+def test_validate_lineitem_plan_shape(spark):
+    """Scan-heavy validation query: ONE WholeStageCodegen span, zero
+    shuffle, and the scan reads only the 5 referenced columns (of 11)."""
+    from schemasaurus_spark.queries import QUERIES
+
+    df = QUERIES["validate_lineitem"](spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+    assert p.count("*(") >= 1 and "*(2)" not in p  # a single codegen stage
+    schema = p.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_quantity" in schema and "l_extendedprice" not in schema
