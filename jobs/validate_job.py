@@ -14,7 +14,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# local/standalone runs: the package sits next to jobs/; on a cluster
+# `spark-submit --py-files dist/schemasaurus_spark.zip` provides it instead
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def sequences_full_suite():
@@ -52,6 +57,18 @@ def main() -> int:
                     help="validate every snapshot not yet covered by "
                          "lineage (delta files only, carried-forward "
                          "lineage for unchanged files)")
+    ap.add_argument("--aggregate", action="store_true",
+                    help="also run the aggregate checks: doc_id uniqueness "
+                         "(exact salted) and PSI/KS drift of --drift-column "
+                         "vs the checkpointed baseline (bootstrap-written "
+                         "under --state on the first run)")
+    ap.add_argument("--drift-column", default="n_tok")
+    ap.add_argument("--drift-by", default="source",
+                    help="'none' = one global histogram (small groups make "
+                         "PSI/KS noisy at low row counts)")
+    ap.add_argument("--drift-edges", default="0,64,128,256,512,1024,2048",
+                    help="comma-separated fixed bucket edges (frozen into "
+                         "the baseline checkpoint)")
     args = ap.parse_args()
 
     # On a cluster, spark-submit provides the session; get_spark only fills
@@ -76,7 +93,7 @@ def main() -> int:
         run = runs[-1]
     else:
         run = cp.run(spark, store, suite, args.snapshot)
-    print(json.dumps({
+    report = {
         "snapshot_id": run.snapshot_id,
         "suite_hash": run.suite_hash,
         "files_validated": run.files_validated,
@@ -84,8 +101,40 @@ def main() -> int:
         "n_rows": run.n_rows,
         "n_violations": run.n_violations,
         "pass": run.table_pass,
-    }))
-    return 0 if run.table_pass else 1
+    }
+    agg_pass = True
+    if args.aggregate:
+        from schemasaurus_spark.operators import aggregates as agg
+        from schemasaurus_spark.plans.baseline import BaselineStore
+
+        df = store.read(spark, args.snapshot)
+        uniq = agg.uniqueness_check(df, suite.id_column)
+        report["unique_total"] = uniq.screen_total
+        report["unique_distinct"] = uniq.screen_distinct
+        report["unique_pass"] = uniq.screened_clean
+        agg_pass &= uniq.screened_clean
+
+        edges = [float(x) for x in args.drift_edges.split(",")]
+        drift_by = None if args.drift_by in ("", "none") else args.drift_by
+        bs = BaselineStore(args.state)
+        cur_hist = agg.histogram(df, args.drift_column, edges, by=drift_by)
+        loaded = bs.load(spark, args.drift_column)
+        if loaded is None:
+            bs.save(cur_hist, args.drift_column, edges)
+            report["drift"] = "baseline_bootstrapped"
+        else:
+            base_hist, base_edges = loaded
+            results = agg.drift_check(df, base_hist, args.drift_column,
+                                      base_edges, by=drift_by)
+            report["drift"] = [
+                {"group": r.group_key, "psi": round(r.psi, 6),
+                 "ks": round(r.ks, 6), "pass": r.passed}
+                for r in results
+            ]
+            agg_pass &= all(r.passed for r in results)
+    report["pass"] = bool(report["pass"] and agg_pass)
+    print(json.dumps(report))
+    return 0 if report["pass"] else 1
 
 
 if __name__ == "__main__":

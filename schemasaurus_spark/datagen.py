@@ -32,9 +32,12 @@ def gen_sequences(
     n_rows: int = 200,
     n_partitions: int = 4,
     max_tok: int = MAX_TOK,
+    start: int = 0,
 ) -> DataFrame:
-    """Clean table. Long-tail `source` skew (web ≈ 70%) exercises salting."""
-    df = spark.range(0, n_rows, 1, n_partitions).withColumnRenamed("id", "i")
+    """Clean table. Long-tail `source` skew (web ≈ 70%) exercises salting.
+    `start` offsets the row index so successive snapshots get disjoint
+    doc_ids (appends that re-use ids correctly trip the uniqueness check)."""
+    df = spark.range(start, start + n_rows, 1, n_partitions).withColumnRenamed("id", "i")
     u_src = _u(F.col("i"), 13, 100)
     source = (
         F.when(u_src < 70, "web")

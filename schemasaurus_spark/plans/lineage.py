@@ -122,12 +122,15 @@ class ValidationCheckpoint:
         committed = self.lineage(spark).select("attempt_id").distinct()
         return raw.join(F.broadcast(committed), ["attempt_id"], "left_semi")
 
-    def completed_files(self, spark: SparkSession, snapshot_id: str,
-                        suite_hash: str) -> set[str]:
+    def completed_files(self, spark: SparkSession, suite_hash: str) -> set[str]:
+        """Files already validated under this suite — under ANY snapshot:
+        parquet files are immutable, so a (suite_hash, file) lineage row is
+        permanently valid and carried-over files never re-validate when a
+        new snapshot appends siblings. (The row still records which snapshot
+        first covered the file.)"""
         lin = self.lineage(spark)
         rows = (
-            lin.where((F.col("snapshot_id") == snapshot_id)
-                      & (F.col("suite_hash") == suite_hash))
+            lin.where(F.col("suite_hash") == suite_hash)
             .select("file").collect()
         )
         return {r["file"] for r in rows}
@@ -138,12 +141,12 @@ class ValidationCheckpoint:
             snapshot_id: str | None = None) -> CheckpointedRun:
         snap = store._get(snapshot_id)
         suite_hash = suite.fingerprint()
-        done = self.completed_files(spark, snap.id, suite_hash)
+        done = self.completed_files(spark, suite_hash) & set(snap.files)
         todo = [f for f in snap.files if f not in done]
         if not todo:
             lin = self.lineage(spark).where(
-                (F.col("snapshot_id") == snap.id)
-                & (F.col("suite_hash") == suite_hash))
+                (F.col("suite_hash") == suite_hash)
+                & (F.col("file").isin(list(snap.files))))
             agg = lin.agg(F.sum("n_rows").alias("r"),
                           F.sum("n_violations").alias("v")).first()
             return CheckpointedRun(snap.id, suite_hash, 0, len(done),
@@ -221,10 +224,11 @@ class ValidationCheckpoint:
         spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA).coalesce(1) \
             .write.mode("append").parquet(str(self._table("lineage")))
 
+        # carried-over files' totals come from their original lineage rows
+        # (file-keyed: snapshot_id records first coverage, not the key)
         prev = self.lineage(spark).where(
-            (F.col("snapshot_id") == snap.id)
-            & (F.col("suite_hash") == suite_hash)
-            & (~F.col("file").isin(todo)))
+            (F.col("suite_hash") == suite_hash)
+            & (F.col("file").isin(list(done))))
         prev_agg = prev.agg(F.sum("n_rows").alias("r"),
                             F.sum("n_violations").alias("v")).first()
         return CheckpointedRun(

@@ -149,6 +149,31 @@ FROM documents GROUP BY lang
 """
 
 
+def q_stats_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group quantiles (F.percentile — the exact aggregate, not
+    percentile_approx) so DuckDB's quantile_cont matches bit-for-bit after
+    rounding; the approximate sketch path stays in stats_documents/tdigest."""
+    d = _t(spark, sf_dir, "documents")
+    x = F.col("n_chars").cast("double")
+    return (
+        d.groupBy(F.col("lang").alias("group_key"))
+        .agg(
+            F.round(F.percentile(x, F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile(x, F.lit(0.95)), 4).alias("p95"),
+            F.round(F.percentile(x, F.lit(0.99)), 4).alias("p99"),
+        )
+    )
+
+
+SQL_STATS_QUANTILES = """
+SELECT lang AS group_key,
+       ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS p50,
+       ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.95), 4) AS p95,
+       ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.99), 4) AS p99
+FROM documents GROUP BY lang
+"""
+
+
 def q_unique_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = agg.uniqueness_check(_t(spark, sf_dir, "events"), key="user_id")
     return res.violations.select(
@@ -912,6 +937,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "validate_documents": q_validate_documents,
     "verdict_by_source": q_verdict_by_source,
     "stats_documents": q_stats_documents,
+    "stats_quantiles": q_stats_quantiles,
     "unique_user_events": q_unique_user_events,
     "ref_lang": q_ref_lang,
     "hist_nchars": q_hist_nchars,
@@ -959,6 +985,7 @@ ORACLES: dict[str, str] = {
     "validate_documents": SQL_VALIDATE_DOCUMENTS,
     "verdict_by_source": SQL_VERDICT_BY_SOURCE,
     "stats_documents": SQL_STATS_DOCUMENTS,
+    "stats_quantiles": SQL_STATS_QUANTILES,
     "unique_user_events": SQL_UNIQUE_USER_EVENTS,
     "ref_lang": SQL_REF_LANG,
     "hist_nchars": SQL_HIST_NCHARS,

@@ -1,0 +1,47 @@
+"""End-to-end spark-submit job contract: checkpointed run + aggregate
+checks with baseline bootstrap/compare (north rule: packaged job,
+resumable, drift vs checkpointed baseline)."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_job(*args):
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "validate_job.py"), *args],
+        capture_output=True, text=True, timeout=600, cwd=REPO, env=env)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    assert lines, f"no JSON from job:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+    return json.loads(lines[-1]), out.returncode
+
+
+def test_job_aggregate_baseline_bootstrap_then_drift(spark, tmp_path):
+    from schemasaurus_spark import datagen
+    from schemasaurus_spark.sources.storage import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    store.append(datagen.finalize(datagen.gen_sequences(spark, 400, 4)))
+    state = str(tmp_path / "state")
+
+    # run 1: validates + bootstraps the drift baseline (global histogram —
+    # per-source groups are too small at 400 rows for stable PSI/KS)
+    rep1, rc1 = _run_job("--table", str(tmp_path / "tbl"), "--state", state,
+                         "--aggregate", "--drift-by", "none")
+    assert rc1 == 0 and rep1["pass"] and rep1["drift"] == "baseline_bootstrapped"
+    assert rep1["unique_pass"] and rep1["unique_total"] == 400
+
+    # append a second snapshot with the same distribution and DISJOINT ids
+    # (start=400): no drift, no duplicate keys, resume skips validated files
+    store.append(datagen.finalize(datagen.gen_sequences(spark, 200, 2,
+                                                        start=400)))
+    rep2, rc2 = _run_job("--table", str(tmp_path / "tbl"), "--state", state,
+                         "--aggregate", "--drift-by", "none")
+    assert rc2 == 0 and rep2["pass"], rep2
+    assert rep2["files_skipped"] > 0              # checkpoint resume worked
+    assert isinstance(rep2["drift"], list) and rep2["drift"]
+    assert all(g["pass"] for g in rep2["drift"])  # same generator => no drift
