@@ -41,6 +41,7 @@ from schemasaurus_spark.dsl import (
     NotNull,
     OneOf,
     Pattern,
+    Ref,
     Suite,
     TupleItems,
     TypeIs,
@@ -57,7 +58,7 @@ __all__ = [
     "ExclusiveMaximum", "ExclusiveMinimum", "Format", "MaxItems",
     "MaxLength", "Maximum", "MinItems", "MinLength", "Minimum",
     "Items", "KeyPattern", "MaxProperties", "MinProperties",
-    "MultipleOf", "Not", "NotNull", "OneOf", "Pattern", "Suite",
+    "MultipleOf", "Not", "NotNull", "OneOf", "Pattern", "Ref", "Suite",
     "TupleItems", "TypeIs", "UniqueItems", "register_constraint",
     "compile_suite", "ValidationPlan", "validate", "ValidationResult",
     "AggregateChecks", "run_full_validation",
