@@ -237,6 +237,22 @@ class ConstraintCompiler:
     def _msg(self, code: str, arg=None) -> str:
         return render_message(code, arg, overrides=self.suite.messages)
 
+    def _str_len(self, col: Column) -> Column:
+        """String length under the suite's strLength mode (the reference's
+        pluggable strLength, v4validator.js:15-17) — all expression-only:
+        codepoints = length(); utf16 = astral chars count 2 (JS
+        String.length parity); graphemes = combining marks (\\p{M}) fold
+        into their base character."""
+        mode = getattr(self.suite, "str_length", "codepoints")
+        if mode == "codepoints":
+            return F.length(col)
+        if mode == "utf16":
+            return F.length(
+                F.regexp_replace(col, r"[\x{10000}-\x{10FFFF}]", "__"))
+        if mode == "graphemes":
+            return F.length(F.regexp_replace(col, r"\p{M}", ""))
+        raise SuiteCompileError(f"unknown str_length mode '{mode}'")
+
     def _compile_column(self, col_name: str, constraints: list[dsl.Constraint]) -> CompiledColumn:
         col = F.col(col_name)
         cc = CompiledColumn(col_name)
@@ -331,10 +347,10 @@ class ConstraintCompiler:
 
         elif isinstance(c, dsl.MinLength):
             if _is_string(dt):
-                emit("minLength", F.length(col) < c.value, arg=c.value, message=m)
+                emit("minLength", self._str_len(col) < c.value, arg=c.value, message=m)
         elif isinstance(c, dsl.MaxLength):
             if _is_string(dt):
-                emit("maxLength", F.length(col) > c.value, arg=c.value, message=m)
+                emit("maxLength", self._str_len(col) > c.value, arg=c.value, message=m)
         elif isinstance(c, dsl.Pattern):
             if _is_string(dt):
                 # JS .match() is an unanchored search → rlike, not full match

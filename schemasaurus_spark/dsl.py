@@ -444,6 +444,14 @@ class Suite:
     # processor.js:90-111): undeclared DataFrame columns are violations.
     # Static against df.schema, so it reports per column, not per row.
     allow_undeclared_columns: bool = True
+    # the reference's pluggable strLength option (v4validator.js:15-17;
+    # official_suite_spec.js:34-36 passes a grapheme counter):
+    #   "codepoints" — Spark length() (default; JS String.length differs
+    #                  only on astral chars, which count 2 in UTF-16)
+    #   "utf16"      — JS String.length parity (astral chars count 2)
+    #   "graphemes"  — combining marks fold into their base char (the
+    #                  common grapheme-cluster case, expression-only)
+    str_length: str = "codepoints"
 
     def fingerprint(self) -> str:
         """Stable, process-independent hash of the suite definition, used in

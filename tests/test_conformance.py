@@ -362,3 +362,22 @@ def test_ref_inside_combinator_branch(spark):
     rows = validate(df, suite).violations().collect()
     got = {(r["v"], r["constraint_id"]) for r in rows}
     assert got == {(50, "anyOf"), (50, "maximum"), (50, "minimum")}
+
+
+@pytest.mark.parametrize("mode,value,limit,expect_fail", [
+    # 𝄞 (U+1D11E, astral): 1 codepoint, 2 UTF-16 units, 1 grapheme
+    ("codepoints", "𝄞𝄞", 3, True),
+    ("utf16", "𝄞𝄞", 3, False),          # JS "𝄞𝄞".length == 4 >= 3
+    ("graphemes", "𝄞𝄞", 3, True),
+    # e + combining acute (2 codepoints, 1 grapheme)
+    ("codepoints", "ééé", 4, False),  # 6 codepoints
+    ("graphemes", "ééé", 4, True),    # 3 graphemes < 4
+])
+def test_str_length_modes(spark, mode, value, limit, expect_fail):
+    """Pluggable strLength (v4validator.js:15-17; the official-suite harness
+    counts graphemes, official_suite_spec.js:34-36) — expression-only."""
+    df = spark.createDataFrame([(value,)], "v string")
+    suite = dsl.Suite(id_column="v", columns={"v": [dsl.MinLength(limit)]},
+                      str_length=mode)
+    got = {r["constraint_id"] for r in validate(df, suite).violations().collect()}
+    assert got == ({"minLength"} if expect_fail else set())
