@@ -235,7 +235,8 @@ class ConstraintCompiler:
         return _has_path(self.schema, col_name)
 
     def _msg(self, code: str, arg=None) -> str:
-        return render_message(code, arg, overrides=self.suite.messages)
+        return render_message(code, arg, overrides=self.suite.messages,
+                              gettext=getattr(self.suite, "gettext", None))
 
     def _str_len(self, col: Column) -> Column:
         """String length under the suite's strLength mode (the reference's

@@ -452,6 +452,13 @@ class Suite:
     #   "graphemes"  — combining marks fold into their base char (the
     #                  common grapheme-cluster case, expression-only)
     str_length: str = "codepoints"
+    # translation hook wrapping every catalog/override lookup — the
+    # reference's opts.gettext (v4validator.js:15-17). Runs at COMPILE time
+    # (messages are folded into the plan as literals), so it costs nothing
+    # per row. Note: functions repr with normalized addresses, so two
+    # suites differing only in gettext share a fingerprint — acceptable
+    # because gettext changes message text, never validity.
+    gettext: Optional[Callable] = None
 
     def fingerprint(self) -> str:
         """Stable, process-independent hash of the suite definition, used in

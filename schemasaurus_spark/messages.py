@@ -80,7 +80,9 @@ def render_message(
     if overrides and code in overrides:
         msg = gettext(overrides[code])
     elif code in DEFAULT_MESSAGES:
-        msg = DEFAULT_MESSAGES[code]
+        # the reference builds its default catalog as messages(gettext) —
+        # translation covers defaults too (v4validator.js:18-20)
+        msg = gettext(DEFAULT_MESSAGES[code])
     elif code.startswith("format.") or code.startswith("custom."):
         # format/custom codes carry their message as the arg
         # (v4validator.js:207-213, 310-322).

@@ -64,6 +64,21 @@ def windowed_verdicts(stream_df: DataFrame, suite: Suite,
     )
 
 
+def violations_sink(stream_df: DataFrame, suite: Suite, out_dir: str,
+                    checkpoint_dir: str):
+    """Exactly-once violations sink: append-mode parquet with a streaming
+    checkpoint — Spark's commit log makes batch replays idempotent, so a
+    crashed-and-restarted query never duplicates violation rows (the
+    streaming analog of the batch attempt-id protocol in plans/lineage.py).
+    Returns the StreamingQuery handle."""
+    v = stream_violations(stream_df, suite)
+    return (v.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .start())
+
+
 def windowed_drift(stream_df: DataFrame, column: str, edges: list[float],
                    baseline_probs: list[float],
                    time_col: str = "ts", window: str = "10 seconds",
@@ -91,14 +106,22 @@ def windowed_drift(stream_df: DataFrame, column: str, edges: list[float],
         F.count(x).alias("n_rows"), *bucket_sums)
     total = F.greatest(F.col("n_rows"), F.lit(1)).cast("double")
     psi = None
+    ks = None
+    cum_q, cum_p = F.lit(0.0), 0.0
     for i, p0 in enumerate(baseline_probs):
         q = F.greatest(F.col(f"b{i}") / total, F.lit(eps))
         p = F.lit(max(p0, eps))
         term = (q - p) * F.log(q / p)
         psi = term if psi is None else psi + term
+        # KS on the bucketized CDFs: running sums are plain expressions
+        cum_q = cum_q + q
+        cum_p = cum_p + max(p0, eps)
+        gap = F.abs(cum_q - F.lit(cum_p))
+        ks = gap if ks is None else F.greatest(ks, gap)
     return agged.select(
         F.col("w.start").alias("w_start"),
         "n_rows",
         F.round(psi, 6).alias("psi"),
+        F.round(ks, 6).alias("ks"),
         (psi > psi_threshold).alias("drifted"),
     )

@@ -381,3 +381,22 @@ def test_str_length_modes(spark, mode, value, limit, expect_fail):
                       str_length=mode)
     got = {r["constraint_id"] for r in validate(df, suite).violations().collect()}
     assert got == ({"minLength"} if expect_fail else set())
+
+
+def test_gettext_hook_translates_defaults_and_overrides(spark):
+    """opts.gettext analog (v4validator.js:15-20): wraps BOTH the default
+    catalog and per-suite overrides; folded at compile time."""
+    df = spark.createDataFrame([(1,)], "v int")
+    # gettext sees the TEMPLATE (pre-interpolation), like the reference's
+    # messages(gettext) catalog construction
+    tr = {"shall be >= %d": "doit être >= %d", "trop grand": "TROP GRAND"}
+    suite = dsl.Suite(
+        id_column="v",
+        columns={"v": [dsl.Minimum(5), dsl.Maximum(0)]},
+        messages={"maximum": "trop grand"},
+        gettext=lambda s: tr.get(s, s),
+    )
+    got = {r["constraint_id"]: r["message"]
+           for r in validate(df, suite).violations().collect()}
+    assert got["minimum"] == "doit être >= 5"   # default, translated + %d
+    assert got["maximum"] == "TROP GRAND"       # override, translated
