@@ -812,6 +812,50 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(emb, qvec, k=10, n_probe=8)
 
 
+def q_jsonschema_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation driven by a raw draft-4 JSON Schema document — the
+    reference's own input format (iterator.js:16-20), translated by
+    schema_json.suite_from_json_schema."""
+    from schemasaurus_spark.schema_json import suite_from_json_schema
+
+    schema = {
+        "type": "object",
+        "required": ["doc_id"],
+        "properties": {
+            "doc_id": {"type": "integer"},
+            "lang": {"enum": ["en", "es", "de", "fr"]},
+            "n_chars": {"minimum": 60, "maximum": 500,
+                        "exclusiveMaximum": True},
+            "source": {"pattern": "^src[0-9]+$", "minLength": 4},
+        },
+    }
+    suite = suite_from_json_schema(schema, id_column="doc_id",
+                                   name="jsonschema_docs")
+    res = validate(_t(spark, sf_dir, "documents"), suite)
+    return res.violations().select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "constraint_id", "column")
+
+
+SQL_JSONSCHEMA_VALIDATE = """
+SELECT doc_id, 'enum' AS constraint_id, 'lang' AS column
+  FROM documents WHERE lang IS NOT NULL AND lang NOT IN ('en','es','de','fr')
+UNION ALL
+SELECT doc_id, 'minimum', 'n_chars'
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars < 60
+UNION ALL
+SELECT doc_id, 'maximum.exclusive', 'n_chars'
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 500
+UNION ALL
+SELECT doc_id, 'pattern', 'source'
+  FROM documents WHERE source IS NOT NULL
+         AND NOT regexp_matches(source, '^src[0-9]+$')
+UNION ALL
+SELECT doc_id, 'minLength', 'source'
+  FROM documents WHERE source IS NOT NULL AND length(source) < 4
+"""
+
+
 def q_validate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan-heavy validation: the full constraint machinery over the largest
     table (lineitem), one projection, ~10% violation rate. Composite row id
@@ -966,6 +1010,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling": q_events_tumbling,
     "rollup_docs": q_rollup_docs,
     "sessionize_events": q_sessionize_events,
+    "jsonschema_validate": q_jsonschema_validate,
     "validate_lineitem": q_validate_lineitem,
     "salted_events_stats": q_salted_events_stats,
     "docs_except": q_docs_except,
@@ -1014,6 +1059,7 @@ ORACLES: dict[str, str] = {
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "rollup_docs": SQL_ROLLUP_DOCS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
+    "jsonschema_validate": SQL_JSONSCHEMA_VALIDATE,
     "validate_lineitem": SQL_VALIDATE_LINEITEM,
     "salted_events_stats": SQL_SALTED_EVENTS_STATS,
     "docs_except": SQL_DOCS_EXCEPT,

@@ -1,0 +1,99 @@
+"""Draft-4 JSON Schema → Suite translation: the reference's own input
+format works unchanged (iterator.js:16-20 newValidator(schema))."""
+
+import pytest
+
+from schemasaurus_spark import dsl, validate
+from schemasaurus_spark.schema_json import (
+    SchemaTranslationError, suite_from_json_schema,
+)
+
+
+SCHEMA = {
+    "type": "object",
+    "required": ["doc_id"],
+    "additionalProperties": False,
+    "properties": {
+        "doc_id": {"type": "integer"},
+        "lang": {"enum": ["en", "es"], "messages": {"enum": "bad lang!"}},
+        "n_tok": {"type": "integer", "minimum": 1, "maximum": 100,
+                  "exclusiveMaximum": True, "multipleOf": 1},
+        "email": {"format": "email"},
+        "name": {"minLength": 2, "maxLength": 10, "pattern": "^[a-z]"},
+        "tokens": {"minItems": 1, "uniqueItems": True,
+                   "items": {"minimum": 0}},
+        "pair": {"items": [{"enum": ["a"]}, {"minimum": 5}],
+                 "additionalItems": False},
+        "score": {"oneOf": [{"minimum": 90}, {"maximum": 10}]},
+        "alias": {"$ref": "#/definitions/shortstr"},
+    },
+    "dependencies": {
+        "email": ["name"],
+    },
+    "definitions": {
+        "shortstr": {"minLength": 1, "maxLength": 3},
+    },
+}
+
+
+def test_translation_shape():
+    s = suite_from_json_schema(SCHEMA, id_column="doc_id")
+    assert isinstance(s.columns["doc_id"][0], dsl.NotNull)      # required[]
+    assert isinstance(s.columns["lang"][0], dsl.Enum)
+    assert s.columns["lang"][0].message == "bad lang!"
+    kinds = [type(c).__name__ for c in s.columns["n_tok"]]
+    assert kinds == ["TypeIs", "Minimum", "ExclusiveMaximum", "MultipleOf"]
+    assert isinstance(s.columns["alias"][0], dsl.Ref)
+    assert "shortstr" in s.definitions
+    assert not s.allow_undeclared_columns
+    assert s.row and isinstance(s.row[0][1], dsl.Dependency)
+
+
+def test_translated_suite_validates(spark):
+    s = suite_from_json_schema(SCHEMA, id_column="doc_id")
+    df = spark.createDataFrame(
+        [
+            # clean row
+            (1, "en", 50, "a@b.co", "alice", [1, 2], ["a", 9], 95, "ok"),
+            # lang enum fail, n_tok exclusiveMaximum fail, tokens dup,
+            # pair extra... no extra; alias too long (ref), email w/o name
+            (2, "zz", 100, "a@b.co", None, [3, 3], ["b", 1], 50, "toolong"),
+        ],
+        "doc_id int, lang string, n_tok int, email string, name string, "
+        "tokens array<int>, pair array<string>, score int, alias string")
+    # pair is array<string>: minimum(5) on element 2 compares strings —
+    # drop pair checks by removing the column from this frame's suite
+    s2 = suite_from_json_schema(
+        {**SCHEMA, "properties": {k: v for k, v in SCHEMA["properties"].items()
+                                  if k != "pair"}}, id_column="doc_id")
+    got = {(r["doc_id"], r["constraint_id"])
+           for r in validate(df.drop("pair"), s2).violations().collect()}
+    assert (2, "enum") in got                      # lang
+    assert (2, "maximum.exclusive") in got         # n_tok == 100
+    assert (2, "uniqueItems") in got               # [3,3]
+    assert (2, "maxLength") in got                 # alias via $ref
+    assert (2, "dependency") in got and (2, "required") in got  # email→name
+    assert (2, "oneOf") not in got                 # score 50: in [10,90]... 
+    # score 50 passes neither minimum>=90 nor... wait: maximum(10) fails,
+    # minimum(90) fails -> oneOf.zero
+    assert (2, "oneOf.zero") in got
+    assert all(d != 1 for d, _ in got)             # clean row stays clean
+
+
+def test_unknown_keyword_is_loud():
+    with pytest.raises(SchemaTranslationError, match="maxContains"):
+        suite_from_json_schema({"type": "object", "properties": {
+            "x": {"maxContains": 3}}})
+
+
+def test_conform_requires_registered_fn(spark):
+    import pyspark.sql.functions as F
+
+    sch = {"type": "object", "properties": {"v": {"conform": {"pos": True}}}}
+    with pytest.raises(SchemaTranslationError, match="custom_fns"):
+        suite_from_json_schema(sch)
+    s = suite_from_json_schema(sch, id_column="v",
+                               custom_fns={"pos": lambda c: c > 0})
+    df = spark.createDataFrame([(5,), (-1,)], "v int")
+    rows = validate(df, s).violations().collect()
+    assert [(r["v"], r["constraint_id"]) for r in rows] == [(-1, "custom.pos")]
