@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
+from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -118,7 +119,7 @@ class UniquenessResult:
 
 def uniqueness_check(
     df: DataFrame,
-    key: str = "doc_id",
+    key: str | Sequence[str] = "doc_id",
     id_column: str | None = None,
     salt_buckets: int = 64,
     hll_rsd: float = 0.01,
@@ -137,17 +138,27 @@ def uniqueness_check(
     map-side-combined shuffle of (key, salt) partials, and the violations
     collection reuses the completed shuffle stages (same plan instance).
     `hll_rsd` is kept for API compatibility; it is no longer load-bearing.
+
+    ``key`` may be a single column or a list (composite key): phase 1 then
+    groups on all key columns + salt, and violation rows carry the
+    components joined with '|'.
     """
-    id_column = id_column or key
+    keys = [key] if isinstance(key, str) else list(key)
     spark = df.sparkSession
 
     # Phase 1: salted partial counts — immune to a single mega-hot key.
     salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
-    # NULL keys are excluded (SQL UNIQUE semantics: NULL != NULL); NULL
-    # presence belongs to NotNull / null_rate_check.
+    # NULL keys are excluded (SQL UNIQUE semantics: NULL != NULL — for a
+    # composite key, any NULL component); NULL presence belongs to
+    # NotNull / null_rate_check.
+    not_null = F.lit(True)
+    for kc in keys:
+        not_null = not_null & F.col(kc).isNotNull()
+    k = (F.col(keys[0]) if len(keys) == 1
+         else F.concat_ws("|", *[F.col(kc).cast("string") for kc in keys]))
     partial = (
-        df.select(F.col(key).alias("k"))
-        .where(F.col("k").isNotNull())
+        df.where(not_null)
+        .select(k.alias("k"))
         .withColumn("salt", salt)
         .groupBy("k", "salt")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -185,7 +196,7 @@ def uniqueness_check(
         .select(
             F.col("k").cast("string").alias("doc_id"),
             F.lit("unique.doc_id").alias("constraint_id"),
-            F.lit(key).alias("column"),
+            F.lit("|".join(keys)).alias("column"),
             F.col("k").cast("string").alias("value"),
             F.col("occ").cast("string").alias("arg"),
             F.lit(msg).alias("message"),

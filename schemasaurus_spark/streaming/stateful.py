@@ -8,13 +8,16 @@ emits one violation row per duplicate occurrence beyond the first, matching
 the batch check's semantics (one row per extra occurrence, value = the key).
 
 State is partitioned by key (groupBy shuffle), so state size scales out
-with executors; a production deployment bounds it with a timeout
-(``GroupStateTimeout.ProcessingTimeTimeout``) or key TTL.
+with executors — but at 10^12 distinct keys it still grows without bound,
+so ``ttl_minutes`` arms a ProcessingTimeTimeout per key: a key idle longer
+than the TTL has its state evicted (duplicates further apart than the TTL
+go undetected — the documented trade; the exact batch check over the full
+table remains the ground truth).
 """
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator, Tuple
+from typing import Iterator, Tuple
 
 import pandas as pd
 
@@ -27,36 +30,48 @@ OUT_SCHEMA = (
 STATE_SCHEMA = "count long"
 
 
-def _dedup_fn(
-    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (k,) = key
-    seen = state.get[0] if state.exists else 0
-    new = sum(len(pdf) for pdf in pdfs)
-    total = seen + new
-    state.update((total,))
-    # first-ever occurrence is legitimate; everything after is a violation
-    start = max(seen + 1, 2)
-    occurrences = list(range(start, total + 1))
-    if occurrences:
-        yield pd.DataFrame({
-            "key": [k] * len(occurrences),
-            "occurrence": occurrences,
-            "constraint_id": ["unique.doc_id"] * len(occurrences),
-            "message": ["shall be unique across the table"] * len(occurrences),
-        })
+def _make_dedup_fn(ttl_ms: int | None):
+    def fn(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # idle key: evict, bounded state
+            return
+        (k,) = key
+        seen = state.get[0] if state.exists else 0
+        new = sum(len(pdf) for pdf in pdfs)
+        total = seen + new
+        state.update((total,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        # first-ever occurrence is legitimate; everything after violates
+        start = max(seen + 1, 2)
+        occurrences = list(range(start, total + 1))
+        if occurrences:
+            yield pd.DataFrame({
+                "key": [k] * len(occurrences),
+                "occurrence": occurrences,
+                "constraint_id": ["unique.doc_id"] * len(occurrences),
+                "message": ["shall be unique across the table"]
+                           * len(occurrences),
+            })
+    return fn
 
 
-def stream_duplicate_keys(stream_df: DataFrame, key_col: str = "doc_id") -> DataFrame:
-    """Per-key duplicate-occurrence stream (append mode)."""
+def stream_duplicate_keys(stream_df: DataFrame, key_col: str = "doc_id",
+                          ttl_minutes: float | None = None) -> DataFrame:
+    """Per-key duplicate-occurrence stream (append mode). ``ttl_minutes``
+    bounds state: keys idle past the TTL are evicted (see module doc)."""
+    ttl_ms = int(ttl_minutes * 60_000) if ttl_minutes else None
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl_ms
+               else GroupStateTimeout.NoTimeout)
     return (
         stream_df.select(stream_df[key_col].cast("string").alias("key"))
         .groupBy("key")
         .applyInPandasWithState(
-            _dedup_fn,
+            _make_dedup_fn(ttl_ms),
             outputStructType=OUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )

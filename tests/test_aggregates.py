@@ -148,3 +148,19 @@ def test_token_id_drift(spark):
     by_key = {r.group_key: r for r in res}
     assert not by_key["web"].passed
     assert by_key["books"].passed
+
+
+def test_uniqueness_composite_key(spark):
+    """Composite-key uniqueness: duplicate (a, b) pairs are flagged; rows
+    with any NULL component are excluded (SQL UNIQUE semantics)."""
+    from schemasaurus_spark.operators import aggregates as agg
+
+    df = spark.createDataFrame(
+        [("u1", "d1"), ("u1", "d2"), ("u1", "d1"),       # dup pair
+         ("u2", None), ("u2", None)],                     # NULLs excluded
+        "user string, day string")
+    res = agg.uniqueness_check(df, key=["user", "day"], salt_buckets=4)
+    assert not res.screened_clean
+    assert res.screen_total == 3 and res.screen_distinct == 2
+    rows = res.violations.collect()
+    assert [(r["doc_id"], r["column"]) for r in rows] == [("u1|d1", "user|day")]
