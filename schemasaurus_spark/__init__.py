@@ -52,7 +52,7 @@ from schemasaurus_spark.compiler import compile_suite, ValidationPlan
 from schemasaurus_spark.validate import validate, ValidationResult
 from schemasaurus_spark.engine import AggregateChecks, run_full_validation
 from schemasaurus_spark.normalizer import NormalizerSpec, col_spec, normalize
-from schemasaurus_spark.schema_json import suite_from_json_schema
+from schemasaurus_spark.schema_json import suite_from_json_schema, suite_to_json_schema
 
 __all__ = [
     "AllOf", "AnyOf", "Conform", "Dependency", "Enum",
@@ -64,7 +64,7 @@ __all__ = [
     "compile_suite", "ValidationPlan", "validate", "ValidationResult",
     "AggregateChecks", "run_full_validation",
     "NormalizerSpec", "col_spec", "normalize",
-    "suite_from_json_schema",
+    "suite_from_json_schema", "suite_to_json_schema",
 ]
 
 __version__ = "0.1.0"

@@ -430,7 +430,34 @@ FROM documents WHERE n_chars IS NOT NULL AND n_chars % 2 <> 0
 """
 
 
+def q_conformance_undeclared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level additionalProperty=false (v4validator.js:287): undeclared
+    DataFrame columns each yield ONE violation (schema is static → per
+    column, not per row — documented divergence, COVERAGE.md)."""
+    d = _docs(spark, sf_dir).withColumn("rogue", F.lit("x")) \
+                            .withColumn("rogue2", F.lit(1))
+    suite = dsl.Suite(
+        id_column="doc_id",
+        columns={"lang": [dsl.NotNull()], "n_chars": [dsl.Minimum(0)],
+                 "text": [], "source": []},
+        allow_undeclared_columns=False,
+        name="conformance_undeclared",
+    )
+    return (validate(d, suite).violations()
+            .where(F.col("constraint_id") == "additionalProperties")
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "constraint_id", "column"))
+
+
+SQL_CONFORMANCE_UNDECLARED = """
+SELECT CAST(NULL AS BIGINT) AS doc_id,
+       'additionalProperties' AS constraint_id, c AS column
+FROM (VALUES ('rogue'), ('rogue2')) AS t(c)
+"""
+
+
 CONFORMANCE_QUERIES = {
+    "conformance_undeclared": q_conformance_undeclared,
     "conformance_scalar": q_conformance_scalar,
     "conformance_array": q_conformance_array,
     "conformance_unique": q_conformance_unique,
@@ -442,6 +469,7 @@ CONFORMANCE_QUERIES = {
 }
 
 CONFORMANCE_ORACLES = {
+    "conformance_undeclared": SQL_CONFORMANCE_UNDECLARED,
     "conformance_scalar": SQL_CONFORMANCE_SCALAR,
     "conformance_array": SQL_CONFORMANCE_ARRAY,
     "conformance_unique": SQL_CONFORMANCE_UNIQUE,

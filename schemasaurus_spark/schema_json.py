@@ -158,6 +158,137 @@ def _constraints_from(schema: dict, custom_fns: Optional[dict],
     return out
 
 
+def _constraint_to_keywords(c: dsl.Constraint) -> dict:
+    """Inverse of _constraints_from for the JSON-expressible constraints."""
+    m = {"messages": {c.code: c.message}} if c.message else {}
+    if isinstance(c, dsl.NotNull):
+        return {"required": True, **m}
+    if isinstance(c, dsl.TypeIs):
+        return {"type": c.type}
+    if isinstance(c, dsl.Enum):
+        return {"enum": list(c.values), **m}
+    if isinstance(c, dsl.Minimum):
+        return {"minimum": c.value, **m}
+    if isinstance(c, dsl.ExclusiveMinimum):
+        return {"minimum": c.value, "exclusiveMinimum": True, **m}
+    if isinstance(c, dsl.Maximum):
+        return {"maximum": c.value, **m}
+    if isinstance(c, dsl.ExclusiveMaximum):
+        return {"maximum": c.value, "exclusiveMaximum": True, **m}
+    if isinstance(c, dsl.MultipleOf):
+        return {"multipleOf": c.value, **m}
+    if isinstance(c, dsl.MinLength):
+        return {"minLength": c.value, **m}
+    if isinstance(c, dsl.MaxLength):
+        return {"maxLength": c.value, **m}
+    if isinstance(c, dsl.Pattern):
+        return {"pattern": c.regex, **m}
+    if isinstance(c, dsl.Format):
+        return {"format": c.name}
+    if isinstance(c, dsl.MinItems):
+        return {"minItems": c.value, **m}
+    if isinstance(c, dsl.MaxItems):
+        return {"maxItems": c.value, **m}
+    if isinstance(c, dsl.UniqueItems):
+        return {"uniqueItems": True, **m}
+    if isinstance(c, dsl.Items):
+        return {"items": _merge([_constraint_to_keywords(s)
+                                 for s in c.constraints])}
+    if isinstance(c, dsl.TupleItems):
+        return {"items": [_merge([_constraint_to_keywords(x) for x in spec])
+                          for spec in c.specs],
+                "additionalItems": c.additional}
+    if isinstance(c, dsl.MinProperties):
+        return {"minProperties": c.value, **m}
+    if isinstance(c, dsl.MaxProperties):
+        return {"maxProperties": c.value, **m}
+    if isinstance(c, dsl.KeyPattern):
+        return {"patternProperties": {p: {} for p in c.patterns}, **m}
+    if isinstance(c, dsl.AllOf):
+        return {"allOf": [_merge([_constraint_to_keywords(x) for x in b])
+                          for b in c.branches], **m}
+    if isinstance(c, dsl.AnyOf):
+        return {"anyOf": [_merge([_constraint_to_keywords(x) for x in b])
+                          for b in c.branches], **m}
+    if isinstance(c, dsl.OneOf):
+        return {"oneOf": [_merge([_constraint_to_keywords(x) for x in b])
+                          for b in c.branches], **m}
+    if isinstance(c, dsl.Not):
+        return {"not": _merge([_constraint_to_keywords(x)
+                               for x in c.branch]), **m}
+    if isinstance(c, dsl.Ref):
+        return {"$ref": f"#/definitions/{c.name}"}
+    if isinstance(c, dsl.Conform):
+        return {"conform": {c.name or "anonymous": True}}
+    raise SchemaTranslationError(
+        f"{type(c).__name__} has no JSON-Schema form")
+
+
+def _merge(dicts: list[dict]) -> dict:
+    out: dict = {}
+    for d in dicts:
+        for k, v in d.items():
+            if k == "messages":
+                out.setdefault("messages", {}).update(v)
+            elif k in out and out[k] != v:
+                raise SchemaTranslationError(
+                    f"conflicting values for keyword '{k}' in one schema")
+            else:
+                out[k] = v
+    return out
+
+
+def suite_to_json_schema(suite: dsl.Suite) -> dict:
+    """Inverse translation for the JSON-expressible subset: a Suite built
+    from suite_from_json_schema round-trips (same compiled plan). Conform
+    functions emit {"conform": {name: true}} — the function itself travels
+    via custom_fns, like the reference's options.custom."""
+    props: dict = {}
+    required: list[str] = []
+    for col, constraints in suite.columns.items():
+        cs = list(constraints)
+        if cs and isinstance(cs[0], dsl.NotNull):
+            required.append(col)
+            cs = cs[1:]
+        props[col] = _merge([_constraint_to_keywords(c) for c in cs])
+    deps: dict = {}
+    for on, c in suite.row:
+        if not isinstance(c, dsl.Dependency):
+            raise SchemaTranslationError(
+                f"row constraint {type(c).__name__} has no JSON form")
+        if c.requires:
+            deps[c.on] = list(c.requires)
+        else:
+            sub_props: dict = {}
+            sub_required: list[str] = []
+            for target, sc in c.constraints:
+                if isinstance(sc, dsl.NotNull):
+                    sub_required.append(target)
+                else:
+                    sub_props[target] = _merge(
+                        [sub_props.get(target, {}),
+                         _constraint_to_keywords(sc)])
+            d: dict = {"properties": sub_props}
+            if sub_required:
+                d["required"] = sub_required
+            deps[c.on] = d
+    out: dict = {"type": "object", "properties": props}
+    if required:
+        out["required"] = required
+    if deps:
+        out["dependencies"] = deps
+    if suite.definitions:
+        out["definitions"] = {
+            n: _merge([_constraint_to_keywords(c) for c in cs])
+            for n, cs in suite.definitions.items()
+        }
+    if suite.messages:
+        out["messages"] = dict(suite.messages)
+    if not suite.allow_undeclared_columns:
+        out["additionalProperties"] = False
+    return out
+
+
 def suite_from_json_schema(
     schema: dict,
     id_column: str = "doc_id",

@@ -97,3 +97,36 @@ def test_conform_requires_registered_fn(spark):
     df = spark.createDataFrame([(5,), (-1,)], "v int")
     rows = validate(df, s).violations().collect()
     assert [(r["v"], r["constraint_id"]) for r in rows] == [(-1, "custom.pos")]
+
+
+def test_round_trip_preserves_compiled_plan():
+    """suite → JSON → suite reconstructs identical constraint dataclasses
+    (same fingerprint ⇒ same compiled plan, resume-compatible)."""
+    from schemasaurus_spark.schema_json import suite_to_json_schema
+
+    suite = dsl.Suite(
+        id_column="doc_id",
+        columns={
+            "doc_id": [dsl.NotNull(), dsl.TypeIs("integer")],
+            "lang": [dsl.Enum(["en", "es"], message="bad")],
+            "n": [dsl.Minimum(1), dsl.ExclusiveMaximum(100),
+                  dsl.MultipleOf(2)],
+            "s": [dsl.MinLength(1), dsl.Pattern("^a"), dsl.Format("email")],
+            "arr": [dsl.MinItems(1), dsl.UniqueItems(),
+                    dsl.Items([dsl.Minimum(0)])],
+            "tup": [dsl.TupleItems([[dsl.Enum(["x"])]], additional=False)],
+            "m": [dsl.MinProperties(1), dsl.KeyPattern(["^k"])],
+            "c": [dsl.OneOf([[dsl.Minimum(9)], [dsl.Maximum(1)]]),
+                  dsl.Not([dsl.Enum(["z"])])],
+            "r": [dsl.Ref("short")],
+        },
+        row=[("a", dsl.Dependency(on="a", requires=["b"]))],
+        definitions={"short": [dsl.MaxLength(3)]},
+        messages={"minimum": "too small"},
+        allow_undeclared_columns=False,
+        name="rt",
+    )
+    js = suite_to_json_schema(suite)
+    back = suite_from_json_schema(js, id_column="doc_id", name="rt")
+    assert back.fingerprint() == suite.fingerprint()
+    assert suite_to_json_schema(back) == js  # JSON form is a fixpoint
