@@ -118,3 +118,17 @@ def test_fuzz_random_suites_compile_and_run(spark, data):
     assert all(r["i"] in ids for r in v)
     # verdict coherence: table valid iff zero violations
     assert res.is_valid() == (len(v) == 0)
+
+    # JSON round-trip property: every fuzzed suite is JSON-expressible and
+    # must produce the IDENTICAL violation SET after suite → JSON → suite.
+    # Sets, not multisets: the DSL admits duplicate identical constraints
+    # (e.g. [NotNull, NotNull]) which a JSON object cannot represent — the
+    # translator rightly collapses them (found by this fuzzer).
+    from schemasaurus_spark.schema_json import (
+        suite_from_json_schema, suite_to_json_schema,
+    )
+
+    back = suite_from_json_schema(suite_to_json_schema(suite), id_column="i")
+    v2 = validate(df, back).violations().collect()
+    key = lambda r: (r["i"], r["constraint_id"], r["column"], r["value"])
+    assert set(map(key, v)) == set(map(key, v2))
