@@ -49,7 +49,7 @@ from schemasaurus_spark.dsl import (
     register_constraint,
 )
 from schemasaurus_spark.compiler import compile_suite, ValidationPlan
-from schemasaurus_spark.validate import validate, ValidationResult
+from schemasaurus_spark.validate import validate, ValidationResult, make_value_validator
 from schemasaurus_spark.engine import AggregateChecks, run_full_validation
 from schemasaurus_spark.normalizer import NormalizerSpec, col_spec, normalize
 from schemasaurus_spark.schema_json import suite_from_json_schema, suite_to_json_schema
@@ -61,7 +61,7 @@ __all__ = [
     "Items", "KeyPattern", "MaxProperties", "MinProperties",
     "MultipleOf", "Not", "NotNull", "OneOf", "Pattern", "Ref", "Suite",
     "TupleItems", "TypeIs", "UniqueItems", "register_constraint",
-    "compile_suite", "ValidationPlan", "validate", "ValidationResult",
+    "compile_suite", "ValidationPlan", "validate", "ValidationResult", "make_value_validator",
     "AggregateChecks", "run_full_validation",
     "NormalizerSpec", "col_spec", "normalize",
     "suite_from_json_schema", "suite_to_json_schema",

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from schemasaurus_spark.compiler import (
     VIOLATIONS_COL,
@@ -136,3 +136,30 @@ def validate(df: DataFrame, suite: Suite) -> ValidationResult:
     """Compile (once, driver-side) + apply (lazy)."""
     plan = compile_suite(suite, df.schema)
     return ValidationResult(plan, plan.apply(df))
+
+
+def make_value_validator(spark, suite: Suite, schema: str):
+    """The reference's per-value entry point, verbatim shape:
+    ``newValidator(schema)`` returns ``fn(value) -> {valid, errors}``
+    (v4validator.js:326-331; iterator.js:16-20). Compile ONCE, then call
+    with plain dicts; each error carries the reference's record fields
+    (code, message, value, arg, path=[column]).
+
+    This is a convenience for parity/tests and small interactive checks —
+    it round-trips one row through a local DataFrame, so it is NOT the
+    scale path (tables go through :func:`validate`)."""
+    t = T._parse_datatype_string(schema) if isinstance(schema, str) else schema
+    plan = compile_suite(suite, t)
+
+    def validator(value: dict) -> dict:
+        row = tuple(value.get(f.name) for f in t.fields)
+        df = spark.createDataFrame([row], t)
+        rows = ValidationResult(plan, plan.apply(df)).violations().collect()
+        errors = [
+            {"code": r["constraint_id"], "message": r["message"],
+             "value": r["value"], "arg": r["arg"], "path": [r["column"]]}
+            for r in rows
+        ]
+        return {"valid": not errors, "errors": errors}
+
+    return validator

@@ -88,3 +88,21 @@ def test_required_short_circuits_other_checks(spark):
     v = res.violations().where(F.col("column") == "doc_id")
     codes = {r["constraint_id"] for r in v.collect()}
     assert codes == {"required"}
+
+
+def test_make_value_validator_reference_shape(spark):
+    """newValidator(schema) per-value parity: fn(value) -> {valid, errors}
+    with the reference error record shape (v4validator.js:40-52, 326-331)."""
+    from schemasaurus_spark import Minimum, NotNull, Suite, make_value_validator
+
+    fn = make_value_validator(
+        spark,
+        Suite(id_column="v", columns={"v": [NotNull(), Minimum(5)]}),
+        "v int")
+    assert fn({"v": 7}) == {"valid": True, "errors": []}
+    bad = fn({"v": 2})
+    assert not bad["valid"]
+    assert bad["errors"] == [{"code": "minimum", "message": "shall be >= 5",
+                              "value": "2", "arg": "5", "path": ["v"]}]
+    nul = fn({})
+    assert [e["code"] for e in nul["errors"]] == ["required"]
