@@ -118,6 +118,19 @@ class ValidationResult:
             .drop("rn")
         )
 
+    def register_views(self, prefix: str = "validation") -> list[str]:
+        """Expose the result as temp views for the SQL surface:
+        <prefix>_violations / _verdicts / _metrics — `spark.sql` users get
+        the same lazily-planned DataFrames."""
+        names = []
+        for suffix, df in (("violations", self.violations()),
+                           ("verdicts", self.verdicts()),
+                           ("metrics", self.metrics())):
+            name = f"{prefix}_{suffix}"
+            df.createOrReplaceTempView(name)
+            names.append(name)
+        return names
+
     def valid_rows(self) -> DataFrame:
         return self.validated.where(F.size(VIOLATIONS_COL) == 0).drop(VIOLATIONS_COL)
 

@@ -46,3 +46,41 @@ def test_column_stats_fused_quantiles(spark):
     # one scan: single Exchange in the plan
     p = stats._jdf.queryExecution().executedPlan().toString()
     assert p.count("Exchange") <= 2  # agg exchange (+ AQE read)
+
+
+def test_tdigest_quantiles_accuracy_and_merge(spark):
+    """Sketch quantiles land within rank tolerance of the exact quantiles,
+    and merging two half-sketches equals sketching the whole (mergeability
+    is what makes the digest checkpointable across snapshots)."""
+    import pyspark.sql.functions as F
+    from schemasaurus_spark.operators.sketch import (
+        merge_sketches, quantiles_from_sketch, tdigest_sketch,
+    )
+
+    n = 20_000
+    df = spark.range(n).select(
+        (F.col("id") % 1000).cast("double").alias("x"))  # uniform 0..999
+    sk = tdigest_sketch(df, "x", compression=64)
+    q = quantiles_from_sketch(sk, [0.5, 0.95])["*"]
+    assert abs(q[0] - 499.5) < 25          # p50 of uniform(0..999)
+    assert abs(q[1] - 949.5) < 25
+
+    a = tdigest_sketch(df.where("x < 500"), "x", compression=64)
+    b = tdigest_sketch(df.where("x >= 500"), "x", compression=64)
+    merged = merge_sketches(a, b, compression=64)
+    qm = quantiles_from_sketch(merged, [0.5])["*"]
+    assert abs(qm[0] - 499.5) < 30
+
+
+def test_register_views_sql_surface(spark):
+    from schemasaurus_spark import Minimum, NotNull, Suite, validate
+
+    df = spark.createDataFrame([(1, 10), (2, -5), (None, 3)], "doc_id int, v int")
+    res = validate(df, Suite(columns={"doc_id": [NotNull()],
+                                      "v": [Minimum(0)]}))
+    names = res.register_views("chk")
+    assert names == ["chk_violations", "chk_verdicts", "chk_metrics"]
+    n = spark.sql("select count(*) c from chk_violations").first()["c"]
+    assert n == 2
+    m = spark.sql("select sum(n_violations) s from chk_metrics").first()["s"]
+    assert m == 2
