@@ -158,6 +158,49 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def duplicate_clusters(pairs: DataFrame, a_col: str = "id_a",
+                       b_col: str = "id_b", max_iters: int = 20) -> DataFrame:
+    """Connected components over verified duplicate PAIRS → one cluster
+    label per member (label = min id in the component): the 'keep one per
+    duplicate cluster' step of a dedup pipeline.
+
+    Min-label propagation: each iteration joins the current labels over the
+    (undirected) edge set and lowers every node's label to the minimum of
+    its neighborhood; converges in O(component diameter) iterations —
+    near-dup clusters are shallow (stars/chains of a few docs), so this is
+    a handful of small self-joins over the PAIRS (≪ corpus), never over the
+    input table. The driver-side loop checks a scalar count per iteration
+    (sketch-sized; the iteration count is the classic label-propagation /
+    hash-to-min shape, cf. PAPERS.md connected-components entries).
+
+    Returns (id, cluster) for every id appearing in any pair.
+    """
+    edges = (pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+             .unionByName(pairs.select(F.col(b_col).alias("u"),
+                                       F.col(a_col).alias("v")))
+             .distinct())
+    labels = edges.select(F.col("u").alias("id")).distinct() \
+                  .withColumn("label", F.col("id"))
+    for _ in range(max_iters):
+        # neighbor minimum via one join + agg over edges
+        nbr = (edges.join(labels, edges["v"] == labels["id"])
+               .groupBy("u").agg(F.min("label").alias("nbr_min")))
+        updated = (labels.join(nbr, labels["id"] == nbr["u"], "left")
+                   .select(F.col("id"),
+                           F.least(F.col("label"),
+                                   F.coalesce(F.col("nbr_min"),
+                                              F.col("label"))).alias("label")))
+        updated = updated.persist()
+        changed = (updated.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .where(F.col("n.label") != F.col("o.label")).count())
+        labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster"))
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 16) -> DataFrame:
     """SimHash over word features: per bit, sign of sum of ±1 votes from

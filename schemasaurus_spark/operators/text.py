@@ -57,6 +57,29 @@ def token_count_bpe(df: DataFrame, text_col: str = "text",
     )
 
 
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", round_to: int = 6) -> DataFrame:
+    """Unigram language-model quality score: mean ln p(word) per document,
+    with p = MLE word frequency over the corpus itself (the classic cheap
+    fluency/quality proxy for training-data filtering — gibberish and
+    boilerplate both stand out).
+
+    Scale shape: pass 1 builds the frequency table (explode → groupBy with
+    map-side combine; output is VOCABULARY-sized, ≪ corpus); pass 2 joins
+    tokens to it — Spark broadcasts the small side — and re-aggregates per
+    doc. The corpus total folds in as a literal (one scalar job)."""
+    w = F.explode(words(F.lower(F.col(text_col)))).alias("word")
+    tokens = df.select(F.col(id_col), w)
+    freq = tokens.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    total = freq.agg(F.sum("n").alias("t")).first()["t"]
+    lp = F.log(F.col("n") / F.lit(float(total)))
+    return (
+        tokens.join(F.broadcast(freq), "word")
+        .groupBy(id_col)
+        .agg(F.round(F.avg(lp), round_to).alias("logprob"))
+    )
+
+
 def quality_scores(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id",
                    filler: tuple = ("the", "a", "of")) -> DataFrame:

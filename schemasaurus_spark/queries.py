@@ -310,6 +310,23 @@ FROM w
 """
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+SQL_UNIGRAM_LOGPROB = r"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+  FROM documents),
+f AS (SELECT word, COUNT(*) AS n FROM t GROUP BY word),
+tot AS (SELECT COUNT(*) AS total FROM t)
+SELECT doc_id, ROUND(AVG(ln(n / CAST(total AS DOUBLE))), 6) AS logprob
+FROM t JOIN f USING (word), tot
+GROUP BY doc_id
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_id(_t(spark, sf_dir, "documents"))
 
@@ -408,6 +425,34 @@ SELECT a.id AS id_a, b.id AS id_b,
        ROUND(len(list_intersect(a.ws, b.ws)) /
              CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE), 6) AS jaccard
 FROM w a JOIN w b ON a.bucket = b.bucket AND a.id < b.id
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components (min-label
+    propagation) over the verified candidate pairs — 'keep one per
+    cluster'. Oracle = recursive-CTE transitive closure."""
+    pairs = dedup.jaccard_pairs(_t(spark, sf_dir, "documents"))
+    return dedup.duplicate_clusters(pairs)
+
+
+SQL_DEDUP_CLUSTERS = r"""
+WITH RECURSIVE w AS (
+  SELECT doc_id AS id,
+         md5(array_to_string(regexp_split_to_array(trim(text), '\s+')[1:4], ' ')) AS bucket
+  FROM documents),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM w a JOIN w b ON a.bucket = b.bucket AND a.id < b.id),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(src, dst) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
+SELECT src AS id, LEAST(src, MIN(dst)) AS cluster
+FROM reach GROUP BY src
 """
 
 
@@ -990,6 +1035,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": q_token_count,
     "token_count_bpe": q_token_count_bpe,
     "text_quality": q_text_quality,
+    "unigram_logprob": q_unigram_logprob,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -997,6 +1043,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_prefix_buckets": q_dedup_prefix_buckets,
     "minhash_lsh": q_minhash_lsh,
     "jaccard_pairs": q_jaccard_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "ann_topk": q_ann_topk,
     "sign_lsh": q_sign_lsh,
     "tpch_q1": q_tpch_q1,
@@ -1039,6 +1086,7 @@ ORACLES: dict[str, str] = {
     "token_count": SQL_TOKEN_COUNT,
     "token_count_bpe": SQL_TOKEN_COUNT_BPE,
     "text_quality": SQL_TEXT_QUALITY,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
@@ -1046,6 +1094,7 @@ ORACLES: dict[str, str] = {
     "dedup_prefix_buckets": SQL_DEDUP_PREFIX_BUCKETS,
     "minhash_lsh": SQL_MINHASH_LSH,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "ann_topk": SQL_ANN_TOPK,
     "sign_lsh": SQL_SIGN_LSH,
     "tpch_q1": SQL_TPCH_Q1,

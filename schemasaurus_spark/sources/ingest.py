@@ -59,6 +59,8 @@ def ingest(spark: SparkSession, path: str, fmt: str, columns: list[str],
         raw = read_csv(spark, path, columns)
     elif fmt == "parquet":
         raw = spark.read.parquet(path)
+    elif fmt == "orc":
+        raw = spark.read.orc(path)
     else:
         raise ValueError(f"unknown ingest format '{fmt}'")
     return validate(normalize(raw, spec), suite)

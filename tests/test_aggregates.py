@@ -164,3 +164,20 @@ def test_uniqueness_composite_key(spark):
     assert res.screen_total == 3 and res.screen_distinct == 2
     rows = res.violations.collect()
     assert [(r["doc_id"], r["column"]) for r in rows] == [("u1|d1", "user|day")]
+
+
+def test_duplicate_clusters_chain_and_star(spark):
+    """Connected components over pairs: a 4-chain and a 3-star each get one
+    min-id label; singleton pairs stay their own cluster."""
+    from schemasaurus_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain 1-2-3-4
+         (10, 11), (10, 12),          # star centered on 10
+         (20, 21)],                   # isolated pair
+        "id_a long, id_b long")
+    got = {r["id"]: r["cluster"]
+           for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}

@@ -49,3 +49,14 @@ def test_readers_stage_all_strings(spark, tmp_path):
     c = tmp_path / "x.csv"
     c.write_text("doc_id,n_tok,flag,lang\n1,2,on,en\n")
     assert all(t == "string" for _, t in read_csv(spark, str(c), COLUMNS).dtypes)
+
+
+def test_orc_ingest_validates(spark, tmp_path):
+    p = str(tmp_path / "in_orc")
+    spark.createDataFrame(
+        [("1", "5", "on", "en"), ("2", "-3", "off", "es")],
+        "doc_id string, n_tok string, flag string, lang string"
+    ).write.orc(p)
+    res = ingest(spark, p, "orc", COLUMNS, SPEC, SUITE)
+    rows = res.violations().collect()
+    assert [(r["doc_id"], r["constraint_id"]) for r in rows] == [(2, "minimum")]
