@@ -182,6 +182,35 @@ def ann_ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     )
 
 
+def ann_knn_join(df: DataFrame, k: int = 5, dims: list[int] | None = None,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 round_to: int = 5) -> DataFrame:
+    """Approximate k-nearest-neighbors for EVERY vector (the KNN-graph
+    builder semantic dedup/clustering needs): candidates come from the
+    sign-LSH bucket self-join (never all-pairs), exact cosine ranks within
+    each id's candidate set, row_number keeps the top k. The window runs
+    over candidate PAIRS (bucket-bounded), not the table."""
+    from pyspark.sql.window import Window
+
+    dims = dims or list(range(8))
+    bits = [
+        F.when(F.element_at(F.col(vec_col), d + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for d in dims
+    ]
+    slim = df.select(F.concat(*bits).alias("bucket"),
+                     F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a, b = slim.alias("a"), slim.alias("b")
+    pairs = (a.join(b, on="bucket")
+             .where(F.col("a.id") != F.col("b.id"))
+             .select(F.col("a.id").alias("id"),
+                     F.col("b.id").alias("neighbor"),
+                     F.round(cosine(F.col("a.v"), F.col("b.v")),
+                             round_to).alias("score")))
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.col("neighbor"))
+    return (pairs.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k).drop("rn"))
+
+
 def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
                          dims: list[int] | None = None,
                          vec_col: str = "embedding", id_col: str = "vec_id",

@@ -57,6 +57,35 @@ def token_count_bpe(df: DataFrame, text_col: str = "text",
     )
 
 
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       round_to: int = 6) -> DataFrame:
+    """Gopher-style repetition/quality signals, expression-only:
+
+    * ``dup_ngram_frac`` — fraction of word n-grams that are repeats
+      (1 - distinct/total): boilerplate and looping text score high;
+    * ``symbol_ratio`` — non-alphanumeric, non-space chars / all chars.
+
+    The n-gram array is staged ONCE (lambda subtrees are not CSE'd)."""
+    w = words(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)))
+    staged = df.select(F.col(id_col), F.col(text_col).alias("__t"),
+                       grams.alias("__g"))
+    g = F.col("__g")
+    dup = F.round(F.lit(1.0) - F.size(F.array_distinct(g))
+                  / F.size(g).cast("double"), round_to)
+    stripped = F.regexp_replace("__t", r"[A-Za-z0-9\s]", "")
+    sym = F.round(F.length(stripped) / F.length("__t").cast("double"),
+                  round_to)
+    return staged.select(
+        F.col(id_col),
+        dup.alias("dup_ngram_frac"),
+        sym.alias("symbol_ratio"),
+    )
+
+
 def unigram_logprob(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", round_to: int = 6) -> DataFrame:
     """Unigram language-model quality score: mean ln p(word) per document,

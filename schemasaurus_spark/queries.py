@@ -476,6 +476,60 @@ SELECT vec_id, score FROM s ORDER BY score DESC, vec_id LIMIT 10
 """
 
 
+def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schemasaurus_spark.operators.similarity import ann_knn_join
+
+    return ann_knn_join(_t(spark, sf_dir, "embeddings"), k=3)
+
+
+SQL_ANN_KNN_JOIN = """
+WITH b AS (SELECT vec_id AS id, embedding AS v,
+  concat(
+    CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+    CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+    CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+    CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+    CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+    CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+    CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+    CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+  FROM embeddings),
+p AS (
+  SELECT a.id AS id, b.id AS neighbor,
+         ROUND(
+           list_sum(list_transform(list_zip(a.v, b.v),
+                                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / ( sqrt(list_sum(list_transform(a.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(b.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           5) AS score
+  FROM b a JOIN b b ON a.bucket = b.bucket AND a.id != b.id)
+SELECT id, neighbor, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY score DESC, neighbor) AS rn
+  FROM p) WHERE rn <= 3
+"""
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION_SIGNALS = r"""
+WITH w AS (SELECT doc_id, text,
+                  regexp_split_to_array(trim(text), '\s+') AS ws
+           FROM documents),
+g AS (SELECT doc_id, text,
+             list_transform(generate_series(1, GREATEST(len(ws) - 2, 1)),
+                            i -> array_to_string(ws[i:i+2], ' ')) AS grams
+      FROM w)
+SELECT doc_id,
+       ROUND(1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE), 6)
+         AS dup_ngram_frac,
+       ROUND(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+             / CAST(length(text) AS DOUBLE), 6) AS symbol_ratio
+FROM g
+"""
+
+
 def q_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.sign_lsh_buckets(_t(spark, sf_dir, "embeddings"))
 
@@ -1045,6 +1099,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_pairs": q_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,
     "ann_topk": q_ann_topk,
+    "ann_knn_join": q_ann_knn_join,
+    "repetition_signals": q_repetition_signals,
     "sign_lsh": q_sign_lsh,
     "tpch_q1": q_tpch_q1,
     "violation_rank": q_violation_rank,
@@ -1096,6 +1152,8 @@ ORACLES: dict[str, str] = {
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "ann_topk": SQL_ANN_TOPK,
+    "ann_knn_join": SQL_ANN_KNN_JOIN,
+    "repetition_signals": SQL_REPETITION_SIGNALS,
     "sign_lsh": SQL_SIGN_LSH,
     "tpch_q1": SQL_TPCH_Q1,
     "violation_rank": SQL_VIOLATION_RANK,
