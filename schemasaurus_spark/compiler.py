@@ -128,6 +128,20 @@ class ValidationPlan:
         """One narrow projection: df + ``__violations`` array column."""
         return df.withColumn(VIOLATIONS_COL, self.violations_expr())
 
+    def apply_failing(self, df: DataFrame) -> DataFrame:
+        """Two-pass violation extraction: filter by the cheap ``row_valid``
+        predicate FIRST (lambda-free for most suites → the scan+filter stays
+        in WholeStageCodegen), then build the violation arrays — whose
+        higher-order-function lambdas are CodegenFallback and would
+        de-codegen the whole projection — on the failing subset only.
+        Returns rows with ≥1 violation plus the ``__violations`` column;
+        identical contents to ``apply(df).where(size(...) > 0)``."""
+        if self.row_valid is None:
+            return self.apply(df).where(F.size(VIOLATIONS_COL) > 0)
+        return (df.where(~self.row_valid)
+                  .withColumn(VIOLATIONS_COL, self.violations_expr())
+                  .where(F.size(VIOLATIONS_COL) > 0))
+
 
 class SuiteCompileError(ValueError):
     pass

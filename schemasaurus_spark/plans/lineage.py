@@ -157,12 +157,14 @@ class ValidationCheckpoint:
         df = spark.read.parquet(*todo)
         plan = compile_suite(suite, df.schema)
         canon_file = F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
-        validated = plan.apply(df).withColumn("__file", canon_file)
+        failing = plan.apply_failing(df.withColumn("__file", canon_file))
 
         # THE single data scan: stage the violations increment, keyed by
-        # attempt (partition dir = cheap pruned re-read below).
+        # attempt (partition dir = cheap pruned re-read below). Two-pass
+        # shape (apply_failing): the scan+row_valid filter stays codegen'd;
+        # the lambda-bearing extraction runs on failing rows only.
         vio = (
-            validated.where(F.size(VIOLATIONS_COL) > 0)
+            failing
             .select(F.col(suite.id_column).cast("string").alias("doc_id"),
                     F.explode(VIOLATIONS_COL).alias("v"), F.col("__file"))
             .select("doc_id", "v.constraint_id", "v.column", "v.value",

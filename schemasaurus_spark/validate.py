@@ -42,11 +42,19 @@ class ValidationResult:
     def violations(self) -> DataFrame:
         """(doc_id, constraint_id, column, value, arg, message) — one row per
         violation, the analog of the reference error list; emission order
-        within a row is preserved by posexplode position."""
+        within a row is preserved by posexplode position.
+
+        Two-pass shape: rows are first filtered by the cheap ``row_valid``
+        predicate (lambda-free for most suites → whole-stage-codegen'd scan
+        + filter), and the violation-array construction — whose
+        higher-order-function lambdas are CodegenFallback and would
+        de-codegen the WHOLE projection — only ever runs on the failing
+        subset. Semantics are identical: the violation expression is empty
+        exactly where row_valid holds (compiler gate)."""
         idc = self.id_column
+        base = self.plan.apply_failing(self.validated.drop(VIOLATIONS_COL))
         v = (
-            self.validated
-            .where(F.size(VIOLATIONS_COL) > 0)
+            base
             .select(F.col(idc), F.posexplode(VIOLATIONS_COL).alias("__pos", "__v"))
         )
         out = v.select(
