@@ -57,6 +57,21 @@ def token_count_bpe(df: DataFrame, text_col: str = "text",
     )
 
 
+def top_tokens(df: DataFrame, k: int = 20, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Vocabulary builder / heavy hitters: global token counts, top k.
+    explode → groupBy(word) with map-side combine (shuffle = vocabulary,
+    ≪ corpus) → TakeOrderedAndProject top-k (per-partition heaps + single
+    merge, no global sort). Deterministic ties: count desc, word asc."""
+    w = F.explode(words(F.lower(F.col(text_col)))).alias("word")
+    return (
+        df.select(w)
+        .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.col("word"))
+        .limit(k)
+    )
+
+
 def repetition_signals(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 3,
                        round_to: int = 6) -> DataFrame:

@@ -310,6 +310,18 @@ FROM w
 """
 
 
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.top_tokens(_t(spark, sf_dir, "documents"), k=20)
+
+
+SQL_TOP_TOKENS = r"""
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+      FROM documents)
+GROUP BY word ORDER BY n DESC, word LIMIT 20
+"""
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_logprob(_t(spark, sf_dir, "documents"))
 
@@ -1089,6 +1101,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": q_token_count,
     "token_count_bpe": q_token_count_bpe,
     "text_quality": q_text_quality,
+    "top_tokens": q_top_tokens,
     "unigram_logprob": q_unigram_logprob,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1142,6 +1155,7 @@ ORACLES: dict[str, str] = {
     "token_count": SQL_TOKEN_COUNT,
     "token_count_bpe": SQL_TOKEN_COUNT_BPE,
     "text_quality": SQL_TEXT_QUALITY,
+    "top_tokens": SQL_TOP_TOKENS,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
