@@ -53,6 +53,23 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
     )
 
 
+def dedup_apply(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """APPLY exact dedup: return the surviving corpus (one keeper per
+    normalized-content fingerprint, keeper = min id). One groupBy on the
+    fingerprint + a semi-join back on (fp, id) — no window over the table,
+    so the shuffle stays O(distinct fingerprints)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    with_fp = df.withColumn("__fp", F.md5(norm))
+    keepers = (with_fp.groupBy("__fp")
+               .agg(F.min(id_col).alias("__keep")))
+    return (with_fp.join(keepers,
+                         (with_fp["__fp"] == keepers["__fp"])
+                         & (with_fp[id_col] == keepers["__keep"]),
+                         "left_semi")
+            .drop("__fp"))
+
+
 def prefix_buckets(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", n_words: int = 4) -> DataFrame:
     """Cheap near-dup candidate buckets: hash of the first n words. Returns

@@ -57,6 +57,23 @@ def token_count_bpe(df: DataFrame, text_col: str = "text",
     )
 
 
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+
+
+def pii_signals(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """PII-pattern counts per document (email-like, phone-like) — the
+    content-safety pre-filter signal. Pure regex counting, JVM-side."""
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(text_col, F.lit(EMAIL_RE), 0))
+         .alias("n_emails"),
+        F.size(F.regexp_extract_all(text_col, F.lit(PHONE_RE), 0))
+         .alias("n_phones"),
+    )
+
+
 def top_tokens(df: DataFrame, k: int = 20, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """Vocabulary builder / heavy hitters: global token counts, top k.

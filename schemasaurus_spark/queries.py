@@ -371,6 +371,35 @@ FROM documents
 """
 
 
+def q_pii_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.pii_signals(_t(spark, sf_dir, "documents"))
+
+
+SQL_PII_SIGNALS = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(text,
+           '\+?[0-9][0-9()\-\s]{7,}[0-9]')) AS n_phones
+FROM documents
+"""
+
+
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup APPLY step: surviving doc ids after exact dedup."""
+    return dedup.dedup_apply(_t(spark, sf_dir, "documents")).select("doc_id")
+
+
+SQL_DEDUP_APPLY = """
+SELECT doc_id FROM (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+           ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
 
@@ -1106,7 +1135,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "pii_signals": q_pii_signals,
     "dedup_exact": q_dedup_exact,
+    "dedup_apply": q_dedup_apply,
     "dedup_prefix_buckets": q_dedup_prefix_buckets,
     "minhash_lsh": q_minhash_lsh,
     "jaccard_pairs": q_jaccard_pairs,
@@ -1160,7 +1191,9 @@ ORACLES: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+    "pii_signals": SQL_PII_SIGNALS,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_apply": SQL_DEDUP_APPLY,
     "dedup_prefix_buckets": SQL_DEDUP_PREFIX_BUCKETS,
     "minhash_lsh": SQL_MINHASH_LSH,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
