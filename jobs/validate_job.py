@@ -81,6 +81,8 @@ def main() -> int:
     store = SnapshotStore(args.table)
     cp = ValidationCheckpoint(args.state)
     suite = SUITES[args.suite]()
+    import time
+    t0 = time.time()
     if args.incremental:
         from schemasaurus_spark.streaming.incremental import (
             IncrementalState, validate_new_snapshots)
@@ -93,8 +95,10 @@ def main() -> int:
         run = runs[-1]
     else:
         run = cp.run(spark, store, suite, args.snapshot)
+    wall_s = round(time.time() - t0, 3)
     report = {
         "snapshot_id": run.snapshot_id,
+        "wall_s": wall_s,
         "suite_hash": run.suite_hash,
         "files_validated": run.files_validated,
         "files_skipped": run.files_skipped,

@@ -128,19 +128,21 @@ class ValidationPlan:
         """One narrow projection: df + ``__violations`` array column."""
         return df.withColumn(VIOLATIONS_COL, self.violations_expr())
 
-    def apply_failing(self, df: DataFrame) -> DataFrame:
-        """Two-pass violation extraction: filter by the cheap ``row_valid``
-        predicate FIRST (lambda-free for most suites → the scan+filter stays
-        in WholeStageCodegen), then build the violation arrays — whose
-        higher-order-function lambdas are CodegenFallback and would
-        de-codegen the whole projection — on the failing subset only.
-        Returns rows with ≥1 violation plus the ``__violations`` column;
-        identical contents to ``apply(df).where(size(...) > 0)``."""
-        if self.row_valid is None:
-            return self.apply(df).where(F.size(VIOLATIONS_COL) > 0)
-        return (df.where(~self.row_valid)
-                  .withColumn(VIOLATIONS_COL, self.violations_expr())
-                  .where(F.size(VIOLATIONS_COL) > 0))
+    def explode_violations(self, df: DataFrame, *extra_cols: str) -> DataFrame:
+        """Violation rows via ``posexplode`` with NO pre-filter: exploding
+        an empty array emits nothing, so the failing-row filter is implicit
+        — and crucially the plan is scan → project → generate, all inside
+        WholeStageCodegen, with NOTHING pushed into the parquet scan.
+
+        Why no ``where(size(violations) > 0)``: Catalyst inlines that
+        predicate (the ENTIRE compiled constraint tree, regexes included)
+        through the projection and pushes it into the FileScan as a
+        DataFilter, where it is evaluated interpreted per row — measured
+        77 s vs 7 s for a 16M-row suite at 32 cores, with NEGATIVE core
+        scaling (BENCH.md round 2 'filter-pushdown pathology')."""
+        cols = [F.col(self.suite.id_column), *[F.col(c) for c in extra_cols]]
+        return df.withColumn(VIOLATIONS_COL, self.violations_expr()).select(
+            *cols, F.posexplode(VIOLATIONS_COL).alias("__pos", "__v"))
 
 
 class SuiteCompileError(ValueError):

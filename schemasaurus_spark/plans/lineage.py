@@ -157,16 +157,17 @@ class ValidationCheckpoint:
         df = spark.read.parquet(*todo)
         plan = compile_suite(suite, df.schema)
         canon_file = F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
-        failing = plan.apply_failing(df.withColumn("__file", canon_file))
 
         # THE single data scan: stage the violations increment, keyed by
-        # attempt (partition dir = cheap pruned re-read below). Two-pass
-        # shape (apply_failing): the scan+row_valid filter stays codegen'd;
-        # the lambda-bearing extraction runs on failing rows only.
+        # attempt (partition dir = cheap pruned re-read below). Explode
+        # shape, no pre-filter: scan → project → generate stays codegen'd
+        # and nothing leaks into the scan as an interpreted DataFilter
+        # (filter-pushdown pathology, BENCH.md round 2).
         vio = (
-            failing
+            plan.explode_violations(df.withColumn("__file", canon_file),
+                                    "__file")
             .select(F.col(suite.id_column).cast("string").alias("doc_id"),
-                    F.explode(VIOLATIONS_COL).alias("v"), F.col("__file"))
+                    F.col("__v").alias("v"), F.col("__file"))
             .select("doc_id", "v.constraint_id", "v.column", "v.value",
                     "v.arg", "v.message",
                     F.lit(snap.id).alias("snapshot_id"),

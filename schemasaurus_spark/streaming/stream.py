@@ -35,8 +35,10 @@ def stream_violations(stream_df: DataFrame, suite: Suite) -> DataFrame:
     """Append-mode violation rows (stateless projection + filter + explode)."""
     validated = apply_plan_stream(stream_df, suite)
     idc = suite.id_column
+    # explode with no pre-filter: empty arrays emit nothing, and no
+    # size-predicate can leak into a file-stream scan (pushdown pathology)
     return (
-        validated.where(F.size(VIOLATIONS_COL) > 0)
+        validated
         .select(F.col(idc), F.explode(VIOLATIONS_COL).alias("__v"))
         .select(idc, "__v.constraint_id", "__v.column", "__v.value",
                 "__v.arg", "__v.message")

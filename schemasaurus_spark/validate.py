@@ -44,19 +44,14 @@ class ValidationResult:
         violation, the analog of the reference error list; emission order
         within a row is preserved by posexplode position.
 
-        Two-pass shape: rows are first filtered by the cheap ``row_valid``
-        predicate (lambda-free for most suites → whole-stage-codegen'd scan
-        + filter), and the violation-array construction — whose
-        higher-order-function lambdas are CodegenFallback and would
-        de-codegen the WHOLE projection — only ever runs on the failing
-        subset. Semantics are identical: the violation expression is empty
-        exactly where row_valid holds (compiler gate)."""
+        Plan shape: scan → project → posexplode, all whole-stage-codegen'd,
+        with NO size-filter — exploding an empty array emits nothing, and a
+        ``where(size(violations) > 0)`` would inline the whole constraint
+        tree into the FileScan as an interpreted DataFilter (the
+        filter-pushdown pathology, BENCH.md round 2: 77 s vs 7 s at 16M
+        rows / 32 cores)."""
         idc = self.id_column
-        base = self.plan.apply_failing(self.validated.drop(VIOLATIONS_COL))
-        v = (
-            base
-            .select(F.col(idc), F.posexplode(VIOLATIONS_COL).alias("__pos", "__v"))
-        )
+        v = self.plan.explode_violations(self.validated.drop(VIOLATIONS_COL))
         out = v.select(
             idc,
             "__v.constraint_id",
@@ -139,11 +134,24 @@ class ValidationResult:
             names.append(name)
         return names
 
+    def _row_filter(self, want_valid: bool) -> DataFrame:
+        """Row filter with a pushdown barrier: the predicate carries an
+        always-true non-deterministic conjunct so Catalyst cannot inline the
+        compiled constraint tree into the parquet scan as an interpreted
+        DataFilter (see violations() docstring)."""
+        rv = self.plan.row_valid
+        pred = (F.coalesce(rv, F.lit(False)) if rv is not None
+                else F.size(VIOLATIONS_COL) == 0)
+        if not want_valid:
+            pred = ~pred
+        barrier = F.rand() > F.lit(-1.0)  # always true; blocks pushdown
+        return self.validated.where(pred & barrier).drop(VIOLATIONS_COL)
+
     def valid_rows(self) -> DataFrame:
-        return self.validated.where(F.size(VIOLATIONS_COL) == 0).drop(VIOLATIONS_COL)
+        return self._row_filter(True)
 
     def invalid_rows(self) -> DataFrame:
-        return self.validated.where(F.size(VIOLATIONS_COL) > 0).drop(VIOLATIONS_COL)
+        return self._row_filter(False)
 
     def is_valid(self) -> bool:
         """Table-level verdict (collects one aggregate row)."""
