@@ -53,6 +53,15 @@ class FullValidationResult:
     row: ValidationResult
     agg_violations: DataFrame  # stacked aggregate-check violations
     drift: list = field(default_factory=list)
+    _n_agg: Optional[int] = field(default=None, init=False, repr=False)
+
+    def _agg_count(self) -> int:
+        """Count aggregate violations once per result object — verdicts()
+        and is_valid() are often both called on the same run, and the
+        aggregate stack re-executes its whole plan per action otherwise."""
+        if self._n_agg is None:
+            self._n_agg = self.agg_violations.count()
+        return self._n_agg
 
     def violations(self) -> DataFrame:
         """Row-level + aggregate violations, one schema."""
@@ -68,7 +77,7 @@ class FullValidationResult:
         table consumer sees the whole-table checks too."""
         base = self.row.verdicts()
         spark = base.sparkSession
-        n_agg = self.agg_violations.count()
+        n_agg = self._agg_count()
         extra = spark.createDataFrame(
             [(-1, 0, n_agg, n_agg == 0)],
             "partition_id int, n_rows long, n_violations long, pass boolean",
@@ -76,6 +85,8 @@ class FullValidationResult:
         return base.unionByName(extra)
 
     def is_valid(self) -> bool:
+        if self._n_agg is not None:
+            return self.row.is_valid() and self._n_agg == 0
         return self.row.is_valid() and self.agg_violations.take(1) == []
 
 
