@@ -614,6 +614,57 @@ class ConstraintCompiler:
                 )
             ok = ~failed_any
             out.valid = ok if out.valid is None else out.valid & ok
+        self._compile_items_fields(out, col_name, col, c, null_guard)
+
+    def _compile_items_fields(self, out, col_name, col, c: dsl.Items,
+                              null_guard):
+        """array<struct> element descent (processor.js:31-64: the items walk
+        recurses into object sub-schemas): per (field, constraint), one
+        violation per offending ELEMENT with code ``items.<field>.<subcode>``
+        and value = the offending field value. NotNull = field required in
+        every element; other checks skip null fields (column-level null
+        semantics applied per element)."""
+        # closure factories throughout — a default-arg lambda reads as the
+        # (element, index) two-arg form to F.exists/filter/transform
+        # (CLAUDE.md round-1 gotcha)
+        def _failed_factory(fname, pred, is_required):
+            if is_required:
+                def f(x):
+                    return x[fname].isNull()
+            else:
+                def f(x):
+                    return x[fname].isNotNull() & ~F.coalesce(
+                        pred(x[fname]), F.lit(False))
+            return f
+
+        def _vio_factory(fname, full_code, arg, msg):
+            def f(x):
+                return _vio_struct(full_code, col_name, x[fname], arg, msg)
+            return f
+
+        for fname, subs in (c.field_items() if c.fields else []):
+            for sub in subs:
+                pred, code, arg = self._element_predicate(sub)
+                elem_failed = _failed_factory(
+                    fname, pred, isinstance(sub, dsl.NotNull))
+                failed_any = F.exists(col, elem_failed)
+                if null_guard:
+                    failed_any = col.isNotNull() & F.coalesce(
+                        failed_any, F.lit(False))
+                msg = sub.message or self._msg(code, arg)
+                full_code = f"items.{fname}.{code}"
+                if c.extract_offenders:
+                    offenders = F.filter(col, elem_failed)
+                    structs = F.transform(
+                        offenders, _vio_factory(fname, full_code, arg, msg))
+                    out.fragments.append(
+                        F.when(failed_any, structs)
+                         .otherwise(_empty_violations()))
+                else:
+                    out.fragments.append(_scalar_fragment(
+                        failed_any, full_code, col_name, col, arg, msg))
+                ok = ~failed_any
+                out.valid = ok if out.valid is None else out.valid & ok
 
     def _compile_tuple_items(self, out, col_name, col, c: dsl.TupleItems,
                              null_guard):

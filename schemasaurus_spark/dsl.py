@@ -20,7 +20,7 @@ code — the per-node ``[messages]`` mechanism
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Callable, Optional, Sequence, Union
+from typing import Callable, Mapping, Optional, Sequence, Union
 
 
 @dataclass(frozen=True)
@@ -219,6 +219,15 @@ class Items(Constraint):
     checks compile to specialized pass tests (array_min/array_max for range,
     ``F.forall`` otherwise); codes are ``items.<subcode>``.
 
+    ``fields`` descends into ``array<struct>`` elements the way the
+    reference's items walk descends into object sub-schemas
+    (processor.js:31-64 recursing through int/processor properties): each
+    entry maps a struct field name to its per-element constraints, with
+    codes ``items.<field>.<subcode>`` and the violation ``value`` carrying
+    the offending FIELD value. ``NotNull`` on a field means the field must
+    be present (non-null) in every element; other checks skip null fields,
+    matching column-level null semantics.
+
     ``extract_offenders=False`` emits one violation per ARRAY (value = the
     array) instead of one per offending element — the codegen-friendly mode
     (no lambda expressions in the plan); default keeps exact per-element
@@ -226,6 +235,19 @@ class Items(Constraint):
 
     constraints: Sequence[Constraint] = ()
     extract_offenders: bool = True
+    fields: Optional[Mapping[str, Sequence[Constraint]]] = None
+
+    def __post_init__(self):
+        if self.fields is not None:
+            # freeze for fingerprint stability (Suite.fingerprint hashes the
+            # DSL tree; a plain dict would still repr deterministically, but
+            # tuples keep the dataclass hashable)
+            object.__setattr__(
+                self, "fields",
+                tuple((k, tuple(v)) for k, v in dict(self.fields).items()))
+
+    def field_items(self):
+        return list(self.fields or ())
 
     @property
     def code(self) -> str:

@@ -198,3 +198,52 @@ def test_items_empty_array_passes_specialized_paths(spark):
         assert all(r["v"] != [] for r in rows), f"extract={extract}"
         codes = sorted(r["constraint_id"] for r in rows if r["v"] == [0, 9])
         assert codes == ["items.maximum", "items.minimum"], f"extract={extract}"
+
+
+def test_items_struct_fields_descent(spark):
+    """array<struct> element validation (processor.js:31-64 items descent
+    into object sub-schemas): per-field constraints, one violation per
+    offending element, code items.<field>.<subcode>, value = field value;
+    NotNull = field required per element; null/empty arrays pass."""
+    df = spark.createDataFrame(
+        [(1, [{"start": 0, "end": 5, "label": "ok"},
+              {"start": -2, "end": 99, "label": "bad"}]),
+         (2, [{"start": 3, "end": None, "label": "ok"}]),
+         (3, None),
+         (4, [])],
+        "id long, spans array<struct<start:int, end:int, label:string>>")
+    suite = dsl.Suite(id_column="id", columns={"spans": [dsl.Items(fields={
+        "start": [dsl.Minimum(0)],
+        "end": [dsl.NotNull(), dsl.Maximum(50)],
+        "label": [dsl.Enum(["ok", "good"])],
+    })]})
+    res = validate(df, suite)
+    rows = sorted((r["id"], r["constraint_id"], r["value"])
+                  for r in res.violations().collect())
+    assert rows == [
+        (1, "items.end.maximum", "99"),
+        (1, "items.label.enum", "bad"),
+        (1, "items.start.minimum", "-2"),
+        (2, "items.end.required", None),
+    ]
+    verdicts = {r["partition_id"]: r["pass"]
+                for r in res.verdicts().collect()}
+    assert not all(verdicts.values())
+
+
+def test_items_struct_fields_fingerprint_stable(spark):
+    mk = lambda: dsl.Suite(id_column="id", columns={"s": [dsl.Items(fields={
+        "a": [dsl.Minimum(1)], "b": [dsl.NotNull()]})]})
+    assert mk().fingerprint() == mk().fingerprint()
+
+
+def test_items_scalar_and_fields_combined(spark):
+    """Scalar element constraints and field descent coexist on one Items."""
+    df = spark.createDataFrame(
+        [(1, [{"v": 5}, {"v": 200}])],
+        "id long, xs array<struct<v:int>>")
+    suite = dsl.Suite(id_column="id", columns={"xs": [
+        dsl.MinItems(1), dsl.Items(fields={"v": [dsl.Maximum(100)]})]})
+    rows = [(r["constraint_id"], r["value"])
+            for r in validate(df, suite).violations().collect()]
+    assert rows == [("items.v.maximum", "200")]
