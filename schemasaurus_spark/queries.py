@@ -545,7 +545,10 @@ SELECT vec_id, score FROM s ORDER BY score DESC, vec_id LIMIT 10
 def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schemasaurus_spark.operators.similarity import ann_knn_join
 
-    return ann_knn_join(_t(spark, sf_dir, "embeddings"), k=3)
+    # dims pinned: the oracle reproduces the axis-aligned bucketing; the
+    # library default is adaptive Gaussian planes (similarity.auto_n_bits)
+    return ann_knn_join(_t(spark, sf_dir, "embeddings"), k=3,
+                        dims=list(range(8)))
 
 
 SQL_ANN_KNN_JOIN = """
@@ -597,7 +600,8 @@ FROM g
 
 
 def q_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.sign_lsh_buckets(_t(spark, sf_dir, "embeddings"))
+    return similarity.sign_lsh_buckets(_t(spark, sf_dir, "embeddings"),
+                                       dims=list(range(8)))
 
 
 SQL_SIGN_LSH = """
@@ -737,7 +741,10 @@ FROM w
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schemasaurus_spark.operators.similarity import cosine_neardup_pairs
 
-    return cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.2)
+    # dims pinned to the oracle-reproducible axis projection (library
+    # default = adaptive Gaussian planes)
+    return cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"),
+                                threshold=0.2, dims=list(range(8)))
 
 
 SQL_EMBEDDING_NEARDUP = """

@@ -89,3 +89,77 @@ def test_ivf_train_sample_unbiased(spark):
     cents = ivf_train_centroids(both, n_centroids=2, sample_rows=200, seed=7)
     dists = np.abs(np.asarray(cents) - 9.0).sum(1)
     assert dists.min() < 1.0, f"no centroid near the tail cluster: {cents}"
+
+
+# ---------------------------------------------------------- round-3: LSH scale
+
+
+def test_auto_n_bits_scales_with_corpus():
+    assert sim.auto_n_bits(1_000, 1024) == 8          # floor
+    assert sim.auto_n_bits(1_000_000, 1024) == 10     # ~1k/bucket
+    assert sim.auto_n_bits(10**9, 1024) == 20
+    assert sim.auto_n_bits(10**12, 1024) == 24        # ceiling
+    assert sim.auto_n_bits(10**12, 1024, hi=40) == 30
+
+
+def test_bucket_cap_bounds_skewed_fanout(spark):
+    """Degenerate fixture: every vector identical → ONE bucket. Uncapped,
+    the self-join is N² pairs; with bucket_cap the candidate side is capped,
+    so output ≤ N·cap — the skew valve for web-scale hot buckets."""
+    n = 60
+    rows = [(i, [1.0, 1.0, 1.0, 1.0]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = sim.ann_knn_join(df, k=5, dims=[0, 1, 2, 3], bucket_cap=8)
+    # candidate pairs before top-k are ≤ n*cap; after k=5 window ≤ n*5,
+    # but the REAL assertion is on fan-out: every id sees ≤ cap candidates
+    per_id = capped.groupBy("id").count().agg({"count": "max"}).first()[0]
+    assert per_id <= 8
+    pairs = sim.cosine_neardup_pairs(df, threshold=0.0, dims=[0, 1, 2, 3],
+                                     bucket_cap=8)
+    assert pairs.count() <= n * 8
+
+
+def test_gaussian_lsh_recall_on_clustered_vectors(spark):
+    """recall@(cluster-mates) ≥ 0.9 for the Gaussian-plane production path
+    (round-2 VERDICT 'What's missing #5'): clusters of near-duplicate
+    vectors (base + small noise) must land in the same bucket in at least
+    one of the independent hash tables."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    n_clusters, per = 30, 4
+    for c in range(n_clusters):
+        base = rng.standard_normal(16)
+        base /= np.linalg.norm(base)
+        for j in range(per):
+            v = base + 0.05 * rng.standard_normal(16)
+            rows.append((c * per + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes_tables = None  # adaptive: auto bits + Gaussian planes
+    knn = sim.ann_knn_join(df, k=per - 1, n_tables=6, seed=11,
+                           target_bucket_size=16).collect()
+    hits = sum(1 for r in knn if r["id"] // per == r["neighbor"] // per)
+    want = n_clusters * per * (per - 1)
+    recall = hits / want
+    assert recall >= 0.9, f"recall {recall:.3f} ({hits}/{want})"
+
+
+def test_gaussian_planes_seeded_deterministic():
+    a = sim.gaussian_planes(8, 4, seed=3)
+    b = sim.gaussian_planes(8, 4, seed=3)
+    c = sim.gaussian_planes(8, 4, seed=4)
+    assert a == b and a != c
+
+
+def test_multi_table_dedups_candidate_pairs(spark):
+    """n_tables > 1 must not emit duplicate (id, neighbor) rows."""
+    import numpy as np
+    rng = np.random.RandomState(1)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.cosine_neardup_pairs(df, threshold=-1.0, n_tables=2, seed=5,
+                                   target_bucket_size=8)
+    n = out.count()
+    nd = out.dropDuplicates(["id_a", "id_b"]).count()
+    assert n == nd
