@@ -496,6 +496,9 @@ class ConstraintCompiler:
                 return isinstance(dt, T.BooleanType)
             if tname == "array":
                 return isinstance(dt, T.ArrayType)
+            if tname == "object":
+                # columnar object = struct or map (SURVEY.md §1.2 mapping)
+                return isinstance(dt, (T.StructType, T.MapType))
             if tname == "null":
                 return None  # always runtime
             return None
@@ -518,7 +521,7 @@ class ConstraintCompiler:
             if tname == "string":
                 sm = static_matches(tname)
                 return F.lit(sm if sm is not None else True) | col.isNull()
-            if tname == "array":
+            if tname in ("array", "object"):
                 sm = static_matches(tname)
                 return F.lit(sm if sm is not None else True) | col.isNull()
             raise SuiteCompileError(f"Unknown type '{tname}'")
@@ -558,9 +561,12 @@ class ConstraintCompiler:
             out.valid = ~has_dup
             return
         # element at 0-based index i is a duplicate occurrence iff it appears
-        # among the first i elements
+        # among the first i elements; eqNullSafe so null duplicates (which
+        # array_distinct folds, making has_dup fire) are also EXTRACTED —
+        # plain == yields NULL on null elements and silently drops them
         dup_occurrences = F.filter(
-            col, lambda x, i: F.exists(F.slice(col, 1, i), lambda y: y == x)
+            col, lambda x, i: F.exists(F.slice(col, 1, i),
+                                       lambda y: y.eqNullSafe(x))
         )
         structs = F.transform(
             dup_occurrences,
@@ -576,7 +582,7 @@ class ConstraintCompiler:
         `forall`; offender extraction via `filter`+`transform`, one violation
         per offending element — exactly the reference's per-element error
         loop, with codes `items.<subcode>`."""
-        for sub in c.constraints:
+        for sub in self._expand_element_refs(c.constraints):
             pred, code, arg = self._element_predicate(sub)
             # range checks get specialized O(n) pass tests (array_min/max
             # beat a lambda loop in codegen); offender extraction below is
@@ -725,8 +731,97 @@ class ConstraintCompiler:
             F.when(has_bad, structs).otherwise(_empty_violations()))
         out.valid = ~has_bad
 
+    def _expand_element_refs(self, constraints):
+        """Inline top-level Ref entries in an items element schema so their
+        violations carry the TARGET's codes (same inline-expansion semantics
+        as column-level Ref, references.js:11-27), cycle-guarded."""
+        out = []
+        for s in constraints:
+            if isinstance(s, dsl.Ref):
+                target = self.suite.definitions.get(s.name)
+                if target is None:
+                    raise SuiteCompileError(
+                        f"Ref('{s.name}') has no entry in suite.definitions")
+                if s.name in self._ref_stack:
+                    raise SuiteCompileError(
+                        f"cyclic Ref('{s.name}') in items element schema")
+                self._ref_stack.add(s.name)
+                try:
+                    out.extend(self._expand_element_refs(target))
+                finally:
+                    self._ref_stack.discard(s.name)
+            else:
+                out.append(s)
+        return out
+
+    def _element_branch_pred(self, branch):
+        """AND of a branch's element predicates — a sub-schema used as an
+        element check inside combinators/refs. Null-safe: a null predicate
+        result counts as failed (matching the offender-extraction guard)."""
+        preds = [self._element_predicate(s)[0] for s in branch]
+
+        def bp(x):
+            ok = F.lit(True)
+            for q in preds:
+                ok = ok & F.coalesce(q(x), F.lit(False))
+            return ok
+
+        return bp
+
     def _element_predicate(self, sub: dsl.Constraint):
-        """Map a scalar constraint onto array elements (lambda-variable form)."""
+        """Map a scalar constraint onto array elements (lambda-variable form).
+
+        Combinators nest (the reference's items walk descends into arbitrary
+        sub-schemas, processor.js:31-64): the element emits ONE violation
+        with the combinator's code — per-branch sub-error bubbling is a
+        column-level feature only (documented divergence; at element level a
+        bubbled sub-error would not identify which element it came from)."""
+        if isinstance(sub, (dsl.AllOf, dsl.AnyOf, dsl.OneOf)):
+            # NO default args on these closures: F.forall/filter treat a
+            # two-arg callable as the (element, index) form (CLAUDE.md
+            # round-1 gotcha) — branch_preds binds by closure instead
+            branch_preds = [self._element_branch_pred(b) for b in sub.branches]
+            if isinstance(sub, dsl.AllOf):
+                def pred_all(x):
+                    ok = F.lit(True)
+                    for bp in branch_preds:
+                        ok = ok & bp(x)
+                    return ok
+                return pred_all, "allOf", None
+            if isinstance(sub, dsl.AnyOf):
+                def pred_any(x):
+                    ok = F.lit(False)
+                    for bp in branch_preds:
+                        ok = ok | bp(x)
+                    return ok
+                return pred_any, "anyOf", None
+
+            def pred_one(x):
+                n = F.lit(0)
+                for bp in branch_preds:
+                    n = n + bp(x).cast("int")
+                return n == F.lit(1)
+            return pred_one, "oneOf", None
+        if isinstance(sub, dsl.Not):
+            bp = self._element_branch_pred(sub.branch)
+            return (lambda x: ~bp(x)), "not", None
+        if isinstance(sub, dsl.Ref):
+            # nested (inside a combinator branch) ref: AND of the target —
+            # top-level items refs are pre-expanded in _expand_element_refs
+            # so they keep the target's own codes
+            target = self.suite.definitions.get(sub.name)
+            if target is None:
+                raise SuiteCompileError(
+                    f"Ref('{sub.name}') has no entry in suite.definitions")
+            if sub.name in self._ref_stack:
+                raise SuiteCompileError(
+                    f"cyclic Ref('{sub.name}') in items element schema")
+            self._ref_stack.add(sub.name)
+            try:
+                bp = self._element_branch_pred(target)
+            finally:
+                self._ref_stack.discard(sub.name)
+            return bp, f"ref.{sub.name}", None
         if isinstance(sub, dsl.Minimum):
             return (lambda x: x >= F.lit(sub.value)), "minimum", sub.value
         if isinstance(sub, dsl.ExclusiveMinimum):
@@ -743,6 +838,13 @@ class ConstraintCompiler:
             return (lambda x: x.isNotNull()), "required", None
         if isinstance(sub, dsl.Pattern):
             return (lambda x: x.rlike(sub.regex)), "pattern", sub.regex
+        if isinstance(sub, dsl.MinLength):
+            return (lambda x: self._str_len(x) >= sub.value), "minLength", sub.value
+        if isinstance(sub, dsl.MaxLength):
+            return (lambda x: self._str_len(x) <= sub.value), "maxLength", sub.value
+        if isinstance(sub, dsl.Format):
+            spec = get_format(sub.name)
+            return (lambda x: x.rlike(spec.regexp)), f"format.{sub.name}", spec.message
         raise SuiteCompileError(
             f"{type(sub).__name__} not supported as an items() element constraint"
         )
