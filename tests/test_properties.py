@@ -48,14 +48,75 @@ def test_enum_matches_set_membership(spark, values, probe):
 
 
 @settings(max_examples=20, deadline=None)
-@given(arr=st.lists(st.integers(0, 5), min_size=0, max_size=10))
+@given(arr=st.lists(st.one_of(st.none(), st.integers(0, 5)),
+                    min_size=0, max_size=10))
 def test_unique_items_occurrence_count(spark, arr):
     """#violations == len(arr) - len(set(arr)) — exactly one per duplicate
-    occurrence (v4validator.js:233-246 parity) for ANY array."""
+    occurrence (v4validator.js:233-246 parity) for ANY array, INCLUDING
+    null duplicates (extraction is eqNullSafe; set() counts None once,
+    matching array_distinct)."""
     df = spark.createDataFrame([(arr,)], "v array<int>")
     suite = dsl.Suite(id_column="v", columns={"v": [dsl.UniqueItems()]})
     n = validate(df, suite).violations().count()
     assert n == len(arr) - len(set(arr))
+
+
+def _ev_element(c, x):
+    """Pure-Python truth of an element predicate — the oracle for
+    compiler._element_predicate. None fails every leaf (null-safe coalesce
+    in the engine); combinators compose over that."""
+    if isinstance(c, dsl.AllOf):
+        return all(all(_ev_element(s, x) for s in b) for b in c.branches)
+    if isinstance(c, dsl.AnyOf):
+        return any(all(_ev_element(s, x) for s in b) for b in c.branches)
+    if isinstance(c, dsl.OneOf):
+        return sum(all(_ev_element(s, x) for s in b) for b in c.branches) == 1
+    if isinstance(c, dsl.Not):
+        return not all(_ev_element(s, x) for s in c.branch)
+    if x is None:
+        return False
+    if isinstance(c, dsl.Minimum):
+        return x >= c.value
+    if isinstance(c, dsl.Maximum):
+        return x <= c.value
+    if isinstance(c, dsl.MultipleOf):
+        return (x / float(c.value)) % 1.0 == 0.0
+    if isinstance(c, dsl.Enum):
+        return x in list(c.values)
+    raise AssertionError(type(c))
+
+
+@settings(max_examples=15, deadline=None)
+@given(data=st.data())
+def test_element_combinators_match_python_semantics(spark, data):
+    """Random shallow combinator trees as items element schemas: the engine
+    flags exactly the elements a direct Python evaluation flags, one
+    violation per offending element with code items.<combinator>."""
+    leaf = st.sampled_from([
+        dsl.Minimum(0), dsl.Maximum(10), dsl.MultipleOf(3),
+        dsl.Enum([1, 2, 3, 12]),
+    ])
+    branch = st.lists(leaf, min_size=1, max_size=2)
+    tree = data.draw(st.one_of(
+        st.builds(lambda bs: dsl.AllOf(tuple(map(tuple, bs))),
+                  st.lists(branch, min_size=1, max_size=3)),
+        st.builds(lambda bs: dsl.AnyOf(tuple(map(tuple, bs))),
+                  st.lists(branch, min_size=1, max_size=3)),
+        st.builds(lambda bs: dsl.OneOf(tuple(map(tuple, bs))),
+                  st.lists(branch, min_size=1, max_size=3)),
+        st.builds(lambda b: dsl.Not(tuple(b)), branch),
+    ))
+    arrays = data.draw(st.lists(
+        st.lists(st.one_of(st.none(), st.integers(-5, 15)), max_size=6),
+        min_size=1, max_size=5))
+    df = spark.createDataFrame(list(enumerate(arrays)), "i int, v array<int>")
+    suite = dsl.Suite(id_column="i", columns={"v": [dsl.Items([tree])]})
+    got = sorted((r["i"], r["constraint_id"])
+                 for r in validate(df, suite).violations().collect())
+    want = sorted((i, f"items.{tree.code}")
+                  for i, arr in enumerate(arrays)
+                  for x in arr if not _ev_element(tree, x))
+    assert got == want
 
 
 def test_missing_column_raises_compile_error(spark):
