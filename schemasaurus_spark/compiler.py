@@ -581,13 +581,25 @@ class ConstraintCompiler:
         """Element-schema constraints (processor.js:31-47): pass test via
         `forall`; offender extraction via `filter`+`transform`, one violation
         per offending element — exactly the reference's per-element error
-        loop, with codes `items.<subcode>`."""
+        loop, with codes `items.<subcode>`.
+
+        Null elements follow COLUMN null semantics uniformly: they skip
+        every value check (the optional-absent convention,
+        v4validator.js:67-79, applied per element — same as `fields=`
+        descent), and `Items([NotNull()])` flags their presence. Before
+        round 3 the range fast-paths skipped nulls (array_min/max ignore
+        them) while enum/pattern/multipleOf failed them — and the offender
+        extractor flagged elements the pass test ignored. TupleItems stays
+        null-strict: a tuple POSITION holding null fails its spec
+        (presence is positional, pinned by the conformance_array oracle)."""
         for sub in self._expand_element_refs(c.constraints):
             pred, code, arg = self._element_predicate(sub)
+            if isinstance(sub, dsl.NotNull):
+                failed_any = F.exists(col, lambda x: x.isNull())
             # range checks get specialized O(n) pass tests (array_min/max
-            # beat a lambda loop in codegen); offender extraction below is
-            # unchanged and only runs on failing rows
-            if isinstance(sub, dsl.Minimum):
+            # beat a lambda loop in codegen, and skip nulls natively);
+            # offender extraction below only runs on failing rows
+            elif isinstance(sub, dsl.Minimum):
                 # array_min/max are NULL on empty arrays and the null_guard
                 # coalesces NULL to failed — but empty arrays must PASS
                 # (reference semantics; round-1 ADVICE): gate on size>0 and
@@ -600,13 +612,21 @@ class ConstraintCompiler:
                     (F.size(col) > 0) & (F.array_max(col) > F.lit(sub.value)),
                     F.lit(False))
             else:
-                failed_any = ~F.forall(col, pred)
+                failed_any = F.exists(
+                    col,
+                    lambda x: x.isNotNull() & ~F.coalesce(pred(x), F.lit(False)))
             if null_guard:
                 failed_any = col.isNotNull() & F.coalesce(failed_any, F.lit(True))
             msg = sub.message or self._msg(code, arg)
             full_code = f"items.{code}"
             if c.extract_offenders:
-                offenders = F.filter(col, lambda x: ~F.coalesce(pred(x), F.lit(False)))
+                if isinstance(sub, dsl.NotNull):
+                    offenders = F.filter(col, lambda x: x.isNull())
+                else:
+                    offenders = F.filter(
+                        col,
+                        lambda x: x.isNotNull() & ~F.coalesce(pred(x),
+                                                              F.lit(False)))
                 structs = F.transform(
                     offenders, lambda x: _vio_struct(full_code, col_name, x, arg, msg)
                 )

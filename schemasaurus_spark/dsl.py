@@ -217,7 +217,10 @@ class UniqueItems(Constraint):
 class Items(Constraint):
     """``items: {schema}`` element constraints — processor.js:31-47. Element
     checks compile to specialized pass tests (array_min/array_max for range,
-    ``F.forall`` otherwise); codes are ``items.<subcode>``.
+    ``F.exists`` otherwise); codes are ``items.<subcode>``. Null elements
+    skip value checks (column null semantics applied per element);
+    ``Items([NotNull()])`` forbids them. Element schemas may nest
+    combinators (allOf/anyOf/oneOf/not) and Refs.
 
     ``fields`` descends into ``array<struct>`` elements the way the
     reference's items walk descends into object sub-schemas

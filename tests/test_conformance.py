@@ -452,6 +452,19 @@ CASES += [
      [dsl.Items(fields={"s": [dsl.AnyOf([[dsl.Minimum(100)],
                                          [dsl.Maximum(10)]])]})],
      [(50,)], {"items.s.anyOf"}),
+    # --- uniform element null semantics (round 3): null elements skip
+    #     value checks, Items([NotNull()]) flags presence ---
+    ("items enum null element skips", "array<string>",
+     [dsl.Items([dsl.Enum(["x"])])], [None, "x"], set()),
+    ("items pattern null element skips", "array<string>",
+     [dsl.Items([dsl.Pattern("^a")])], ["ab", None], set()),
+    ("items minimum null element skips", "array<int>",
+     [dsl.Items([dsl.Minimum(0)])], [None, 5], set()),
+    ("items notnull flags nulls, minimum flags values", "array<int>",
+     [dsl.Items([dsl.NotNull(), dsl.Minimum(0)])], [None, -1],
+     {"items.required", "items.minimum"}),
+    ("items combinator null element skips", "array<int>",
+     [dsl.Items([dsl.AnyOf([[dsl.Minimum(100)]])])], [None], set()),
 ]
 
 

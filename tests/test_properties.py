@@ -63,8 +63,8 @@ def test_unique_items_occurrence_count(spark, arr):
 
 def _ev_element(c, x):
     """Pure-Python truth of an element predicate — the oracle for
-    compiler._element_predicate. None fails every leaf (null-safe coalesce
-    in the engine); combinators compose over that."""
+    compiler._element_predicate. Called only on non-null elements (null
+    elements skip value checks, column null semantics per element)."""
     if isinstance(c, dsl.AllOf):
         return all(all(_ev_element(s, x) for s in b) for b in c.branches)
     if isinstance(c, dsl.AnyOf):
@@ -73,8 +73,6 @@ def _ev_element(c, x):
         return sum(all(_ev_element(s, x) for s in b) for b in c.branches) == 1
     if isinstance(c, dsl.Not):
         return not all(_ev_element(s, x) for s in c.branch)
-    if x is None:
-        return False
     if isinstance(c, dsl.Minimum):
         return x >= c.value
     if isinstance(c, dsl.Maximum):
@@ -115,7 +113,7 @@ def test_element_combinators_match_python_semantics(spark, data):
                  for r in validate(df, suite).violations().collect())
     want = sorted((i, f"items.{tree.code}")
                   for i, arr in enumerate(arrays)
-                  for x in arr if not _ev_element(tree, x))
+                  for x in arr if x is not None and not _ev_element(tree, x))
     assert got == want
 
 
