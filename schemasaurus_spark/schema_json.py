@@ -9,12 +9,19 @@ switching from the reference requires no schema rewrite.
 Mapping (keyword → DSL; reference semantics cited in dsl.py/compiler.py):
 
 * root ``properties`` → ``Suite.columns``; ``required: [...]`` → NotNull
-  prepended to each listed column (draft-4 required-array form)
+  prepended to each listed column (draft-4 required-array form); NESTED
+  object properties recurse into dotted struct-column paths (``a.b.c``),
+  with each object node's own keywords attached to the struct column and
+  its ``required`` list scoped to that node (properties descent,
+  processor.js:63-88)
 * ``type`` (str or list) → TypeIs (``runtime=`` knob for string-staged
   ingest); ``enum``; ``minimum/maximum`` with draft-4 boolean
   ``exclusiveMinimum/exclusiveMaximum`` modifiers; ``multipleOf``;
   ``minLength/maxLength/pattern/format``
-* ``minItems/maxItems/uniqueItems``; ``items`` dict → Items(...),
+* ``minItems/maxItems/uniqueItems``; ``items`` dict → Items(...) — scalar
+  keywords, combinators, and ``$ref`` nest as element sub-schemas, and an
+  object element schema (``items: {properties: …, required: […]}``) maps
+  to the array<struct> field descent ``Items(fields=…)``;
   ``items`` list → TupleItems(specs, additional=additionalItems)
 * ``minProperties/maxProperties``; ``patternProperties`` keys → KeyPattern
 * ``allOf/anyOf/oneOf`` → combinators over translated branch lists;
@@ -118,8 +125,25 @@ def _constraints_from(schema: dict, custom_fns: Optional[dict],
     if "items" in schema:
         it = schema["items"]
         if isinstance(it, dict):
-            out.append(dsl.Items(_constraints_from(it, custom_fns,
-                                                   runtime_types)))
+            # an object element schema (items: {properties: …, required: […]})
+            # becomes the array<struct> field descent (Items.fields) — the
+            # reference's recursion into object sub-schemas, processor.js:31-64
+            fields = None
+            if "properties" in it:
+                freq = it.get("required")
+                freq = set(freq) if isinstance(freq, list) else set()
+                fields = {}
+                for fname, fschema in it["properties"].items():
+                    fcs = _constraints_from(fschema, custom_fns, runtime_types)
+                    if fname in freq:
+                        fcs = [dsl.NotNull()] + fcs
+                    fields[fname] = fcs
+            it_scalar = {k: v for k, v in it.items()
+                         if k not in ("properties", "required")}
+            out.append(dsl.Items(
+                _constraints_from(it_scalar, custom_fns, runtime_types)
+                if it_scalar else (),
+                fields=fields))
         else:  # positional tuple form
             specs = [_constraints_from(s, custom_fns, runtime_types)
                      for s in it]
@@ -192,8 +216,22 @@ def _constraint_to_keywords(c: dsl.Constraint) -> dict:
     if isinstance(c, dsl.UniqueItems):
         return {"uniqueItems": True, **m}
     if isinstance(c, dsl.Items):
-        return {"items": _merge([_constraint_to_keywords(s)
-                                 for s in c.constraints])}
+        d = (_merge([_constraint_to_keywords(s) for s in c.constraints])
+             if c.constraints else {})
+        if c.fields:
+            fprops: dict = {}
+            freq: list[str] = []
+            for fname, fcs in c.field_items():
+                fcs = list(fcs)
+                if fcs and isinstance(fcs[0], dsl.NotNull):
+                    freq.append(fname)
+                    fcs = fcs[1:]
+                fprops[fname] = _merge(
+                    [_constraint_to_keywords(x) for x in fcs])
+            d["properties"] = fprops
+            if freq:
+                d["required"] = freq
+        return {"items": d}
     if isinstance(c, dsl.TupleItems):
         return {"items": [_merge([_constraint_to_keywords(x) for x in spec])
                           for spec in c.specs],
@@ -246,11 +284,23 @@ def suite_to_json_schema(suite: dsl.Suite) -> dict:
     props: dict = {}
     required: list[str] = []
     for col, constraints in suite.columns.items():
+        # dotted struct paths rebuild as nested properties objects (inverse
+        # of the from-JSON properties descent)
+        parts = col.split(".")
+        container, parent = props, None
+        for p in parts[:-1]:
+            parent = container.setdefault(p, {})
+            container = parent.setdefault("properties", {})
+        leaf = parts[-1]
         cs = list(constraints)
         if cs and isinstance(cs[0], dsl.NotNull):
-            required.append(col)
+            if parent is None:
+                required.append(leaf)
+            else:
+                parent.setdefault("required", []).append(leaf)
             cs = cs[1:]
-        props[col] = _merge([_constraint_to_keywords(c) for c in cs])
+        container[leaf] = _merge([container.get(leaf, {})]
+                                 + [_constraint_to_keywords(c) for c in cs])
     deps: dict = {}
     for on, c in suite.row:
         if not isinstance(c, dsl.Dependency):
@@ -303,11 +353,32 @@ def suite_from_json_schema(
     props: dict = schema.get("properties", {})
     required = set(schema.get("required", []))
     columns: dict[str, list] = {}
-    for col, sub in props.items():
-        cs = _constraints_from(sub, custom_fns, runtime_types)
-        if col in required:
-            cs = [dsl.NotNull(message=sub.get("messages", {}).get("required"))] + cs
-        columns[col] = cs
+
+    def walk(pr: dict, req: set, prefix: str) -> None:
+        """Nested object properties flatten to dotted struct-column paths —
+        the columnar analog of the reference's properties descent
+        (processor.js:63-88). An object node's own keywords (type, required
+        presence, …) attach to the struct column itself."""
+        for col, sub in pr.items():
+            path = prefix + col
+            head = ([dsl.NotNull(message=(sub.get("messages") or {})
+                                 .get("required"))]
+                    if col in req else [])
+            nested = sub.get("properties")
+            if nested is not None:
+                own = {k: v for k, v in sub.items()
+                       if k not in ("properties", "required")}
+                cs = head + _constraints_from(own, custom_fns, runtime_types)
+                if cs:
+                    columns[path] = cs
+                nreq = sub.get("required")
+                walk(nested, set(nreq) if isinstance(nreq, list) else set(),
+                     path + ".")
+            else:
+                columns[path] = head + _constraints_from(
+                    sub, custom_fns, runtime_types)
+
+    walk(props, required, "")
     row: list[tuple] = []
     for on, dep in (schema.get("dependencies") or {}).items():
         if isinstance(dep, list):

@@ -130,3 +130,101 @@ def test_round_trip_preserves_compiled_plan():
     back = suite_from_json_schema(js, id_column="doc_id", name="rt")
     assert back.fingerprint() == suite.fingerprint()
     assert suite_to_json_schema(back) == js  # JSON form is a fixpoint
+
+
+def test_nested_properties_flatten_to_dotted_columns():
+    """Nested object properties recurse into dotted struct paths with
+    node-scoped required lists (properties descent, processor.js:63-88)."""
+    schema = {
+        "type": "object",
+        "required": ["meta"],
+        "properties": {
+            "doc_id": {"type": "integer"},
+            "meta": {
+                "type": "object",
+                "required": ["lang"],
+                "properties": {
+                    "lang": {"enum": ["en", "es"]},
+                    "geo": {
+                        "type": "object",
+                        "properties": {"cc": {"minLength": 2,
+                                              "maxLength": 2}},
+                    },
+                },
+            },
+        },
+    }
+    s = suite_from_json_schema(schema, id_column="doc_id")
+    assert set(s.columns) == {"doc_id", "meta", "meta.lang", "meta.geo",
+                              "meta.geo.cc"}
+    assert isinstance(s.columns["meta"][0], dsl.NotNull)          # root req
+    assert isinstance(s.columns["meta.lang"][0], dsl.NotNull)     # node req
+    assert isinstance(s.columns["meta.geo.cc"][0], dsl.MinLength)
+
+
+def test_nested_properties_validate_on_struct_frame(spark):
+    schema = {
+        "type": "object",
+        "properties": {
+            "doc_id": {"type": "integer"},
+            "meta": {"type": "object", "required": ["lang"],
+                     "properties": {"lang": {"enum": ["en", "es"]}}},
+        },
+    }
+    df = spark.createDataFrame(
+        [(1, ("en",)), (2, ("xx",)), (3, (None,)), (4, None)],
+        "doc_id int, meta struct<lang: string>")
+    rows = validate(df, suite_from_json_schema(schema, id_column="doc_id")
+                    ).violations().collect()
+    got = sorted((r["doc_id"], r["constraint_id"], r["column"]) for r in rows)
+    # doc 2: enum fail; doc 3: required (null field); doc 4: null struct →
+    # meta.lang is null → required fires (the struct itself is optional)
+    assert got == [(2, "enum", "meta.lang"), (3, "required", "meta.lang"),
+                   (4, "required", "meta.lang")]
+
+
+def test_items_object_schema_round_trip_and_validation(spark):
+    """items: {properties: …, required: […]} ⇄ Items(fields=…) — the
+    array<struct> element descent in the reference's native format."""
+    from schemasaurus_spark.schema_json import suite_to_json_schema
+
+    schema = {
+        "type": "object",
+        "properties": {
+            "doc_id": {"type": "integer"},
+            "spans": {"minItems": 1,
+                      "items": {"required": ["s"],
+                                "properties": {"s": {"minimum": 0},
+                                               "t": {"pattern": "^x"}}}},
+        },
+    }
+    s = suite_from_json_schema(schema, id_column="doc_id")
+    js = suite_to_json_schema(s)
+    back = suite_from_json_schema(js, id_column="doc_id")
+    assert back.fingerprint() == s.fingerprint()
+    assert suite_to_json_schema(back) == js
+
+    df = spark.createDataFrame(
+        [(1, [(0, "xa"), (2, "xb")]), (2, [(-1, "xa"), (None, "no")]), (3, [])],
+        "doc_id int, spans array<struct<s: int, t: string>>")
+    rows = validate(df, s).violations().collect()
+    got = sorted((r["doc_id"], r["constraint_id"]) for r in rows)
+    assert got == [(2, "items.s.minimum"), (2, "items.s.required"),
+                   (2, "items.t.pattern"), (3, "minItems")]
+
+
+def test_items_element_combinator_round_trip():
+    """items element sub-schemas with combinators/refs survive JSON I/O."""
+    from schemasaurus_spark.schema_json import suite_to_json_schema
+
+    suite = dsl.Suite(
+        id_column="i",
+        columns={"a": [dsl.Items([dsl.AnyOf(([dsl.Ref("small")],
+                                             [dsl.Minimum(100)]))])]},
+        definitions={"small": [dsl.Maximum(10)]},
+    )
+    js = suite_to_json_schema(suite)
+    assert js["properties"]["a"]["items"]["anyOf"][0]["$ref"] == \
+        "#/definitions/small"
+    back = suite_from_json_schema(js, id_column="i")
+    assert suite_to_json_schema(back) == js
