@@ -339,6 +339,52 @@ def suite_to_json_schema(suite: dsl.Suite) -> dict:
     return out
 
 
+def normalizer_spec_from_json_schema(schema: dict):
+    """``newNormalizer(schema)`` analog (``src/iterator.js:21-23``): the
+    SAME draft-4 document drives normalization. ``properties`` declare
+    columns (nested objects recurse to dotted paths), ``type`` picks the
+    cast target (normalizer.js:31-55), ``default`` the coalesce value
+    (js:12-16), and ``additionalProperties: false`` turns on pruning of
+    undeclared columns (js:22-24) — the reference prunes only when the
+    schema says so."""
+    from schemasaurus_spark.normalizer import NormalizerSpec, col_spec
+
+    if schema.get("type", "object") != "object":
+        raise SchemaTranslationError(
+            "root schema must be an object schema (the table row)")
+
+    _TARGETS = {"string", "integer", "number", "boolean", "array"}
+
+    def target_of(sub: dict) -> str:
+        t = sub.get("type", "passthrough")
+        if isinstance(t, (list, tuple)):  # union: first castable member
+            t = next((x for x in t if x in _TARGETS), "passthrough")
+        return t if t in _TARGETS else "passthrough"
+
+    cols: list = []
+
+    def walk(pr: dict, prefix: str) -> None:
+        for name, sub in pr.items():
+            path = prefix + name
+            nested = sub.get("properties")
+            if nested is not None:
+                if nested:
+                    # children declare the struct; _struct_expr rebuilds it
+                    walk(nested, path + ".")
+                else:  # object with no declared fields: keep as-is
+                    cols.append(col_spec(path))
+            elif "default" in sub:
+                cols.append(col_spec(path, target_of(sub),
+                                     default=sub["default"]))
+            else:
+                cols.append(col_spec(path, target_of(sub)))
+
+    walk(schema.get("properties", {}), "")
+    return NormalizerSpec(
+        columns=cols,
+        prune_additional=schema.get("additionalProperties") is False)
+
+
 def suite_from_json_schema(
     schema: dict,
     id_column: str = "doc_id",

@@ -228,3 +228,51 @@ def test_items_element_combinator_round_trip():
         "#/definitions/small"
     back = suite_from_json_schema(js, id_column="i")
     assert suite_to_json_schema(back) == js
+
+
+def test_normalizer_from_json_schema(spark):
+    """newNormalizer(schema) analog: the same draft-4 document drives
+    defaults → casts → pruning (normalizer.js:12-55)."""
+    from schemasaurus_spark.normalizer import normalize
+    from schemasaurus_spark.schema_json import normalizer_spec_from_json_schema
+
+    schema = {
+        "type": "object",
+        "additionalProperties": False,
+        "properties": {
+            "doc_id": {"type": "integer"},
+            "lang": {"type": "string", "default": "en"},
+            "n": {"type": "number"},
+            "flag": {"type": "boolean"},
+            "meta": {"type": "object",
+                     "properties": {"score": {"type": "integer",
+                                              "default": 0}}},
+        },
+    }
+    spec = normalizer_spec_from_json_schema(schema)
+    df = spark.createDataFrame(
+        [("7", None, "1.5", "on", (None,), "drop me")],
+        "doc_id string, lang string, n string, flag string, "
+        "meta struct<score: string>, extra string")
+    out = normalize(df, spec)
+    assert "extra" not in out.columns          # additionalProperties: false
+    row = out.collect()[0]
+    assert row["doc_id"] == 7                  # parseInt
+    assert row["lang"] == "en"                 # default
+    assert row["n"] == 1.5                     # parseFloat
+    assert row["flag"] is True                 # 'on' truth table
+    assert row["meta"]["score"] == 0           # nested default materialized
+
+
+def test_normalizer_from_json_schema_no_prune_by_default(spark):
+    """Without additionalProperties: false the reference keeps undeclared
+    values — so do we."""
+    from schemasaurus_spark.normalizer import normalize
+    from schemasaurus_spark.schema_json import normalizer_spec_from_json_schema
+
+    spec = normalizer_spec_from_json_schema(
+        {"type": "object", "properties": {"a": {"type": "integer"}}})
+    df = spark.createDataFrame([("3", "keep")], "a string, extra string")
+    out = normalize(df, spec)
+    assert out.columns == ["a", "extra"]
+    assert out.collect()[0]["a"] == 3
