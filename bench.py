@@ -41,7 +41,7 @@ HEADLINE = [
     "events_daily", "events_json", "simhash", "normalize_roundtrip",
     "embedding_neardup", "violation_rank", "winnow_fingerprints",
     "rollup_docs", "sessionize_events", "validate_lineitem",
-    "salted_events_stats",
+    "salted_events_stats", "validate_spans", "conformance_misc",
 ]
 
 

@@ -53,6 +53,16 @@ def main() -> int:
     ap.add_argument("--state", required=True, help="checkpoint state dir")
     ap.add_argument("--snapshot", default=None)
     ap.add_argument("--suite", default="sequences_full", choices=sorted(SUITES))
+    ap.add_argument("--schema-json", default=None, metavar="PATH",
+                    help="draft-4 JSON Schema document to validate against "
+                         "(the reference's native newValidator(schema) "
+                         "input) — overrides --suite")
+    ap.add_argument("--id-column", default="doc_id",
+                    help="id column for --schema-json suites")
+    ap.add_argument("--normalize", action="store_true",
+                    help="with --schema-json: apply the document's "
+                         "defaults/casts/pruning (newNormalizer analog) "
+                         "before validating")
     ap.add_argument("--incremental", action="store_true",
                     help="validate every snapshot not yet covered by "
                          "lineage (delta files only, carried-forward "
@@ -80,7 +90,26 @@ def main() -> int:
     spark = get_spark("validate_job")
     store = SnapshotStore(args.table)
     cp = ValidationCheckpoint(args.state)
-    suite = SUITES[args.suite]()
+    if args.schema_json:
+        from schemasaurus_spark.schema_json import (
+            normalizer_spec_from_json_schema, suite_from_json_schema)
+
+        with open(args.schema_json) as f:
+            doc = json.load(f)
+        suite = suite_from_json_schema(doc, id_column=args.id_column)
+        if args.normalize:
+            import hashlib
+
+            from schemasaurus_spark.normalizer import normalize
+
+            nspec = normalizer_spec_from_json_schema(doc)
+            cp = ValidationCheckpoint(
+                args.state,
+                pre=lambda df: normalize(df, nspec),
+                # NormalizerSpec reprs deterministically (plain dataclasses)
+                pre_hash=hashlib.sha256(repr(nspec).encode()).hexdigest()[:8])
+    else:
+        suite = SUITES[args.suite]()
     import time
     t0 = time.time()
     if args.incremental:

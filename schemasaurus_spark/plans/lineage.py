@@ -81,9 +81,22 @@ class CheckpointedRun:
 
 
 class ValidationCheckpoint:
-    def __init__(self, state_dir: str):
+    def __init__(self, state_dir: str, pre=None, pre_hash: str | None = None):
+        """``pre`` is an optional DataFrame→DataFrame transform applied
+        before validation (e.g. the normalizer — the reference's
+        preprocess-then-validate pipeline, README.md:291-312). It must be a
+        projection (row-preserving, same scan) so per-file lineage row
+        counts stay exact. ``pre_hash`` folds the transform's identity into
+        the lineage key so resume never skips files validated under a
+        DIFFERENT preprocessing."""
         self.state = Path(state_dir)
         self.state.mkdir(parents=True, exist_ok=True)
+        self.pre = pre
+        self.pre_hash = pre_hash
+
+    def _suite_hash(self, suite) -> str:
+        h = suite.fingerprint()
+        return f"{h}:{self.pre_hash}" if self.pre_hash else h
 
     def _table(self, name: str) -> Path:
         return self.state / name
@@ -140,7 +153,7 @@ class ValidationCheckpoint:
     def run(self, spark: SparkSession, store: SnapshotStore, suite: Suite,
             snapshot_id: str | None = None) -> CheckpointedRun:
         snap = store._get(snapshot_id)
-        suite_hash = suite.fingerprint()
+        suite_hash = self._suite_hash(suite)
         done = self.completed_files(spark, suite_hash) & set(snap.files)
         todo = [f for f in snap.files if f not in done]
         if not todo:
@@ -155,6 +168,10 @@ class ValidationCheckpoint:
         attempt = uuid.uuid4().hex
 
         df = spark.read.parquet(*todo)
+        if self.pre is not None:
+            # projection over the same scan: input_file_name() still
+            # resolves, so per-file lineage is unaffected
+            df = self.pre(df)
         plan = compile_suite(suite, df.schema)
         canon_file = F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
 

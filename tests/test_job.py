@@ -45,3 +45,42 @@ def test_job_aggregate_baseline_bootstrap_then_drift(spark, tmp_path):
     assert rep2["files_skipped"] > 0              # checkpoint resume worked
     assert isinstance(rep2["drift"], list) and rep2["drift"]
     assert all(g["pass"] for g in rep2["drift"])  # same generator => no drift
+
+
+def test_job_with_json_schema_document(spark, tmp_path):
+    """--schema-json: the reference's native document drives the packaged
+    cluster job (normalize → validate → lineage/resume)."""
+    from schemasaurus_spark import datagen
+    from schemasaurus_spark.sources.storage import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    store.append(datagen.finalize(
+        datagen.corrupt_enum(datagen.gen_sequences(spark, 300, 3), every=50)))
+    state = str(tmp_path / "state")
+    doc = {
+        "type": "object",
+        "required": ["doc_id", "source"],
+        "properties": {
+            "doc_id": {"type": "string", "pattern": "^[a-z]+-[0-9]{8}$"},
+            "source": {"enum": list(datagen.SOURCES)},
+            "n_tok": {"type": "integer", "minimum": 1},
+        },
+    }
+    schema_path = tmp_path / "suite.json"
+    schema_path.write_text(json.dumps(doc))
+
+    rep1, rc1 = _run_job("--table", str(tmp_path / "tbl"), "--state", state,
+                         "--schema-json", str(schema_path), "--normalize")
+    assert rc1 == 1 and not rep1["pass"]          # corrupt_enum planted dirt
+    assert rep1["n_rows"] == 300 and rep1["n_violations"] > 0
+
+    # resume under the SAME document+normalizer: all files skip
+    rep2, rc2 = _run_job("--table", str(tmp_path / "tbl"), "--state", state,
+                         "--schema-json", str(schema_path), "--normalize")
+    assert rep2["files_skipped"] == 3 and rep2["files_validated"] == 0
+    assert rep2["n_violations"] == rep1["n_violations"]
+
+    # same document WITHOUT --normalize = different lineage key → re-runs
+    rep3, _ = _run_job("--table", str(tmp_path / "tbl"), "--state", state,
+                       "--schema-json", str(schema_path))
+    assert rep3["files_validated"] == 3
