@@ -66,10 +66,13 @@ def _render_arg(arg) -> Optional[str]:
     return str(arg)
 
 
-def _vio_struct(code: str, column: str, value: Column, arg, message: str) -> Column:
+def _vio_struct(code: str, column, value: Column, arg, message: str) -> Column:
+    # `column` is usually a static label; PatternProperties passes a Column
+    # expression so the label can carry the offending map key (col[key])
     return F.struct(
         F.lit(code).alias("constraint_id"),
-        F.lit(column).alias("column"),
+        (column if isinstance(column, Column)
+         else F.lit(column)).alias("column"),
         value.cast("string").alias("value"),
         F.lit(_render_arg(arg)).cast("string").alias("arg"),
         F.lit(message).alias("message"),
@@ -409,6 +412,11 @@ class ConstraintCompiler:
         elif isinstance(c, dsl.KeyPattern):
             if dt is None or isinstance(dt, T.MapType):
                 self._compile_key_pattern(out, col_name, col, c, m, null_guard)
+
+        elif isinstance(c, dsl.PatternProperties):
+            if dt is None or isinstance(dt, T.MapType):
+                self._compile_pattern_properties(out, col_name, col, c,
+                                                 null_guard)
 
         elif isinstance(c, dsl.Conform):
             self._compile_conform(out, col_name, col, c, m, null_guard)
@@ -787,6 +795,83 @@ class ConstraintCompiler:
             return ok
 
         return bp
+
+    def _compile_pattern_properties(self, out, col_name, col,
+                                    c: dsl.PatternProperties, null_guard):
+        """patternProperties value sub-schemas over map entries
+        (processor.js:90-111). One violation per offending ENTRY with the
+        sub-constraint's own code and column label `<col>[<key>]` — the
+        columnar analog of the reference's per-key error path. Entry-value
+        predicates reuse the items element machinery (combinators/refs
+        included); null values skip checks, NotNull flags them. All
+        closures are factories — NO default-arg lambdas (the harness would
+        read them as the two-arg (element, index) form)."""
+        entries = F.map_entries(col)
+
+        def bad_factory(regex, pred, is_required, negate_match=False):
+            def bad(e):
+                matches = e["key"].rlike(regex) if regex is not None else (
+                    ~self._any_key_match(e["key"], c))
+                if negate_match:
+                    matches = ~matches
+                if is_required:
+                    return matches & e["value"].isNull()
+                return matches & e["value"].isNotNull() & ~F.coalesce(
+                    pred(e["value"]), F.lit(False))
+            return bad
+
+        def vio_factory(code, arg, msg):
+            def vio(e):
+                return _vio_struct(
+                    code,
+                    F.concat(F.lit(col_name + "["), e["key"], F.lit("]")),
+                    e["value"], arg, msg)
+            return vio
+
+        def emit_value_checks(regex, subs):
+            for sub in self._expand_element_refs(subs):
+                pred, code, arg = self._element_predicate(sub)
+                bad = bad_factory(regex, pred, isinstance(sub, dsl.NotNull))
+                offenders = F.filter(entries, bad)
+                has = F.size(offenders) > 0
+                if null_guard:
+                    has = col.isNotNull() & F.coalesce(has, F.lit(False))
+                msg = sub.message or self._msg(code, arg)
+                structs = F.transform(offenders,
+                                      vio_factory(code, arg, msg))
+                out.fragments.append(
+                    F.when(has, structs).otherwise(_empty_violations()))
+                ok = ~has
+                out.valid = ok if out.valid is None else out.valid & ok
+
+        for regex, subs in c.spec_items():
+            emit_value_checks(regex, subs)
+
+        if c.additional is False:
+            unmatched = F.filter(
+                entries, lambda e: ~self._any_key_match(e["key"], c))
+            has_bad = F.size(unmatched) > 0
+            if null_guard:
+                has_bad = col.isNotNull() & F.coalesce(has_bad, F.lit(False))
+            msg = c.message or self._msg("additionalProperties")
+            structs = F.transform(
+                unmatched,
+                lambda e: _vio_struct("additionalProperties", col_name,
+                                      e["key"],
+                                      _render_arg([r for r, _ in
+                                                   c.spec_items()]), msg))
+            out.fragments.append(
+                F.when(has_bad, structs).otherwise(_empty_violations()))
+            ok = ~has_bad
+            out.valid = ok if out.valid is None else out.valid & ok
+        elif c.additional is not None:
+            emit_value_checks(None, list(c.additional))
+
+    def _any_key_match(self, key: Column, c: dsl.PatternProperties) -> Column:
+        ok = F.lit(False)
+        for r, _ in c.spec_items():
+            ok = ok | key.rlike(r)
+        return ok
 
     def _element_predicate(self, sub: dsl.Constraint):
         """Map a scalar constraint onto array elements (lambda-variable form).

@@ -308,6 +308,42 @@ class KeyPattern(Constraint):
 
 
 @dataclass(frozen=True)
+class PatternProperties(Constraint):
+    """draft-4 ``patternProperties`` VALUE sub-schemas (+ the schema form
+    of ``additionalProperties``) for map columns — processor.js:90-111
+    applies each matching pattern's sub-schema to the entry value; keys
+    matching no pattern fall to ``additional``.
+
+    ``specs``: sequence of ``(regex, constraints)``; every pattern whose
+    regex matches a key applies its constraints to that entry's VALUE.
+    ``additional``: ``None`` = unmatched keys allowed; ``False`` =
+    unmatched key emits ``additionalProperties`` (KeyPattern semantics);
+    a constraint list = schema applied to unmatched entries' values.
+
+    Violations carry the sub-constraint's own code (reference error-model
+    parity) with column label ``<col>[<key>]`` identifying the entry; null
+    entry values skip value checks (element null convention), NotNull
+    flags them."""
+
+    specs: Sequence[tuple] = ()  # (regex, Sequence[Constraint])
+    additional: object = None    # None | False | Sequence[Constraint]
+
+    def __post_init__(self):
+        object.__setattr__(
+            self, "specs",
+            tuple((r, tuple(cs)) for r, cs in self.specs))
+        if isinstance(self.additional, (list, tuple)):
+            object.__setattr__(self, "additional", tuple(self.additional))
+
+    def spec_items(self):
+        return list(self.specs)
+
+    @property
+    def code(self) -> str:
+        return "patternProperties"
+
+
+@dataclass(frozen=True)
 class Conform(Constraint):
     """Custom predicate — the escape hatch, v4validator.js:305-322.
 

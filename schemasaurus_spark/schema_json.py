@@ -57,7 +57,8 @@ _SCALAR_KEYWORDS = {
     "exclusiveMaximum", "multipleOf", "minLength", "maxLength", "pattern",
     "format", "minItems", "maxItems", "uniqueItems", "items",
     "additionalItems", "minProperties", "maxProperties",
-    "patternProperties", "allOf", "anyOf", "oneOf", "not", "$ref",
+    "patternProperties", "additionalProperties",
+    "allOf", "anyOf", "oneOf", "not", "$ref",
     "conform", "messages", "required", "default", "description", "title",
 }
 
@@ -155,9 +156,24 @@ def _constraints_from(schema: dict, custom_fns: Optional[dict],
     if "maxProperties" in schema:
         out.append(dsl.MaxProperties(schema["maxProperties"],
                                      message=m("maxProperties")))
-    if "patternProperties" in schema:
-        out.append(dsl.KeyPattern(list(schema["patternProperties"]),
-                                  message=m("additionalProperties")))
+    if "patternProperties" in schema or "additionalProperties" in schema:
+        pp: dict = schema.get("patternProperties") or {}
+        addl = schema.get("additionalProperties")
+        if any(pp.values()) or addl is False or isinstance(addl, dict):
+            # value sub-schemas present (or an additional-keys policy):
+            # full patternProperties semantics over map entries
+            out.append(dsl.PatternProperties(
+                specs=[(r, _constraints_from(s, custom_fns, runtime_types))
+                       for r, s in pp.items()],
+                additional=(False if addl is False else
+                            _constraints_from(addl, custom_fns,
+                                              runtime_types)
+                            if isinstance(addl, dict) else None),
+                message=m("additionalProperties")))
+        elif pp:
+            # keys-only form ({} value schemas): KeyPattern, as before
+            out.append(dsl.KeyPattern(list(pp),
+                                      message=m("additionalProperties")))
     for kw, cls in (("allOf", dsl.AllOf), ("anyOf", dsl.AnyOf),
                     ("oneOf", dsl.OneOf)):
         if kw in schema:
@@ -242,6 +258,16 @@ def _constraint_to_keywords(c: dsl.Constraint) -> dict:
         return {"maxProperties": c.value, **m}
     if isinstance(c, dsl.KeyPattern):
         return {"patternProperties": {p: {} for p in c.patterns}, **m}
+    if isinstance(c, dsl.PatternProperties):
+        d: dict = {"patternProperties": {
+            r: _merge([_constraint_to_keywords(x) for x in cs])
+            for r, cs in c.spec_items()}}
+        if c.additional is False:
+            d["additionalProperties"] = False
+        elif c.additional is not None:
+            d["additionalProperties"] = _merge(
+                [_constraint_to_keywords(x) for x in c.additional])
+        return {**d, **m}
     if isinstance(c, dsl.AllOf):
         return {"allOf": [_merge([_constraint_to_keywords(x) for x in b])
                           for b in c.branches], **m}

@@ -465,6 +465,36 @@ CASES += [
      {"items.required", "items.minimum"}),
     ("items combinator null element skips", "array<int>",
      [dsl.Items([dsl.AnyOf([[dsl.Minimum(100)]])])], [None], set()),
+    # --- patternProperties VALUE sub-schemas (processor.js:90-111) ---
+    ("patternProps value ok", "map<string,int>",
+     [dsl.PatternProperties([("^n", [dsl.Minimum(0)])])], {"n1": 5}, set()),
+    ("patternProps value fail, unmatched key unchecked", "map<string,int>",
+     [dsl.PatternProperties([("^n", [dsl.Minimum(0)])])],
+     {"n1": -1, "x": -5}, {"minimum"}),
+    ("patternProps additional=false flags unmatched key", "map<string,int>",
+     [dsl.PatternProperties([("^n", [dsl.Minimum(0)])], additional=False)],
+     {"n1": 1, "x": 1}, {"additionalProperties"}),
+    ("patternProps additional schema checks unmatched values",
+     "map<string,int>",
+     [dsl.PatternProperties([("^n", ())], additional=[dsl.Maximum(10)])],
+     {"n1": 99, "z": 99}, {"maximum"}),
+    ("patternProps null value skips checks", "map<string,string>",
+     [dsl.PatternProperties([("^a", [dsl.MinLength(2)])])],
+     {"aa": None}, set()),
+    ("patternProps notnull flags null value", "map<string,string>",
+     [dsl.PatternProperties([("^a", [dsl.NotNull()])])],
+     {"aa": None}, {"required"}),
+    ("patternProps combinator value fail", "map<string,int>",
+     [dsl.PatternProperties(
+         [("^a", [dsl.AnyOf([[dsl.Minimum(100)], [dsl.Maximum(10)]])])])],
+     {"aa": 50}, {"anyOf"}),
+    ("patternProps overlapping patterns both apply", "map<string,int>",
+     [dsl.PatternProperties([("^a", [dsl.Minimum(0)]),
+                             ("b$", [dsl.Maximum(10)])])],
+     {"ab": 50}, {"maximum"}),
+    ("patternProps null map skips (optional)", "map<string,int>",
+     [dsl.PatternProperties([("^a", [dsl.Minimum(0)])], additional=False)],
+     None, set()),
 ]
 
 
@@ -492,7 +522,9 @@ def _run_batch(spark, cases):
     res = validate(df, suite)
     got = {i: set() for i in range(len(cases))}
     for r in res.violations().collect():
-        got[int(r["column"].split(".")[0][1:])].add(r["constraint_id"])
+        # column is c<i>, c<i>.<subpath>, or c<i>[<map key>]
+        base = r["column"].split(".")[0].split("[")[0]
+        got[int(base[1:])].add(r["constraint_id"])
     mismatches = [
         f"{cases[i][0]}: got {sorted(got[i])}, expected {sorted(cases[i][4])}"
         for i in range(len(cases)) if got[i] != set(cases[i][4])
