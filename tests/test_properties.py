@@ -159,18 +159,30 @@ def test_fuzz_random_suites_compile_and_run(spark, data):
         dsl.MinItems(0), dsl.MaxItems(10), dsl.UniqueItems(),
         dsl.Items([dsl.Minimum(-100), dsl.Maximum(100)]),
     ])
+    # one PatternProperties variant only: two different ones (or one plus
+    # KeyPattern) in a single column would be a legitimate JSON keyword
+    # conflict (patternProperties emitted twice) and _merge rightly raises
+    map_constraints = st.sampled_from([
+        dsl.MinProperties(0), dsl.MaxProperties(5),
+        dsl.PatternProperties([("^a", (dsl.Minimum(0),))], additional=False),
+    ])
     suite = dsl.Suite(id_column="i", columns={
         "n": data.draw(st.lists(int_constraints, min_size=0, max_size=3)),
         "s": data.draw(st.lists(str_constraints, min_size=0, max_size=3)),
         "a": data.draw(st.lists(arr_constraints, min_size=0, max_size=2)),
+        "m": data.draw(st.lists(map_constraints, min_size=0, max_size=2)),
     })
     rows = data.draw(st.lists(
         st.tuples(st.integers(0, 99),
                   st.one_of(st.none(), st.integers(-100, 100)),
                   st.one_of(st.none(), st.text(alphabet="abz", max_size=5)),
-                  st.one_of(st.none(), st.lists(st.integers(-200, 200), max_size=5))),
+                  st.one_of(st.none(), st.lists(st.integers(-200, 200), max_size=5)),
+                  st.one_of(st.none(), st.dictionaries(
+                      st.text(alphabet="abz", min_size=1, max_size=2),
+                      st.integers(-5, 15), max_size=3))),
         min_size=1, max_size=6))
-    df = spark.createDataFrame(rows, "i int, n long, s string, a array<long>")
+    df = spark.createDataFrame(
+        rows, "i int, n long, s string, a array<long>, m map<string,long>")
     res = validate(df, suite)
     v = res.violations().collect()
     ids = {r[0] for r in rows}
