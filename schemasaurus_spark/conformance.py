@@ -469,6 +469,47 @@ FROM (VALUES ('rogue'), ('rogue2')) AS t(c)
 # 'Next round #1').
 
 
+def q_conformance_mapvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 operators: patternProperties VALUE sub-schemas (per-entry
+    violations labeled attrs[key], additionalProperties=false for unmatched
+    keys, processor.js:90-111) and element-level combinators
+    (items: {anyOf}, processor.js:31-64)."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    attrs = F.map_from_arrays(
+        F.array(F.lit("n_len"), F.lit("n_mod"),
+                F.when(did % 7 == 0, F.lit("rogue")).otherwise(F.lit("n_ok"))),
+        F.array(did % 10 - 2, did % 5, F.lit(1).cast("long")))
+    nums = F.array(did % 12, (did * 3) % 12)
+    staged = d.select("doc_id", attrs.alias("attrs"), nums.alias("nums"))
+    suite = dsl.Suite(
+        id_column="doc_id",
+        columns={
+            "attrs": [dsl.PatternProperties([("^n_", [dsl.Minimum(0)])],
+                                            additional=False)],
+            "nums": [dsl.Items([dsl.AnyOf([[dsl.Maximum(3)],
+                                           [dsl.Minimum(8)]])])],
+        },
+        name="conformance_mapvalues")
+    return _vio4(validate(staged, suite))
+
+
+SQL_CONFORMANCE_MAPVALUES = """
+SELECT doc_id, 'minimum' AS constraint_id, 'attrs[n_len]' AS "column",
+       CAST(doc_id % 10 - 2 AS VARCHAR) AS value
+  FROM documents WHERE doc_id % 10 < 2
+UNION ALL
+SELECT doc_id, 'additionalProperties', 'attrs', 'rogue'
+  FROM documents WHERE doc_id % 7 = 0
+UNION ALL
+SELECT doc_id, 'items.anyOf', 'nums', CAST(doc_id % 12 AS VARCHAR)
+  FROM documents WHERE doc_id % 12 BETWEEN 4 AND 7
+UNION ALL
+SELECT doc_id, 'items.anyOf', 'nums', CAST(doc_id * 3 % 12 AS VARCHAR)
+  FROM documents WHERE doc_id * 3 % 12 BETWEEN 4 AND 7
+"""
+
+
 def q_conformance_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     null_v = F.lit(None).cast("string").alias("value")
     msg4 = q_conformance_messages(spark, sf_dir).select(
@@ -484,7 +525,8 @@ def q_conformance_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .select("*", null_v))
             .unionByName(q_conformance_extension(spark, sf_dir))
             .unionByName(q_conformance_undeclared(spark, sf_dir)
-                         .select("*", null_v)))
+                         .select("*", null_v))
+            .unionByName(q_conformance_mapvalues(spark, sf_dir)))
 
 
 SQL_CONFORMANCE_MISC = f"""
@@ -506,6 +548,8 @@ SELECT * FROM ({SQL_CONFORMANCE_EXTENSION})
 UNION ALL
 SELECT doc_id, constraint_id, "column", CAST(NULL AS VARCHAR)
 FROM ({SQL_CONFORMANCE_UNDECLARED})
+UNION ALL
+SELECT * FROM ({SQL_CONFORMANCE_MAPVALUES})
 """
 
 
