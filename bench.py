@@ -128,7 +128,7 @@ def main() -> None:
     # methodology (benchmark.js, 99 samples/op, README.md:644) and defend
     # against the sandbox VM's run-to-run throughput swings (measured up to
     # 4x on identical code — see BENCH.md round-3 platform note).
-    attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "2"))
+    attempts = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "2")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
@@ -144,7 +144,7 @@ def main() -> None:
 
     seq_path = ensure_sequences(spark, SEQ_ROWS, CPUS * 4)
     seq = None
-    for _ in range(max(attempts, 2)):
+    for _ in range(attempts):
         s = run_sequences_bench(spark, seq_path)  # fresh plan each attempt
         s.pop("_prebuilt", None)
         if seq is None or s["wall_s"] < seq["wall_s"]:

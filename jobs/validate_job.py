@@ -90,6 +90,7 @@ def main() -> int:
     spark = get_spark("validate_job")
     store = SnapshotStore(args.table)
     cp = ValidationCheckpoint(args.state)
+    pre_transform = None
     if args.schema_json:
         from schemasaurus_spark.schema_json import (
             normalizer_spec_from_json_schema, suite_from_json_schema)
@@ -103,9 +104,10 @@ def main() -> int:
             from schemasaurus_spark.normalizer import normalize
 
             nspec = normalizer_spec_from_json_schema(doc)
+            pre_transform = lambda df: normalize(df, nspec)
             cp = ValidationCheckpoint(
                 args.state,
-                pre=lambda df: normalize(df, nspec),
+                pre=pre_transform,
                 # NormalizerSpec reprs deterministically (plain dataclasses)
                 pre_hash=hashlib.sha256(repr(nspec).encode()).hexdigest()[:8])
     else:
@@ -141,6 +143,10 @@ def main() -> int:
         from schemasaurus_spark.plans.baseline import BaselineStore
 
         df = store.read(spark, args.snapshot)
+        if pre_transform is not None:
+            # aggregates must see the SAME view of the table as row
+            # validation (defaults/casts/pruning applied)
+            df = pre_transform(df)
         uniq = agg.uniqueness_check(df, suite.id_column)
         report["unique_total"] = uniq.screen_total
         report["unique_distinct"] = uniq.screen_distinct

@@ -336,6 +336,14 @@ class ConstraintCompiler:
 
         if isinstance(c, dsl.NotNull):
             failed = col.isNull()
+            if "." in col_name:
+                # nested required applies only when the PARENT object is
+                # present (draft-4/reference: the sub-schema is entered only
+                # for existing properties, v4validator.js:67-79 + the
+                # properties descent) — a null optional parent is silent;
+                # the parent's own NotNull governs its absence
+                parent = F.col(col_name.rsplit(".", 1)[0])
+                failed = parent.isNotNull() & failed
             out.fragments.append(
                 _scalar_fragment(failed, "required", col_name, F.lit(None), None,
                                  m or self._msg("required"))
@@ -808,12 +816,12 @@ class ConstraintCompiler:
         read them as the two-arg (element, index) form)."""
         entries = F.map_entries(col)
 
-        def bad_factory(regex, pred, is_required, negate_match=False):
+        def bad_factory(regex, pred, is_required):
             def bad(e):
+                # regex None = the additional-schema path: applies to keys
+                # matching NO pattern
                 matches = e["key"].rlike(regex) if regex is not None else (
                     ~self._any_key_match(e["key"], c))
-                if negate_match:
-                    matches = ~matches
                 if is_required:
                     return matches & e["value"].isNull()
                 return matches & e["value"].isNotNull() & ~F.coalesce(

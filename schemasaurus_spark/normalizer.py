@@ -126,6 +126,11 @@ def _leaf_expr(df_schema, path: str, cs: ColumnSpec) -> Column:
     col = F.col(path) if exists else F.lit(None)
     if cs.has_default:
         col = F.coalesce(col, F.lit(cs.default))
+    if cs.type == "passthrough" and exists:
+        # keep the column's OWN type — the when/otherwise wrapper below
+        # types its null branch, and "passthrough" has no target type to
+        # name (a STRING null crashes map/struct/array columns)
+        return col
     return F.when(col.isNotNull(), _cast(col, dtype, cs.type)).otherwise(
         _typed_null(cs.type))
 

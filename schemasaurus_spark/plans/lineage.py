@@ -91,6 +91,11 @@ class ValidationCheckpoint:
         DIFFERENT preprocessing."""
         self.state = Path(state_dir)
         self.state.mkdir(parents=True, exist_ok=True)
+        if pre is not None and not pre_hash:
+            raise ValueError(
+                "ValidationCheckpoint(pre=...) requires pre_hash: without "
+                "it the lineage key matches runs that used DIFFERENT "
+                "preprocessing and resume would skip their files")
         self.pre = pre
         self.pre_hash = pre_hash
 

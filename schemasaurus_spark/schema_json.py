@@ -139,8 +139,12 @@ def _constraints_from(schema: dict, custom_fns: Optional[dict],
                     if fname in freq:
                         fcs = [dsl.NotNull()] + fcs
                     fields[fname] = fcs
-            it_scalar = {k: v for k, v in it.items()
-                         if k not in ("properties", "required")}
+            # strip the required-ARRAY only alongside properties (it names
+            # fields); the draft-3 inline `required: true` (element NotNull)
+            # must survive into the scalar translation
+            drop = ("properties", "required") if "properties" in it else (
+                "properties",)
+            it_scalar = {k: v for k, v in it.items() if k not in drop}
             out.append(dsl.Items(
                 _constraints_from(it_scalar, custom_fns, runtime_types)
                 if it_scalar else (),
@@ -159,7 +163,13 @@ def _constraints_from(schema: dict, custom_fns: Optional[dict],
     if "patternProperties" in schema or "additionalProperties" in schema:
         pp: dict = schema.get("patternProperties") or {}
         addl = schema.get("additionalProperties")
-        if any(pp.values()) or addl is False or isinstance(addl, dict):
+        # policy: value sub-schemas / an explicit additional policy use the
+        # full draft-4 semantics (unmatched keys allowed unless the schema
+        # says otherwise — including explicit `additionalProperties: true`);
+        # the bare keys-only form ({} value schemas, no additional keyword)
+        # keeps the legacy strict KeyPattern allowlist (conformance_map
+        # oracle-pinned)
+        if any(pp.values()) or addl is not None:
             # value sub-schemas present (or an additional-keys policy):
             # full patternProperties semantics over map entries
             out.append(dsl.PatternProperties(
@@ -244,6 +254,14 @@ def _constraint_to_keywords(c: dsl.Constraint) -> dict:
                     fcs = fcs[1:]
                 fprops[fname] = _merge(
                     [_constraint_to_keywords(x) for x in fcs])
+            if "required" in d:
+                # element-level NotNull emitted `required: true`; a fields
+                # required-list needs the same keyword — no JSON form holds
+                # both on one object schema
+                raise SchemaTranslationError(
+                    "Items with BOTH an element NotNull and fields= has no "
+                    "JSON form (the `required` keyword cannot be true and "
+                    "a field list at once)")
             d["properties"] = fprops
             if freq:
                 d["required"] = freq

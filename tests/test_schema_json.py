@@ -177,10 +177,10 @@ def test_nested_properties_validate_on_struct_frame(spark):
     rows = validate(df, suite_from_json_schema(schema, id_column="doc_id")
                     ).violations().collect()
     got = sorted((r["doc_id"], r["constraint_id"], r["column"]) for r in rows)
-    # doc 2: enum fail; doc 3: required (null field); doc 4: null struct →
-    # meta.lang is null → required fires (the struct itself is optional)
-    assert got == [(2, "enum", "meta.lang"), (3, "required", "meta.lang"),
-                   (4, "required", "meta.lang")]
+    # doc 2: enum fail; doc 3: required (parent present, field null);
+    # doc 4: null OPTIONAL struct → sub-schema not entered, nothing fires
+    # (draft-4: required applies only when the parent object exists)
+    assert got == [(2, "enum", "meta.lang"), (3, "required", "meta.lang")]
 
 
 def test_items_object_schema_round_trip_and_validation(spark):
@@ -321,3 +321,56 @@ def test_keys_only_pattern_properties_still_key_pattern():
               "properties": {"m": {"patternProperties": {"^a": {}}}}}
     s = suite_from_json_schema(schema, id_column="m")
     assert isinstance(s.columns["m"][0], dsl.KeyPattern)
+
+
+def test_normalizer_passthrough_keeps_map_and_struct_types(spark):
+    """Passthrough specs on map/struct columns must not type their null
+    branch as STRING (review fix: --schema-json --normalize crashed on the
+    very map columns patternProperties validates)."""
+    from schemasaurus_spark.normalizer import normalize
+    from schemasaurus_spark.schema_json import normalizer_spec_from_json_schema
+
+    doc = {"type": "object",
+           "properties": {"attrs": {"patternProperties": {"^n_": {"minimum": 0}}},
+                          "empty_obj": {"type": "object", "properties": {}}}}
+    spec = normalizer_spec_from_json_schema(doc)
+    df = spark.createDataFrame(
+        [({"n_a": 1}, (7,)), (None, None)],
+        "attrs map<string,int>, empty_obj struct<x: int>")
+    out = normalize(df, spec)
+    rows = out.collect()
+    assert rows[0]["attrs"] == {"n_a": 1} and rows[0]["empty_obj"]["x"] == 7
+    assert rows[1]["attrs"] is None
+
+
+def test_items_inline_required_round_trips():
+    """items: {required: true} (element NotNull) must survive JSON I/O
+    (review fix: 'required' was stripped even without 'properties')."""
+    from schemasaurus_spark.schema_json import suite_to_json_schema
+
+    suite = dsl.Suite(id_column="i",
+                      columns={"a": [dsl.Items([dsl.NotNull()])]})
+    js = suite_to_json_schema(suite)
+    assert js["properties"]["a"]["items"] == {"required": True}
+    back = suite_from_json_schema(js, id_column="i", name=suite.name)
+    assert back.fingerprint() == suite.fingerprint()
+
+
+def test_items_notnull_plus_fields_required_is_loud():
+    from schemasaurus_spark.schema_json import suite_to_json_schema
+
+    suite = dsl.Suite(id_column="i", columns={"a": [
+        dsl.Items([dsl.NotNull()], fields={"s": [dsl.NotNull()]})]})
+    with pytest.raises(SchemaTranslationError, match="required"):
+        suite_to_json_schema(suite)
+
+
+def test_additional_properties_true_allows_unmatched_keys(spark):
+    """additionalProperties: true explicitly PERMITS unmatched keys — it
+    must not compile to the strict KeyPattern allowlist (review fix)."""
+    doc = {"type": "object",
+           "properties": {"m": {"patternProperties": {"^a": {}},
+                                "additionalProperties": True}}}
+    s = suite_from_json_schema(doc, id_column="m")
+    df = spark.createDataFrame([({"zz": "v"},)], "m map<string,string>")
+    assert validate(df, s).violations().count() == 0
