@@ -85,9 +85,13 @@ class FullValidationResult:
         return base.unionByName(extra)
 
     def is_valid(self) -> bool:
-        if self._n_agg is not None:
-            return self.row.is_valid() and self._n_agg == 0
-        return self.row.is_valid() and self.agg_violations.take(1) == []
+        if not self.row.is_valid():
+            return False
+        # populate the shared count cache: the natural gate-then-report
+        # order (is_valid() then verdicts()) must execute the aggregate
+        # plan once, not twice. The frame is per-check-sized (never data-
+        # sized), so count() over take(1) costs nothing material.
+        return self._agg_count() == 0
 
 
 def _empty_violations_df(spark) -> DataFrame:

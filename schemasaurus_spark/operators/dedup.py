@@ -220,9 +220,17 @@ def duplicate_clusters(pairs: DataFrame, a_col: str = "id_a",
             break
     # materialize the (pairs-sized) result and release the iteration cache —
     # returning the cached frame directly leaked one persisted RDD per call
-    # (round-2 VERDICT 'What's wrong #4')
-    final = labels.select(F.col("id"), F.col("label").alias("cluster")) \
-                  .localCheckpoint(eager=True)
+    # (round-2 VERDICT 'What's wrong #4'). With a checkpoint dir configured
+    # (any real cluster job) use a RELIABLE checkpoint: localCheckpoint
+    # stores blocks only on executors, so an executor loss after lineage
+    # truncation would make the frame unrecoverable; the local fallback is
+    # for single-JVM sessions where executor loss means the app is gone.
+    final = labels.select(F.col("id"), F.col("label").alias("cluster"))
+    sc = pairs.sparkSession.sparkContext
+    if sc.getCheckpointDir():
+        final = final.checkpoint(eager=True)
+    else:
+        final = final.localCheckpoint(eager=True)
     labels.unpersist()
     return final
 

@@ -100,22 +100,26 @@ def auto_n_bits(n_rows: int, target_bucket_size: int = 1024,
 
 def _bucketed(df: DataFrame, vec_col: str, id_col: str,
               dims: list[int] | None, planes: list[list[float]] | None,
-              seed: int, target_bucket_size: int) -> list[DataFrame]:
-    """(bucket, id, v) frames — one per hash table. Explicit ``dims`` pins
-    the deterministic axis projection (the oracle path); explicit ``planes``
-    pins one Gaussian table; neither → adaptive: count the corpus (one
-    column-less scan — parquet answers from footer metadata), derive the bit
-    count from N, and build ONE Gaussian table (callers wanting recall add
-    tables via n_tables)."""
-    if dims is not None:
-        buckets = [_axis_bits(vec_col, dims)]
-    elif planes is not None:
+              seed: int, target_bucket_size: int,
+              n_tables: int = 1) -> list[DataFrame]:
+    """(bucket, id, v) frames — one per hash table. Explicit ``planes``
+    pins one Gaussian table (same precedence as sign_lsh_buckets: planes
+    win when both are passed); explicit ``dims`` pins the deterministic
+    axis projection (the oracle path); neither → adaptive: count the
+    corpus (one column-less scan — parquet answers from footer metadata),
+    derive the bit count from N, and build ``n_tables`` independent seeded
+    Gaussian tables (the recall lever: a near pair split by one table's
+    planes usually collides in another)."""
+    if planes is not None:
         buckets = [_plane_bits(vec_col, planes)]
+    elif dims is not None:
+        buckets = [_axis_bits(vec_col, dims)]
     else:
         n = df.count()
         bits = auto_n_bits(n, target_bucket_size)
         dim = len(df.select(vec_col).first()[0])
-        buckets = [_plane_bits(vec_col, gaussian_planes(dim, bits, seed))]
+        buckets = [_plane_bits(vec_col, gaussian_planes(dim, bits, seed + t))
+                   for t in range(max(n_tables, 1))]
     return [
         df.select(b.alias("bucket"), F.col(id_col).alias("id"),
                   F.col(vec_col).alias("v"))
@@ -272,23 +276,11 @@ def _multi_table_slims(df: DataFrame, vec_col: str, id_col: str,
                        planes: list[list[float]] | None,
                        n_tables: int, seed: int,
                        target_bucket_size: int) -> list[DataFrame]:
-    """One (bucket, id, v) frame per independent hash table. Multiple
-    Gaussian tables (different seeds, same bit count) are the standard
-    recall lever: a near pair split by one table's planes usually collides
-    in another; candidates union before verification."""
-    if dims is not None or planes is not None or n_tables <= 1:
-        slims = _bucketed(df, vec_col, id_col, dims, planes, seed,
-                          target_bucket_size)
-        return slims
-    n = df.count()
-    bits = auto_n_bits(n, target_bucket_size)
-    dim = len(df.select(vec_col).first()[0])
-    return [
-        df.select(_plane_bits(vec_col,
-                              gaussian_planes(dim, bits, seed + t)).alias("bucket"),
-                  F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        for t in range(n_tables)
-    ]
+    """One (bucket, id, v) frame per independent hash table — thin wrapper
+    over _bucketed (explicit dims/planes pin one table; otherwise n_tables
+    adaptive Gaussian tables)."""
+    return _bucketed(df, vec_col, id_col, dims, planes, seed,
+                     target_bucket_size, n_tables=n_tables)
 
 
 def ann_knn_join(df: DataFrame, k: int = 5, dims: list[int] | None = None,
@@ -356,8 +348,14 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
                                seed, target_bucket_size)
     all_pairs = None
     for slim in slims:
-        a = slim.alias("a")
-        b = _cap_bucket(slim, bucket_cap).alias("b")
+        # cap the LEFT (lower-id) side: _cap_bucket keeps the lowest ids
+        # per bucket, and the pair filter is a.id < b.id — capping the b
+        # side instead would make every row ABOVE the cap set invisible
+        # (never id_b: filtered out; never id_a: all surviving b ids are
+        # smaller). Capped-a × full-b keeps the same N·cap work bound while
+        # every row still pairs with its bucket's low-id representatives.
+        a = _cap_bucket(slim, bucket_cap).alias("a")
+        b = slim.alias("b")
         p = (a.join(b, on="bucket")
              .where(F.col("a.id") < F.col("b.id"))
              .select(F.col("a.id").alias("id_a"),

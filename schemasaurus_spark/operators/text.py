@@ -28,12 +28,19 @@ def words(text: Column) -> Column:
     return F.split(F.trim(text), WORD_SPLIT)
 
 
+def token_count_expr(text: Column) -> Column:
+    """Whitespace token count as an expression — the single body shared by
+    token_count and the graded q_token_count projection (so the oracle gate
+    exercises the operator, not a copy of it)."""
+    return F.size(words(text))
+
+
 def token_count(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Whitespace token count — the cheap n_tok proxy for raw text."""
     return df.select(
         F.col(id_col),
-        F.size(words(F.col(text_col))).alias("n_tokens"),
+        token_count_expr(F.col(text_col)).alias("n_tokens"),
     )
 
 
@@ -46,14 +53,19 @@ def token_count(df: DataFrame, text_col: str = "text",
 BPE_ISH_REGEX = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 
 
+def token_count_bpe_expr(text_col: str) -> Column:
+    """BPE-ish pretoken count as an expression (shared body, see
+    token_count_expr)."""
+    return F.size(F.regexp_extract_all(text_col, F.lit(BPE_ISH_REGEX), 0))
+
+
 def token_count_bpe(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """BPE-ish token count: number of pretokenizer matches (JVM-side
     regexp_extract_all — no Python in the loop)."""
     return df.select(
         F.col(id_col),
-        F.size(F.regexp_extract_all(text_col, F.lit(BPE_ISH_REGEX), 0))
-         .alias("n_bpe_tokens"),
+        token_count_bpe_expr(text_col).alias("n_bpe_tokens"),
     )
 
 
@@ -143,19 +155,25 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     freq = tokens.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
     total = freq.agg(F.sum("n").alias("t")).first()["t"]
     if max_vocab is not None:
-        # top-K by (n desc, word asc) runs as TakeOrderedAndProject; the
-        # tail collapses to one <unk> row carrying its summed mass
-        top = freq.orderBy(F.desc("n"), F.col("word")).limit(max_vocab)
-        tail_n = total - (top.agg(F.sum("n")).first()[0] or 0)
+        # top-K by (n desc, word asc) runs as TakeOrderedAndProject and is
+        # COLLECTED (K rows, driver-bounded by the user's own valve): the
+        # join side becomes a local relation, so the final plan does not
+        # recompute the corpus-wide aggregation and the tail sum costs
+        # nothing — two full scans total (the `total` agg and the top-K),
+        # plus the scoring scan, instead of the previous four.
+        top_rows = (freq.orderBy(F.desc("n"), F.col("word"))
+                    .limit(max_vocab).collect())
+        tail_n = max(int(total - sum(r["n"] for r in top_rows)), 1)
         spark = df.sparkSession
-        unk = spark.createDataFrame([("\x00unk", max(int(tail_n), 1))],
-                                    "word string, n long")
-        freq = top.unionByName(unk)
-        in_vocab = top.select("word", F.lit(True).alias("__in"))
-        tokens = (tokens.join(in_vocab, "word", "left")
-                  .select(id_col,
-                          F.when(F.col("__in"), F.col("word"))
-                           .otherwise(F.lit("\x00unk")).alias("word")))
+        vocab = spark.createDataFrame(
+            [(r["word"], r["n"]) for r in top_rows], "word string, n long")
+        # one LEFT join: in-vocab words score n/total, everything else
+        # folds to the <unk> tail mass — mass-preserving
+        lp = F.log(F.coalesce(F.col("n"), F.lit(int(tail_n)))
+                   / F.lit(float(total)))
+        return (tokens.join(vocab, "word", "left")
+                .groupBy(id_col)
+                .agg(F.round(F.avg(lp), round_to).alias("logprob")))
     lp = F.log(F.col("n") / F.lit(float(total)))
     return (
         tokens.join(freq, "word")

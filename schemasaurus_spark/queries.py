@@ -279,9 +279,8 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(text.words(F.col("text"))).alias("n_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(text.BPE_ISH_REGEX), 0))
-         .alias("n_bpe_tokens"),
+        text.token_count_expr(F.col("text")).alias("n_tokens"),
+        text.token_count_bpe_expr("text").alias("n_bpe_tokens"),
     )
 
 

@@ -109,14 +109,21 @@ def test_bucket_cap_bounds_skewed_fanout(spark):
     n = 60
     rows = [(i, [1.0, 1.0, 1.0, 1.0]) for i in range(n)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    capped = sim.ann_knn_join(df, k=5, dims=[0, 1, 2, 3], bucket_cap=8)
-    # candidate pairs before top-k are ≤ n*cap; after k=5 window ≤ n*5,
-    # but the REAL assertion is on fan-out: every id sees ≤ cap candidates
+    # k far above the cap so the top-k window cannot mask it: each id's
+    # candidate pool is the capped representative set, so per-id neighbor
+    # counts stay ≤ cap even with k=100
+    capped = sim.ann_knn_join(df, k=100, dims=[0, 1, 2, 3], bucket_cap=8)
     per_id = capped.groupBy("id").count().agg({"count": "max"}).first()[0]
     assert per_id <= 8
     pairs = sim.cosine_neardup_pairs(df, threshold=0.0, dims=[0, 1, 2, 3],
                                      bucket_cap=8)
     assert pairs.count() <= n * 8
+    # NO row is invisible to near-dup detection under the cap: every id
+    # participates in at least one pair (ids above the cap set pair as id_b
+    # with the capped low-id representatives)
+    seen = {r["id_a"] for r in pairs.select("id_a").distinct().collect()} | \
+           {r["id_b"] for r in pairs.select("id_b").distinct().collect()}
+    assert seen == set(range(n))
 
 
 def test_gaussian_lsh_recall_on_clustered_vectors(spark):

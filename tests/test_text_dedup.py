@@ -51,10 +51,12 @@ def test_unigram_logprob_max_vocab_unk_fold(spark):
               for r in text.unigram_logprob(df, max_vocab=3).collect()}
     assert set(capped) == set(full)
     assert all(math.isfinite(v) and v < 0 for v in capped.values())
-    # doc 1 is all top-vocab words ("the","cat",...) except none? at K=3 the
-    # top words are corpus-dependent; just pin that capping changes scores
-    # monotonically toward the tail bucket for the gibberish doc
-    assert capped[5] <= full[5] + 1e-9 or capped[5] >= full[5] - 1e-9
+    # docs 3 and 5 are ALL-singleton (every token outside the top-3 vocab):
+    # uncapped they score ln(1/total); capped they score the folded tail
+    # mass ln(tail_n/total) with tail_n > 1 — strictly HIGHER, and
+    # identical across all-tail docs (the fold is uniform)
+    assert capped[5] > full[5]
+    assert capped[3] == capped[5]
 
 
 def test_duplicate_clusters_releases_cache(spark):
