@@ -226,7 +226,16 @@ class ConstraintCompiler:
 
     def compile(self) -> ValidationPlan:
         if self.schema is not None:
-            missing = [c for c in self.suite.columns
+            # check EVERY column the suite reads — not just suite.columns:
+            # Dependency.on/requires/schema-form targets, Conform
+            # extra_cols, and the id column. A typo in any of them should
+            # be a SuiteCompileError at compile time, not an unresolved-
+            # column AnalysisException at first action.
+            wanted = set(self.suite.columns) | {self.suite.id_column}
+            all_cs = [c for cs in self.suite.columns.values() for c in cs]
+            all_cs += [c for _, c in self.suite.row]
+            wanted |= dsl.referenced_columns(all_cs)
+            missing = [c for c in sorted(wanted)
                        if not _has_path(self.schema, c)]
             if missing:
                 raise SuiteCompileError(

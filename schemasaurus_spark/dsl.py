@@ -332,8 +332,15 @@ class PatternProperties(Constraint):
         object.__setattr__(
             self, "specs",
             tuple((r, tuple(cs)) for r, cs in self.specs))
-        if isinstance(self.additional, (list, tuple)):
+        if self.additional is True:
+            # the natural draft-4 spelling of "unmatched keys allowed"
+            object.__setattr__(self, "additional", None)
+        elif isinstance(self.additional, (list, tuple)):
             object.__setattr__(self, "additional", tuple(self.additional))
+        elif self.additional not in (None, False):
+            raise TypeError(
+                "PatternProperties.additional must be None, True, False, "
+                f"or a constraint list — got {self.additional!r}")
 
     def spec_items(self):
         return list(self.specs)
@@ -460,6 +467,30 @@ class Dependency(Constraint):
 
 
 # --------------------------------------------------------------------- suite
+
+
+def referenced_columns(constraints) -> set:
+    """Columns a constraint list READS beyond the column it is attached to:
+    Conform extra_cols (ctx.parent analog) and Dependency on/requires/
+    schema-form targets, recursing through combinator branches. Used by the
+    compiler's missing-column check and by the undeclared-column scan (these
+    references are part of the declared surface, not undeclared extras)."""
+    out: set = set()
+    for c in constraints:
+        if isinstance(c, Conform):
+            out |= set(c.extra_cols)
+        elif isinstance(c, Dependency):
+            out.add(c.on)
+            out |= set(c.requires)
+            out |= {t for t, _ in c.constraints}
+            for _, sub in c.constraints:
+                out |= referenced_columns([sub])
+        elif isinstance(c, (AllOf, AnyOf, OneOf)):
+            for b in c.branches:
+                out |= referenced_columns(b)
+        elif isinstance(c, Not):
+            out |= referenced_columns(c.branch)
+    return out
 
 
 # ------------------------------------------------------- extension registry

@@ -53,7 +53,12 @@ def column_stats(df: DataFrame, columns: list[str] | None = None,
 
     The whole stats suite is ONE job / ONE scan — see module docstring.
     """
-    columns = columns or [c for c in df.columns]
+    if columns is None:
+        from pyspark.sql import types as T
+
+        # MapType is unorderable (min/max raise); default to everything else
+        columns = [f.name for f in df.schema.fields
+                   if not isinstance(f.dataType, T.MapType)]
     qcols = set(quantile_columns or [])
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in columns:
@@ -120,7 +125,6 @@ class UniquenessResult:
 def uniqueness_check(
     df: DataFrame,
     key: str | Sequence[str] = "doc_id",
-    id_column: str | None = None,
     salt_buckets: int = 64,
     hll_rsd: float = 0.01,
 ) -> UniquenessResult:
@@ -154,17 +158,18 @@ def uniqueness_check(
     not_null = F.lit(True)
     for kc in keys:
         not_null = not_null & F.col(kc).isNotNull()
-    k = (F.col(keys[0]) if len(keys) == 1
-         else F.concat_ws("|", *[F.col(kc).cast("string") for kc in keys]))
+    # group on the ACTUAL key columns — concat_ws('|') grouping would
+    # collide distinct composite keys whose values contain '|'
+    # (('x|y','z') vs ('x','y|z')); the joined form is display-only below
     partial = (
         df.where(not_null)
-        .select(k.alias("k"))
+        .select(*[F.col(kc) for kc in keys])
         .withColumn("salt", salt)
-        .groupBy("k", "salt")
+        .groupBy(*keys, "salt")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     # Phase 2: tiny re-agg over (key) — input is ≤ salt_buckets rows per key.
-    per_key = partial.groupBy("k").agg(F.sum("c").alias("occurrences"))
+    per_key = partial.groupBy(*keys).agg(F.sum("c").alias("occurrences"))
 
     # Exact screen stats from the same tree (ONE job; the per-key shuffle is
     # tiny relative to the scan and is reused by the violations collection).
@@ -184,13 +189,14 @@ def uniqueness_check(
         return UniquenessResult(total, distinct, True, empty)
 
     dup_keys = per_key.where(F.col("occurrences") > 1)
+    k_display = F.concat_ws("|", *[F.col(kc).cast("string") for kc in keys])
     msg = render_message("unique.doc_id")
     # Suspect set is small → broadcast it back; one violation per extra
     # occurrence = (occurrences - 1) rows per key via sequence+explode (no
     # window over the full table).
     violations = (
         dup_keys.select(
-            "k",
+            k_display.alias("k"),
             F.explode(F.sequence(F.lit(2), F.col("occurrences"))).alias("occ"),
         )
         .select(
@@ -257,7 +263,11 @@ def referential_check(
     (code, offending value, arg = dimension name/size)."""
     dim_column = dim_column or column
     dim_small = dim.select(F.col(dim_column).alias(column)).distinct()
-    missing = df.join(F.broadcast(dim_small), on=column, how="left_anti")
+    # NULL fact keys skip the check (the engine-wide optional-null
+    # convention; NULL presence belongs to NotNull / null_rate_check) —
+    # a null join key never matches and would otherwise always violate
+    missing = df.where(F.col(column).isNotNull()).join(
+        F.broadcast(dim_small), on=column, how="left_anti")
     msg = render_message("ref.source")
     return missing.select(
         F.col(id_column).cast("string").alias("doc_id"),
@@ -303,24 +313,37 @@ def array_histogram(df: DataFrame, array_col: str, edges: list[float],
     n = len(edges) - 1
     col = F.col(array_col)
 
-    def bucket_count(lo, hi, last):
-        upper = (lambda x: x <= hi) if last else (lambda x: x < hi)
-        return F.size(F.filter(col, lambda x: (x >= lo) & upper(x)))
+    def bucket_count(lo, hi):
+        return F.size(F.filter(col, lambda x: (x >= lo) & (x < hi)))
 
-    aggs = [
-        F.sum(bucket_count(edges[i], edges[i + 1], i == n - 1)).alias(f"b{i}")
+    # same bucket scheme as the scalar histogram(): -1 = underflow,
+    # i = [edges[i], edges[i+1]), n = overflow (x >= edges[-1]). Without
+    # the -1/n buckets, out-of-range elements silently VANISH from the
+    # counts and drift_check stays blind to range shifts the scalar path
+    # would flag via its overflow bucket.
+    aggs = [F.sum(F.size(F.filter(col, lambda x: x < edges[0])))
+            .alias("b_under")]
+    aggs += [
+        F.sum(bucket_count(edges[i], edges[i + 1])).alias(f"b{i}")
         for i in range(n)
     ]
+    aggs.append(F.sum(F.size(F.filter(col, lambda x: x >= edges[n])))
+                .alias("b_over"))
     keys = [F.col(by).alias("group_key")] if by else [F.lit("*").alias("group_key")]
     wide = df.where(col.isNotNull()).groupBy(*keys).agg(*aggs)
-    structs = [
+    structs = [F.struct(F.lit(-1).alias("bucket"),
+                        F.col("b_under").cast("long").alias("count"))]
+    structs += [
         F.struct(F.lit(i).alias("bucket"),
                  F.col(f"b{i}").cast("long").alias("count"))
         for i in range(n)
     ]
-    return wide.select(
+    structs.append(F.struct(F.lit(n).alias("bucket"),
+                            F.col("b_over").cast("long").alias("count")))
+    return (wide.select(
         "group_key", F.explode(F.array(*structs)).alias("s")
     ).select("group_key", "s.bucket", "s.count")
+        .where(F.col("count") > 0))
 
 
 def _counts_to_probs(counts: dict[int, int], n_buckets: int, eps: float = 1e-6):
@@ -390,7 +413,8 @@ def drift_check(
 
     curm, basem = to_map(cur), to_map(base)
     results = []
-    for gk in sorted(set(curm) | set(basem)):
+    for gk in sorted(set(curm) | set(basem),
+                     key=lambda g: (g is None, str(g))):
         e, a = basem.get(gk, {}), curm.get(gk, {})
         p = psi(e, a, n)
         k = ks_statistic(e, a, n)

@@ -81,13 +81,28 @@ class ValidationResult:
         suite = self.plan.suite
         if suite.allow_undeclared_columns:
             return []
-        declared = set(suite.columns) | {suite.id_column, VIOLATIONS_COL}
-        declared |= {label for label, _ in suite.row}
+        from schemasaurus_spark import dsl as _dsl
+
+        # dotted suite paths declare their TOP-LEVEL column (a.b declares
+        # a), and columns the suite reads (Conform extra_cols, Dependency
+        # targets) are part of the declared surface — flagging them would
+        # report additionalProperties on fully valid data
+        declared = {c.split(".")[0] for c in suite.columns}
+        declared |= {suite.id_column.split(".")[0], VIOLATIONS_COL}
+        declared |= {label.split(".")[0] for label, _ in suite.row}
+        refs = _dsl.referenced_columns(
+            [c for cs in suite.columns.values() for c in cs]
+            + [c for _, c in suite.row])
+        declared |= {r.split(".")[0] for r in refs}
         return [c for c in self.validated.columns if c not in declared]
 
     def verdicts(self) -> DataFrame:
-        """Per-partition (partition_id, n_rows, n_violations, pass)."""
-        return (
+        """Per-partition (partition_id, n_rows, n_violations, pass).
+        Undeclared-column violations (static, not row-scoped) append as a
+        pseudo-partition row (partition_id = -2; the engine's aggregate
+        checks use -1) so verdict consumers see what violations() reports
+        instead of passing a table the violation report calls invalid."""
+        base = (
             self.validated
             .groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(
@@ -96,6 +111,14 @@ class ValidationResult:
             )
             .withColumn("pass", F.col("n_violations") == 0)
         )
+        extra = self.undeclared_columns()
+        if not extra:
+            return base
+        spark = self.validated.sparkSession
+        pseudo = spark.createDataFrame(
+            [(-2, 0, len(extra), False)],
+            "partition_id int, n_rows long, n_violations long, pass boolean")
+        return base.unionByName(pseudo)
 
     def metrics(self) -> DataFrame:
         """Violation counts per (constraint_id, column) — the metrics table."""
@@ -154,7 +177,11 @@ class ValidationResult:
         return self._row_filter(False)
 
     def is_valid(self) -> bool:
-        """Table-level verdict (collects one aggregate row)."""
+        """Table-level verdict (collects one aggregate row). Includes the
+        static undeclared-column check — violations() reports those, so the
+        boolean verdict must agree."""
+        if self.undeclared_columns():
+            return False
         row = self.validated.select(
             F.sum(F.size(VIOLATIONS_COL)).alias("n")
         ).first()

@@ -121,7 +121,7 @@ def test_token_id_histogram_no_explode(spark):
              .count().collect())
     want = {}
     for r in ref:
-        b = min(r["b"], 4)  # last bucket closed at 50257
+        b = min(r["b"], 4)  # max token id 50256 < edges[-1]; no overflow
         want[(r["source"], b)] = want.get((r["source"], b), 0) + r["count"]
     assert got == want
     # plan: tokens are never exploded pre-aggregation (the only Generate is
@@ -181,3 +181,58 @@ def test_duplicate_clusters_chain_and_star(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1,
                    10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20}
+
+
+def test_uniqueness_composite_key_no_separator_collision(spark):
+    """Distinct composite keys whose values contain '|' must NOT collide
+    (review fix: concat_ws grouping merged ('x|y','z') with ('x','y|z'))."""
+    from schemasaurus_spark.operators import aggregates as agg
+
+    df = spark.createDataFrame([("x|y", "z"), ("x", "y|z")], "a string, b string")
+    res = agg.uniqueness_check(df, key=["a", "b"])
+    assert res.screened_clean and res.screen_distinct == 2
+
+
+def test_drift_check_null_group_key(spark):
+    """A null in the by-column forms its own group instead of crashing the
+    drift sort (review fix)."""
+    from schemasaurus_spark.operators import aggregates as agg
+
+    df = spark.createDataFrame(
+        [(None, 5.0), ("web", 6.0), ("web", 7.0)], "src string, v double")
+    edges = [0.0, 10.0]
+    base = agg.histogram(df, "v", edges, by="src")
+    res = agg.drift_check(df, base, "v", edges, by="src")
+    assert all(r.passed for r in res)
+
+
+def test_array_histogram_overflow_buckets(spark):
+    """Out-of-range elements land in the -1/n buckets instead of vanishing
+    (review fix: drift was blind to range shifts)."""
+    from schemasaurus_spark.operators import aggregates as agg
+
+    df = spark.createDataFrame([([-5, 5, 15, 25],)], "a array<int>")
+    got = {(r["bucket"]): r["count"]
+           for r in agg.array_histogram(df, "a", [0.0, 10.0, 20.0]).collect()}
+    assert got == {-1: 1, 0: 1, 1: 1, 2: 1}
+
+
+def test_referential_check_null_keys_skip(spark):
+    """NULL fact keys skip the referential check (engine null convention)."""
+    from schemasaurus_spark.operators import aggregates as agg
+
+    fact = spark.createDataFrame(
+        [(1, "web"), (2, None), (3, "bogus")], "doc_id long, source string")
+    dim = spark.createDataFrame([("web",), ("books",)], "source string")
+    rows = agg.referential_check(fact, dim).collect()
+    assert [(r["doc_id"], r["value"]) for r in rows] == [("3", "bogus")]
+
+
+def test_column_stats_skips_map_columns(spark):
+    from schemasaurus_spark.operators import aggregates as agg
+
+    df = spark.createDataFrame([(1, {"k": "v"})], "n long, m map<string,string>")
+    rows = agg.column_stats(df).collect()        # must not raise
+    cols = {r["column"] for r in rows}
+    assert cols == {"n"}                          # map column skipped
+    assert [r["max"] for r in rows if r["column"] == "n"] == ["1"]

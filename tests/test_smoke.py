@@ -106,3 +106,43 @@ def test_make_value_validator_reference_shape(spark):
                               "value": "2", "arg": "5", "path": ["v"]}]
     nul = fn({})
     assert [e["code"] for e in nul["errors"]] == ["required"]
+
+
+def test_compile_checks_referenced_columns(spark):
+    """Typos in Dependency/Conform/id_column surface as SuiteCompileError
+    at compile, not AnalysisException at first action (review fix)."""
+    import pytest
+    from schemasaurus_spark import dsl
+    from schemasaurus_spark.compiler import SuiteCompileError
+
+    df = spark.createDataFrame([("x", "y")], "a string, b string")
+    with pytest.raises(SuiteCompileError, match="sorce"):
+        validate(df, dsl.Suite(id_column="a", columns={}, row=[
+            ("a", dsl.Dependency(on="sorce", requires=["b"]))]))
+    with pytest.raises(SuiteCompileError, match="nope"):
+        validate(df, dsl.Suite(id_column="a", columns={
+            "a": [dsl.Conform(name="x", expr=lambda a, n: a == n,
+                              extra_cols=["nope"])]}))
+
+
+def test_undeclared_scan_allows_dotted_parents_and_refs(spark):
+    """Parent structs of dotted paths and Conform/Dependency-referenced
+    columns are DECLARED surface (review fix: false additionalProperties
+    on valid data), and is_valid()/verdicts() agree with violations()."""
+    from schemasaurus_spark import dsl
+
+    df = spark.createDataFrame([((1,), "x", "y", "z")],
+                               "meta struct<n: int>, a string, b string, "
+                               "extra string")
+    suite = dsl.Suite(
+        id_column="a",
+        columns={"meta.n": [dsl.Minimum(0)],
+                 "a": [dsl.Conform(name="eq", expr=lambda a, b: a != b,
+                                   extra_cols=["b"])]},
+        allow_undeclared_columns=False)
+    res = validate(df, suite)
+    assert res.undeclared_columns() == ["extra"]
+    assert not res.is_valid()                      # violations() reports it
+    v = res.verdicts().collect()
+    pseudo = [r for r in v if r["partition_id"] == -2]
+    assert pseudo and pseudo[0]["n_violations"] == 1 and not pseudo[0]["pass"]
