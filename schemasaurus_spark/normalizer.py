@@ -65,6 +65,18 @@ def _parse_int(col: Column) -> Column:
     return F.when(prefix != "", prefix.cast("long")).otherwise(F.lit(None).cast("long"))
 
 
+def _parse_float(col: Column) -> Column:
+    """JS parseFloat semantics: leading numeric prefix ('12.5 kg' → 12.5);
+    else null. try_cast alone is NOT parseFloat — trailing garbage would
+    null the whole value where the reference keeps the prefix
+    (normalizer.js:39-42)."""
+    s = F.trim(col.cast("string"))
+    prefix = F.regexp_extract(
+        s, r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", 0)
+    return F.when(prefix != "", prefix.cast("double")) \
+            .otherwise(F.lit(None).cast("double"))
+
+
 def _parse_bool(col: Column) -> Column:
     """normalizer.js truth table + JS truthiness fallback."""
     s = F.lower(F.trim(col.cast("string")))
@@ -84,18 +96,30 @@ def _cast(col: Column, dtype, target: str) -> Column:
     if target == "integer":
         if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
             return col.cast("long")
-        if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
-            # parseInt(3.9) == 3 → cast truncates toward zero
+        if isinstance(dtype, (T.FloatType, T.DoubleType)):
+            # parseInt(3.9) == 3 → cast truncates toward zero; NaN/±Inf →
+            # null (the non-ANSI cast would fabricate 0 / Long.MIN/MAX,
+            # values that never existed — parseInt(NaN) is NaN)
+            return F.when(F.isnan(col) | (F.abs(col) == float("inf")),
+                          F.lit(None).cast("long")).otherwise(col.cast("long"))
+        if isinstance(dtype, T.DecimalType):
             return col.cast("long")
         return _parse_int(col)
     if target == "number":
-        # parseFloat semantics: malformed → null (try_cast, ANSI-safe)
-        return col.try_cast("double")
+        if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType,
+                              T.LongType, T.FloatType, T.DoubleType,
+                              T.DecimalType)):
+            return col.cast("double")
+        # parseFloat: leading numeric prefix, else null
+        return _parse_float(col)
     if target == "boolean":
         if isinstance(dtype, T.BooleanType):
             return col
-        if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-                              T.FloatType, T.DoubleType, T.DecimalType)):
+        if isinstance(dtype, (T.FloatType, T.DoubleType)):
+            # JS Boolean(NaN) is false; Spark NaN != 0 is true
+            return (col != 0) & ~F.isnan(col)
+        if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType,
+                              T.LongType, T.DecimalType)):
             return col != 0  # JS truthiness for numbers
         return _parse_bool(col)
     if target.startswith("array"):
@@ -145,6 +169,12 @@ def _spec_tree(columns: Sequence[ColumnSpec]) -> dict:
             node = node.setdefault(p, {})
             if not isinstance(node, dict):
                 raise ValueError(f"spec '{cs.name}' descends through a leaf")
+        if isinstance(node.get(parts[-1]), dict):
+            # a later parent leaf spec must not silently discard an
+            # already-declared dotted subtree (order-independence)
+            raise ValueError(
+                f"spec '{cs.name}' conflicts with dotted child specs "
+                f"({cs.name}.*) — declare either the node or its children")
         node[parts[-1]] = cs
     return tree
 

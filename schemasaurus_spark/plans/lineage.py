@@ -59,11 +59,22 @@ VIOLATIONS_EMPTY_SCHEMA = (
 
 
 def _canon(path: str) -> str:
-    """input_file_name() yields file:/// URIs; manifests store bare paths."""
+    """Canonical file key: input_file_name() yields PERCENT-ENCODED
+    absolute file: URIs while manifests store paths as the user gave them
+    (possibly relative, possibly with spaces). Comparing the raw strings
+    silently mismatches — every per-file violation count reads 0 and the
+    run records a false PASS — so BOTH sides normalize through this one
+    helper: strip the scheme, percent-decode, absolutize. (The Spark-side
+    twin is the url_decode/regexp_replace expression in run(); abspath
+    needs no executor analog because input_file_name is already absolute.)"""
+    import os
+    from urllib.parse import unquote
+
     for prefix in ("file://", "file:"):
         if path.startswith(prefix):
-            return path[len(prefix):]
-    return path
+            path = path[len(prefix):]
+            break
+    return os.path.abspath(unquote(path))
 
 
 @dataclass
@@ -107,10 +118,21 @@ class ValidationCheckpoint:
         return self.state / name
 
     def lineage(self, spark: SparkSession) -> DataFrame:
+        """Committed lineage, ONE row per (suite_hash, file): concurrent
+        runs against the same state dir can both validate the same files
+        and both append — without this winner-per-file dedup their rows
+        would double-count n_rows/n_violations in every later aggregate
+        and duplicate committed violations via the semi-join."""
         p = self._table("lineage")
         if not p.exists():
             return spark.createDataFrame([], LINEAGE_SCHEMA)
-        return spark.read.parquet(str(p))
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("suite_hash", "file").orderBy(
+            F.desc("wall_ts"), F.desc("attempt_id"))
+        return (spark.read.parquet(str(p))
+                .withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1).drop("__rn"))
 
     def violations(self, spark: SparkSession) -> DataFrame:
         """Committed violations only: rows whose (snapshot, suite, file,
@@ -159,12 +181,13 @@ class ValidationCheckpoint:
             snapshot_id: str | None = None) -> CheckpointedRun:
         snap = store._get(snapshot_id)
         suite_hash = self._suite_hash(suite)
-        done = self.completed_files(spark, suite_hash) & set(snap.files)
-        todo = [f for f in snap.files if f not in done]
+        canon = {f: _canon(f) for f in snap.files}
+        done = self.completed_files(spark, suite_hash) & set(canon.values())
+        todo = [f for f in snap.files if canon[f] not in done]
         if not todo:
             lin = self.lineage(spark).where(
                 (F.col("suite_hash") == suite_hash)
-                & (F.col("file").isin(list(snap.files))))
+                & (F.col("file").isin(list(canon.values()))))
             agg = lin.agg(F.sum("n_rows").alias("r"),
                           F.sum("n_violations").alias("v")).first()
             return CheckpointedRun(snap.id, suite_hash, 0, len(done),
@@ -178,7 +201,10 @@ class ValidationCheckpoint:
             # resolves, so per-file lineage is unaffected
             df = self.pre(df)
         plan = compile_suite(suite, df.schema)
-        canon_file = F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
+        # Spark-side twin of _canon(): scheme strip + percent-decode
+        # (input_file_name is already absolute)
+        canon_file = F.url_decode(
+            F.regexp_replace(F.input_file_name(), "^file:(//)?", ""))
 
         # THE single data scan: stage the violations increment, keyed by
         # attempt (partition dir = cheap pruned re-read below). Explode
@@ -238,11 +264,12 @@ class ValidationCheckpoint:
             rc = snap.record_count(f)
             if rc is None:
                 rc = file_record_count(f)
-            nv = int(per_file.get(f, 0))
+            nv = int(per_file.get(canon[f], 0))
             n_rows += rc
             n_vio += nv
             lineage_rows.append(
-                (snap.id, suite_hash, f, rc, nv, nv == 0, now, attempt))
+                (snap.id, suite_hash, canon[f], rc, nv, nv == 0, now,
+                 attempt))
 
         # Lineage LAST — the commit point. A crash before this line leaves
         # only invisible orphans (filtered out by violations()/metrics()).

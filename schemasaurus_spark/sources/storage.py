@@ -84,7 +84,13 @@ class SnapshotStore:
         snaps = self._load()
         sid = f"s{len(snaps):05d}"
         out_dir = self.data_dir / sid
-        df.write.mode("error").parquet(str(out_dir))
+        # overwrite, not error: a crash between this write and _save()
+        # leaves an orphan dir for an id the manifest never recorded; the
+        # retry recomputes the SAME id, and mode('error') would then brick
+        # every future append with 'path already exists'. Overwriting the
+        # unrecorded staging dir is exactly the manifest-last commit
+        # protocol — only _save() publishes a snapshot.
+        df.write.mode("overwrite").parquet(str(out_dir))
         new_files = sorted(str(p) for p in out_dir.glob("*.parquet"))
         prev = snaps[-1]["files"] if snaps else []
         prev_counts = snaps[-1].get("record_counts") or {} if snaps else {}

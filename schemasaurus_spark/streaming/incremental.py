@@ -44,7 +44,15 @@ def validate_new_snapshots(
     seen = state.last_validated_snapshot
     start = 0
     if seen is not None:
-        start = next(i for i, s in enumerate(snaps) if s.id == seen) + 1
+        idx = next((i for i, s in enumerate(snaps) if s.id == seen), None)
+        if idx is None:
+            # state points at a snapshot this table no longer has (rebuilt
+            # table / stale state): fall back to validating from the start
+            # — file-keyed lineage makes the re-walk skip completed work,
+            # so this is safe and cheap rather than an opaque StopIteration
+            start = 0
+        else:
+            start = idx + 1
     for snap in snaps[start:]:
         runs.append(checkpoint.run(spark, store, suite, snap.id))
         state.last_validated_snapshot = snap.id

@@ -32,14 +32,14 @@ def apply_plan_stream(stream_df: DataFrame, suite: Suite) -> DataFrame:
 
 
 def stream_violations(stream_df: DataFrame, suite: Suite) -> DataFrame:
-    """Append-mode violation rows (stateless projection + filter + explode)."""
-    validated = apply_plan_stream(stream_df, suite)
+    """Append-mode violation rows — built on the plan's own
+    explode_violations (ONE implementation of the no-pre-filter explode
+    shape and its pushdown-pathology rationale; see compiler.py), so the
+    streaming path can never drift from the batch path."""
+    plan = compile_suite(suite, stream_df.schema)
     idc = suite.id_column
-    # explode with no pre-filter: empty arrays emit nothing, and no
-    # size-predicate can leak into a file-stream scan (pushdown pathology)
     return (
-        validated
-        .select(F.col(idc), F.explode(VIOLATIONS_COL).alias("__v"))
+        plan.explode_violations(stream_df)
         .select(idc, "__v.constraint_id", "__v.column", "__v.value",
                 "__v.arg", "__v.message")
     )
@@ -86,7 +86,9 @@ def windowed_drift(stream_df: DataFrame, column: str, edges: list[float],
                    time_col: str = "ts", window: str = "10 seconds",
                    watermark: str = "30 seconds",
                    psi_threshold: float = 0.2,
-                   eps: float = 1e-6) -> DataFrame:
+                   eps: float = 1e-6,
+                   baseline_under: float = 0.0,
+                   baseline_over: float = 0.0) -> DataFrame:
     """Per-window PSI of `column`'s fixed-edge histogram vs a checkpointed
     baseline (north rule: drift detection, streaming form).
 
@@ -100,18 +102,27 @@ def windowed_drift(stream_df: DataFrame, column: str, edges: list[float],
         raise ValueError(f"need {n} baseline probs, got {len(baseline_probs)}")
     x = F.col(column).cast("double")
     w = stream_df.withWatermark(time_col, watermark)
-    bucket_sums = [
+    # under/overflow buckets INCLUDED (parity with the batch histogram's
+    # -1/n buckets): mass moving outside the edge range must register as a
+    # direct PSI term — counted only in n_rows it would show up as mere
+    # dilution of the in-range buckets, far below its real contribution
+    bucket_sums = [F.sum((x < edges[0]).cast("long")).alias("b_under")]
+    bucket_sums += [
         F.sum(((x >= edges[i]) & (x < edges[i + 1])).cast("long")).alias(f"b{i}")
         for i in range(n)
     ]
+    bucket_sums.append(F.sum((x >= edges[n]).cast("long")).alias("b_over"))
     agged = w.groupBy(F.window(F.col(time_col), window).alias("w")).agg(
         F.count(x).alias("n_rows"), *bucket_sums)
     total = F.greatest(F.col("n_rows"), F.lit(1)).cast("double")
     psi = None
     ks = None
     cum_q, cum_p = F.lit(0.0), 0.0
-    for i, p0 in enumerate(baseline_probs):
-        q = F.greatest(F.col(f"b{i}") / total, F.lit(eps))
+    ordered = ([("b_under", baseline_under)]
+               + [(f"b{i}", p0) for i, p0 in enumerate(baseline_probs)]
+               + [("b_over", baseline_over)])
+    for cname, p0 in ordered:
+        q = F.greatest(F.col(cname) / total, F.lit(eps))
         p = F.lit(max(p0, eps))
         term = (q - p) * F.log(q / p)
         psi = term if psi is None else psi + term

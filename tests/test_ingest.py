@@ -60,3 +60,22 @@ def test_orc_ingest_validates(spark, tmp_path):
     res = ingest(spark, p, "orc", COLUMNS, SPEC, SUITE)
     rows = res.violations().collect()
     assert [(r["doc_id"], r["constraint_id"]) for r in rows] == [(2, "minimum")]
+
+
+def test_append_retry_after_crash_between_write_and_manifest(spark, tmp_path):
+    """A crash after the parquet write but before the manifest save leaves
+    an orphan dir for an UNRECORDED snapshot id; the retry recomputes the
+    same id and must overwrite the staging dir, not brick the store
+    (review fix: mode('error') raised 'path already exists' forever)."""
+    from schemasaurus_spark.sources.storage import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    df = spark.range(10).selectExpr("id AS doc_id")
+    store.append(df)
+    # simulate the crashed attempt: orphan data dir for the NEXT id,
+    # manifest never updated
+    orphan = tmp_path / "tbl" / "data" / "s00001"
+    df.limit(3).write.parquet(str(orphan))
+    snap = store.append(df)                    # retry must succeed
+    assert snap.id == "s00001"
+    assert store.read(spark, "s00001").count() == 20   # 10 + 10, not 3

@@ -138,3 +138,46 @@ def test_incremental_only_validates_delta(spark, tmp_path):
     assert runs[0].files_validated == 2
     assert runs[0].files_skipped == 2
     assert runs[0].n_rows == 160
+
+
+def test_special_char_table_path_counts_violations(spark, tmp_path):
+    """Manifest paths are plain strings; input_file_name yields
+    PERCENT-ENCODED absolute URIs ('my tbl' → 'my%20tbl'). Without
+    canonicalization on both sides every per-file violation count silently
+    read 0 → a false PASS (review fix)."""
+    from schemasaurus_spark import datagen, dsl
+    from schemasaurus_spark.plans.lineage import ValidationCheckpoint
+    from schemasaurus_spark.sources.storage import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "my tbl"))   # space → %20 in URIs
+    store.append(datagen.finalize(
+        datagen.corrupt_enum(datagen.gen_sequences(spark, 200, 2), every=40)))
+    cp = ValidationCheckpoint(str(tmp_path / "state sp"))
+    suite = dsl.Suite(id_column="doc_id",
+                      columns={"source": [dsl.Enum(datagen.SOURCES)]})
+    run = cp.run(spark, store, suite)
+    assert run.n_violations > 0                       # not a false PASS
+    assert cp.violations(spark).count() == run.n_violations
+    # resume still matches on the canonical keys
+    again = cp.run(spark, store, suite)
+    assert again.files_validated == 0 and again.files_skipped == 2
+    assert again.n_violations == run.n_violations
+
+
+def test_lineage_dedupes_concurrent_attempts(spark, tmp_path):
+    """Two racing runs can both append lineage for the same file; readers
+    must keep ONE winner per (suite_hash, file) or every later aggregate
+    double-counts (review fix)."""
+    from schemasaurus_spark.plans.lineage import (LINEAGE_SCHEMA,
+                                                  ValidationCheckpoint)
+
+    cp = ValidationCheckpoint(str(tmp_path / "state"))
+    rows = [("s00000", "h1", "/f1", 10, 1, False, 1.0, "a1"),
+            ("s00000", "h1", "/f1", 10, 1, False, 2.0, "a2"),  # racer
+            ("s00000", "h1", "/f2", 5, 0, True, 1.0, "a1")]
+    spark.createDataFrame(rows, LINEAGE_SCHEMA).write.mode("append") \
+        .parquet(str(tmp_path / "state" / "lineage"))
+    lin = cp.lineage(spark).collect()
+    assert len(lin) == 2                              # one row per file
+    winner = [r for r in lin if r["file"] == "/f1"][0]
+    assert winner["attempt_id"] == "a2"               # latest wall_ts wins

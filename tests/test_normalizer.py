@@ -98,3 +98,40 @@ def test_nested_struct_defaults_materialize(spark):
                            prune_additional=False)
     rows = normalize(df2, spec2).select("a.b", "a.c").collect()
     assert [(r["b"], r["c"]) for r in rows] == [(7, "keep"), (3, "keep2")]
+
+
+def test_parse_float_prefix_semantics(spark):
+    """type:number is parseFloat ('12.5 kg' → 12.5), not try_cast→null
+    (review fix; normalizer.js:39-42)."""
+    from schemasaurus_spark.normalizer import NormalizerSpec, col_spec, normalize
+
+    df = spark.createDataFrame([("12.5 kg",), ("-3e2x",), ("abc",), (None,)],
+                               "v string")
+    out = [r["v"] for r in normalize(
+        df, NormalizerSpec([col_spec("v", "number")])).collect()]
+    assert out == [12.5, -300.0, None, None]
+
+
+def test_nan_infinity_normalize_to_null_not_fabricated(spark):
+    """NaN/±Inf must not fabricate 0 / Long.MIN/MAX under type:integer, and
+    Boolean(NaN) is false (review fix)."""
+    from schemasaurus_spark.normalizer import NormalizerSpec, col_spec, normalize
+
+    df = spark.createDataFrame(
+        [(float("nan"),), (float("inf",),), (2.9,)], "v double")
+    ints = [r["v"] for r in normalize(
+        df, NormalizerSpec([col_spec("v", "integer")])).collect()]
+    assert ints == [None, None, 2]
+    bools = [r["v"] for r in normalize(
+        df, NormalizerSpec([col_spec("v", "boolean")])).collect()]
+    assert bools == [False, True, True]
+
+
+def test_spec_tree_rejects_parent_leaf_after_children(spark):
+    import pytest
+    from schemasaurus_spark.normalizer import NormalizerSpec, col_spec, normalize
+
+    df = spark.createDataFrame([((3,),)], "a struct<b: int>")
+    spec = NormalizerSpec([col_spec("a.b", "integer"), col_spec("a")])
+    with pytest.raises(ValueError, match="conflicts"):
+        normalize(df, spec)
