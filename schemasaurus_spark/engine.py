@@ -44,6 +44,12 @@ class AggregateChecks:
     drift_baseline: Optional[DataFrame] = None  # histogram (group_key,bucket,count)
     drift_column: str = "n_tok"
     drift_edges: Sequence[float] = ()
+    # grouping for the drift comparison. MUST match how drift_baseline was
+    # grouped — comparing a global histogram against per-source baseline
+    # keys makes every group look drifted. The "unset" sentinel falls back
+    # to null_rate_by for compatibility with callers that group both the
+    # same way.
+    drift_by: object = "__same_as_null_rate_by__"
     psi_threshold: float = 0.2
     ks_threshold: float = 0.15
 
@@ -108,9 +114,20 @@ def run_full_validation(df: DataFrame, suite: Suite,
     row_res = validate(df, suite)
 
     parts: list[DataFrame] = []
-    if checks.unique_key and checks.unique_key in df.columns:
+    if checks.unique_key:
+        if checks.unique_key not in df.columns:
+            # silent skip = false clean verdict on a duplicate-ridden table;
+            # a misconfigured check must be LOUD, not absent
+            raise ValueError(
+                f"AggregateChecks.unique_key '{checks.unique_key}' is not a "
+                f"column of the table ({sorted(df.columns)}); set "
+                f"unique_key=None to opt out of the uniqueness check")
         parts.append(agg.uniqueness_check(df, checks.unique_key).violations)
-    if checks.sources_dim is not None and checks.ref_column in df.columns:
+    if checks.sources_dim is not None:
+        if checks.ref_column not in df.columns:
+            raise ValueError(
+                f"AggregateChecks.ref_column '{checks.ref_column}' is not a "
+                f"column of the table; referential check cannot run")
         parts.append(agg.referential_check(
             df, checks.sources_dim, checks.ref_column,
             id_column=suite.id_column))
@@ -118,10 +135,18 @@ def run_full_validation(df: DataFrame, suite: Suite,
         parts.append(agg.null_rate_check(df, colname, max_rate,
                                          by=checks.null_rate_by))
     drift_results = []
-    if checks.drift_baseline is not None and checks.drift_edges:
+    if checks.drift_baseline is not None and not checks.drift_edges:
+        raise ValueError(
+            "AggregateChecks.drift_baseline is set but drift_edges is "
+            "empty — the frozen bucket edges are required to compare "
+            "against the checkpointed baseline")
+    if checks.drift_baseline is not None:
+        drift_by = (checks.null_rate_by
+                    if checks.drift_by == "__same_as_null_rate_by__"
+                    else checks.drift_by)
         drift_results = agg.drift_check(
             df, checks.drift_baseline, checks.drift_column,
-            list(checks.drift_edges), by=checks.null_rate_by,
+            list(checks.drift_edges), by=drift_by,
             psi_threshold=checks.psi_threshold,
             ks_threshold=checks.ks_threshold)
         parts.append(agg.drift_violations(

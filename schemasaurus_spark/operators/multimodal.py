@@ -62,10 +62,13 @@ def _stub_decode(payload: bytes) -> np.ndarray:
 
 def _sniff_decode(payload: bytes) -> np.ndarray:
     """Default decoder: real parse for containers we can decode without
-    codec libs (BMP/WAV), deterministic stub otherwise."""
-    if payload[:2] == b"BM" or (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"):
+    codec libs (BMP/WAV), deterministic stub otherwise. Sniffing goes
+    through decode_media_info, so a payload whose MAGIC matches but whose
+    header is truncated/malformed falls to the stub instead of crashing
+    the task (corrupt rows are features, never job failures)."""
+    if decode_media_info(payload)["kind"] != "unknown":
         return real_decode(payload)
-    return _stub_decode(payload)
+    return _stub_decode(payload or b"")
 
 
 def real_decode(payload: bytes) -> np.ndarray:
@@ -76,6 +79,8 @@ def real_decode(payload: bytes) -> np.ndarray:
     info = decode_media_info(payload)
     if info["kind"] == "bmp":
         px = _bmp_pixels(payload).astype(np.float64) / 255.0
+        if px.size == 0:  # header ok but pixel data truncated away
+            return _stub_decode(payload)
         return np.array([
             info["width"] / 1024.0, info["height"] / 1024.0,
             px[..., 2].mean(), px[..., 1].mean(), px[..., 0].mean(),
@@ -83,6 +88,8 @@ def real_decode(payload: bytes) -> np.ndarray:
         ])
     if info["kind"] == "wav":
         x = _wav_samples(payload).astype(np.float64) / 32768.0
+        if len(x) == 0:
+            return _stub_decode(payload)
         zc = np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))) if len(x) > 1 else 0.0
         return np.array([
             info["sample_rate"] / 48000.0, len(x) / 1e6,
@@ -133,40 +140,85 @@ def make_wav(sample_rate: int, n_samples: int, seed: int) -> bytes:
     return riff + fmt + data
 
 
-def decode_media_info(payload: bytes) -> dict:
+_UNKNOWN_INFO = {"kind": "unknown", "width": None, "height": None,
+                 "sample_rate": None, "n_samples": None}
+
+
+def _wav_chunks(payload: bytes) -> dict:
+    """Walk RIFF sub-chunks → {chunk_id: (body_offset, size)}. Real-world
+    WAVs carry fmt extensions (cbSize) and extra chunks (LIST/INFO/fact)
+    between fmt and data — fixed 44-byte offsets read garbage there. A
+    chunk running past the buffer is clipped to the available bytes."""
+    out: dict = {}
+    pos, n = 12, len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = pos + 8
+        if body + size > n:
+            out[cid] = (body, max(0, n - body))
+            break
+        out[cid] = (body, size)
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    return out
+
+
+def decode_media_info(payload) -> dict:
     """Container sniff + header parse (no pixel/sample read): the metadata a
-    100 TB pipeline extracts in its first cheap pass."""
+    100 TB pipeline extracts in its first cheap pass. NULL/truncated/
+    malformed payloads return kind='unknown' — one corrupt row must become
+    a feature value, never a failed task (x4 retries → failed job)."""
+    if payload is None:
+        return dict(_UNKNOWN_INFO)
+    payload = bytes(payload)
     if payload[:2] == b"BM":
+        if len(payload) < 26:
+            return dict(_UNKNOWN_INFO)
         w, h = struct.unpack_from("<ii", payload, 18)
+        if w <= 0 or h == 0:
+            return dict(_UNKNOWN_INFO)
         return {"kind": "bmp", "width": w, "height": abs(h),
                 "sample_rate": None, "n_samples": None}
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        sr = struct.unpack_from("<I", payload, 24)[0]
-        bits = struct.unpack_from("<H", payload, 34)[0]
-        channels = struct.unpack_from("<H", payload, 22)[0]
-        data_len = struct.unpack_from("<I", payload, 40)[0]
-        n = data_len // max(1, (bits // 8) * channels)
+        ch = _wav_chunks(payload)
+        fmt = ch.get(b"fmt ")
+        data = ch.get(b"data")
+        if fmt is None or fmt[1] < 16 or data is None:
+            return dict(_UNKNOWN_INFO)
+        off = fmt[0]
+        channels = struct.unpack_from("<H", payload, off + 2)[0]
+        sr = struct.unpack_from("<I", payload, off + 4)[0]
+        bits = struct.unpack_from("<H", payload, off + 14)[0]
+        n = data[1] // max(1, (bits // 8) * channels)
         return {"kind": "wav", "width": None, "height": None,
                 "sample_rate": sr, "n_samples": n}
-    return {"kind": "unknown", "width": None, "height": None,
-            "sample_rate": None, "n_samples": None}
+    return dict(_UNKNOWN_INFO)
 
 
 def _bmp_pixels(payload: bytes) -> np.ndarray:
-    """(height, width, 3) BGR array from an uncompressed 24-bit BMP."""
+    """(height, width, 3) BGR array from an uncompressed 24-bit BMP.
+    Truncated pixel data clips to the fully-present rows."""
     off = struct.unpack_from("<I", payload, 10)[0]
     w, h = struct.unpack_from("<ii", payload, 18)
     h = abs(h)
     row_bytes = (w * 3 + 3) & ~3
+    h = min(h, max(0, (len(payload) - off) // max(row_bytes, 1)))
     rows = [np.frombuffer(payload, dtype=np.uint8,
                           count=w * 3, offset=off + r * row_bytes).reshape(w, 3)
             for r in range(h)]
+    if not rows:
+        return np.zeros((0, w, 3), dtype=np.uint8)
     return np.stack(rows[::-1])  # bottom-up storage → top-down array
 
 
 def _wav_samples(payload: bytes) -> np.ndarray:
-    data_len = struct.unpack_from("<I", payload, 40)[0]
-    return np.frombuffer(payload, dtype="<i2", count=data_len // 2, offset=44)
+    """PCM16 samples via the chunk walker (see _wav_chunks — fixed 44-byte
+    offsets break on fmt extensions / extra chunks)."""
+    data = _wav_chunks(payload).get(b"data")
+    if data is None:
+        return np.zeros(0, dtype="<i2")
+    off, size = data
+    return np.frombuffer(payload, dtype="<i2", count=size // 2, offset=off)
 
 
 def attach_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -198,7 +250,7 @@ def extract_media_info(media_df: DataFrame) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            infos = [decode_media_info(bytes(p)) for p in pdf["payload"]]
+            infos = [decode_media_info(p) for p in pdf["payload"]]
             yield pd.DataFrame({
                 "id": pdf["id"],
                 "kind": [i["kind"] for i in infos],
@@ -222,12 +274,14 @@ def extract_features(media_df: DataFrame, decoder=None,
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
-            feats = [decoder(bytes(p)) for p in payloads]
+            payloads = [b"" if p is None else bytes(p)
+                        for p in pdf["payload"]]  # NULL payload = empty
+            feats = [decoder(p) for p in payloads]
             yield pd.DataFrame({
                 "id": pdf["id"],
-                "n_bytes": payloads.map(len).astype("int64"),
-                "sha1": payloads.map(lambda p: hashlib.sha1(bytes(p)).hexdigest()),
+                "n_bytes": pd.Series([len(p) for p in payloads],
+                                     dtype="int64"),
+                "sha1": [hashlib.sha1(p).hexdigest() for p in payloads],
                 "feat": [np.asarray(f, dtype=np.float32) for f in feats],
             })
 
@@ -235,10 +289,17 @@ def extract_features(media_df: DataFrame, decoder=None,
 
 
 def repartition_for_payloads(df: DataFrame, avg_payload_bytes: int,
-                             target_partition_bytes: int = 256 << 20) -> DataFrame:
+                             target_partition_bytes: int = 256 << 20,
+                             n_rows: int | None = None) -> DataFrame:
     """Size partitions by payload volume so Arrow batches fit in memory:
-    rows_per_partition ≈ target_bytes / avg_payload."""
-    n_rows = df.count()
+    rows_per_partition ≈ target_bytes / avg_payload.
+
+    Pass ``n_rows`` when known (manifest record counts, parquet footers —
+    metadata, no scan): without it the count() action executes the frame's
+    FULL upstream lineage (possibly decode kernels over the binary column)
+    once, and the repartition then runs it all again."""
+    if n_rows is None:
+        n_rows = df.count()
     rows_per_part = max(1, target_partition_bytes // max(avg_payload_bytes, 1))
     n_parts = max(1, (n_rows + rows_per_part - 1) // rows_per_part)
     return df.repartition(int(n_parts))

@@ -79,16 +79,33 @@ def tdigest_sketch(
     )
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc: dict[str, list[np.ndarray]] = {}
+        # memory-bounded: re-compress whenever a key's buffer exceeds
+        # ~4x compression — O(compression) state per key, never the raw
+        # partition (buffering every value would hold ~GBs per 100M-row
+        # partition for an algorithm that only needs <= compression
+        # centroids). dropna=False: a NULL group key is a legitimate group
+        # (histogram()/groupBy keep it; silently dropping it loses the
+        # null-`by` population's quantiles).
+        cap = compression * 4
+        acc: dict = {}
         for pdf in batches:
-            for k, grp in pdf.groupby("key"):
-                acc.setdefault(k, []).append(grp["x"].to_numpy())
+            for k, grp in pdf.groupby("key", dropna=False):
+                x = grp["x"].to_numpy()
+                if k in acc:
+                    m0, w0 = acc[k]
+                    m = np.concatenate([m0, x])
+                    w = np.concatenate([w0, np.ones_like(x)])
+                else:
+                    m, w = x, np.ones_like(x)
+                if len(m) > cap:
+                    m, w = _compress(m, w, compression)
+                acc[k] = (m, w)
         rows = []
-        for k, chunks in acc.items():
-            x = np.concatenate(chunks)
-            m, w = _compress(x, np.ones_like(x), compression)
+        for k, (m, w) in acc.items():
+            m, w = _compress(m, w, compression)
             for mm, ww in zip(m, w):
-                rows.append((k, float(mm), float(ww)))
+                rows.append((None if pd.isna(k) else k,
+                             float(mm), float(ww)))
         yield pd.DataFrame(rows, columns=["key", "mean", "weight"])
 
     partials = slim.mapInPandas(partial, SKETCH_SCHEMA)
@@ -120,7 +137,7 @@ def quantiles_from_sketch(sketch: DataFrame, probs: list[float]) -> dict[str, li
     rows per key — sketch-sized, never data-sized)."""
     pdf = sketch.orderBy("key", "mean").toPandas()
     out: dict[str, list[float]] = {}
-    for k, grp in pdf.groupby("key"):
+    for k, grp in pdf.groupby("key", dropna=False):
         means = grp["mean"].to_numpy()
         weights = grp["weight"].to_numpy()
         cum = np.cumsum(weights) - weights / 2.0

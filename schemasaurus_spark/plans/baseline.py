@@ -6,8 +6,11 @@ histogram written once (bootstrap run) and compared against forever after;
 edges are frozen alongside it so bucket identities never shift between
 runs (SURVEY.md §7 hard-part 4).
 
-Layout under the state dir: ``baseline/<column>/hist/`` (parquet:
-group_key, bucket, count) + ``baseline/<column>/edges.json``.
+Layout under the state dir: ``baseline/<column>/hist-<version>/``
+(parquet: group_key, bucket, count) + ``baseline/<column>/edges.json``
+naming the committed hist version — edges.json is the single atomic
+commit point, so a crash mid-rebaseline can never pair a new histogram
+with old edges.
 """
 
 from __future__ import annotations
@@ -29,13 +32,31 @@ class BaselineStore:
         return (self._dir(column) / "edges.json").exists()
 
     def save(self, hist: DataFrame, column: str, edges: list[float]) -> None:
-        """Bootstrap: freeze the current histogram + its edges. Histogram is
-        groups × buckets rows — sketch-sized at any input scale."""
+        """Freeze the current histogram + its edges. Histogram is groups ×
+        buckets rows — sketch-sized at any input scale.
+
+        Crash-atomic for RE-baselining too: the histogram lands in a fresh
+        versioned dir and edges.json (the atomic commit) names it.
+        Overwriting ``hist/`` in place would let a crash between the two
+        writes pair the NEW counts with the OLD edges — bucket identities
+        silently shift, exactly what this module promises never happens."""
+        import uuid
+
         d = self._dir(column)
-        hist.coalesce(1).write.mode("overwrite").parquet(str(d / "hist"))
+        version = uuid.uuid4().hex[:8]
+        hist.coalesce(1).write.mode("overwrite").parquet(
+            str(d / f"hist-{version}"))
         tmp = d / "edges.json.tmp"
-        tmp.write_text(json.dumps({"column": column, "edges": list(edges)}))
+        tmp.write_text(json.dumps({"column": column, "edges": list(edges),
+                                   "hist": f"hist-{version}"}))
         tmp.replace(d / "edges.json")  # atomic commit, written LAST
+        # best-effort cleanup of superseded versions (crash-safe: an
+        # uncommitted or stale hist-* dir is simply never referenced)
+        import shutil
+
+        for old in d.glob("hist*"):
+            if old.is_dir() and old.name != f"hist-{version}":
+                shutil.rmtree(old, ignore_errors=True)
 
     def load(self, spark: SparkSession, column: str):
         """(hist_df, edges) or None when no baseline is checkpointed yet."""
@@ -43,4 +64,5 @@ class BaselineStore:
         if not self.exists(column):
             return None
         meta = json.loads((d / "edges.json").read_text())
-        return spark.read.parquet(str(d / "hist")), meta["edges"]
+        hist_dir = meta.get("hist", "hist")  # pre-versioning baselines
+        return spark.read.parquet(str(d / hist_dir)), meta["edges"]

@@ -54,6 +54,14 @@ def _visit_constraint(visitor: SuiteVisitor, name: str, c: dsl.Constraint):
         visitor.item_start(name, None)
         for sub in c.constraints:
             _visit_constraint(visitor, name, sub)
+        # array<struct> field descent: the compiler ENFORCES these (codes
+        # items.<field>.*), so visitors/markdown/DDL must see them too —
+        # fields surface as item events keyed by the field name
+        for fname, subs in (c.field_items() if c.fields else []):
+            visitor.item_start(name, fname)
+            for sub in subs:
+                _visit_constraint(visitor, f"{name}.{fname}", sub)
+            visitor.item_end(name, fname)
         visitor.item_end(name, None)
     elif isinstance(c, dsl.TupleItems):
         for i, spec in enumerate(c.specs):
@@ -158,7 +166,7 @@ class _DdlVisitor(SuiteVisitor):
         comment = "; ".join(self._checks)
         c = f"  {name} {t}{nn}"
         if comment:
-            c += f" COMMENT '{comment}'"
+            c += " COMMENT '" + comment.replace("'", "''") + "'"
         self.cols.append(c)
 
     def row_constraint(self, label, c):

@@ -236,3 +236,17 @@ def test_column_stats_skips_map_columns(spark):
     cols = {r["column"] for r in rows}
     assert cols == {"n"}                          # map column skipped
     assert [r["max"] for r in rows if r["column"] == "n"] == ["1"]
+
+
+def test_tdigest_keeps_null_group(spark):
+    """NULL group keys form their own sketch group (review fix: pandas
+    groupby dropna silently lost the null-`by` population)."""
+    from schemasaurus_spark.operators import sketch
+
+    df = spark.createDataFrame(
+        [(None, float(i)) for i in range(50)]
+        + [("web", float(i)) for i in range(50)], "src string, v double")
+    sk = sketch.tdigest_sketch(df, "v", by="src")
+    qs = sketch.quantiles_from_sketch(sk, [0.5])
+    assert len(qs) == 2 and any(k is None or (isinstance(k, float))
+                                for k in qs)   # null group present

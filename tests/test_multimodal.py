@@ -82,3 +82,32 @@ def test_sniff_decode_dispatch():
 
     assert len(mm._sniff_decode(mm.make_bmp(4, 4, 1))) == 8   # real path
     assert len(mm._sniff_decode(b"not a container")) == 8      # stub path
+
+
+def test_corrupt_payloads_become_features_not_failures(spark):
+    """NULL/truncated/extra-chunk payloads flow through as kind=unknown or
+    clipped parses — one corrupt row must never fail the task (review
+    fixes: fixed 44-byte WAV offsets, bytes(None), short BMP headers)."""
+    import struct
+
+    from schemasaurus_spark.operators import multimodal as mm
+
+    good_wav = mm.make_wav(8000, 10, 1)
+    # WAV with a LIST chunk between fmt and data (real-world layout)
+    lst = struct.pack("<4sI", b"LIST", 4) + b"INFO"
+    with_list = good_wav[:12] + good_wav[12:36] + lst + good_wav[36:]
+    with_list = (b"RIFF" + struct.pack("<I", len(with_list) - 8)
+                 + with_list[8:])
+    rows = [(1, bytes(2)), (2, b"BM"), (3, None), (4, good_wav[:30]),
+            (5, with_list), (6, mm.make_bmp(4, 4, 6))]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    info = {r["id"]: r["kind"]
+            for r in mm.extract_media_info(df).collect()}
+    assert info == {1: "unknown", 2: "unknown", 3: "unknown",
+                    4: "unknown", 5: "wav", 6: "bmp"}
+    # chunk walker finds the data chunk PAST the LIST chunk
+    n = [r["n_samples"] for r in mm.extract_media_info(df).collect()
+         if r["id"] == 5]
+    assert n == [10]
+    feats = mm.extract_features(df).collect()       # must not raise
+    assert len(feats) == 6 and all(len(r["feat"]) == 8 for r in feats)
