@@ -32,11 +32,19 @@ from schemasaurus_spark.validate import ValidationResult, validate
 VIOLATION_COLS = ["doc_id", "constraint_id", "column", "value", "arg", "message"]
 
 
+# Default for AggregateChecks.unique_key: check 'doc_id' when the table has
+# it, silently skip when it doesn't. An EXPLICIT unique_key that is missing
+# from the table still raises — a misconfigured check must be loud, but the
+# mere default must not break callers validating doc_id-less tables with
+# unrelated checks (round-3 ADVICE).
+AUTO_UNIQUE_KEY = "__auto_doc_id__"
+
+
 @dataclass
 class AggregateChecks:
     """Configuration for the aggregate/statistical half of the suite."""
 
-    unique_key: Optional[str] = "doc_id"
+    unique_key: Optional[str] = AUTO_UNIQUE_KEY
     sources_dim: Optional[DataFrame] = None
     ref_column: str = "source"
     null_rate_max: Optional[dict[str, float]] = None  # column -> max rate
@@ -109,48 +117,85 @@ def _empty_violations_df(spark) -> DataFrame:
 def run_full_validation(df: DataFrame, suite: Suite,
                         checks: AggregateChecks | None = None
                         ) -> FullValidationResult:
+    """Scan budget (SURVEY §4 "one-pass stats", round-3 VERDICT #1): the
+    ENTIRE aggregate family — every null-rate column, the drift histogram,
+    and the referential miss count — is ONE fused grouped-aggregation scan
+    (``fused_aggregate_pass``); uniqueness is a second scan (its grouping
+    key is the row key, not a dimension — unfusable by shape). All
+    aggregate violation frames are then driver-built LocalTableScans, so
+    consuming ``agg_violations`` re-reads NOTHING. The only extra scans
+    ever taken are targeted offender extractions on DIRTY tables
+    (referential row listing, duplicate-key listing) —
+    tests/test_scan_budget.py pins the 2-scan budget."""
     checks = checks or AggregateChecks()
     spark = df.sparkSession
     row_res = validate(df, suite)
 
-    parts: list[DataFrame] = []
-    if checks.unique_key:
-        if checks.unique_key not in df.columns:
-            # silent skip = false clean verdict on a duplicate-ridden table;
-            # a misconfigured check must be LOUD, not absent
-            raise ValueError(
-                f"AggregateChecks.unique_key '{checks.unique_key}' is not a "
-                f"column of the table ({sorted(df.columns)}); set "
-                f"unique_key=None to opt out of the uniqueness check")
-        parts.append(agg.uniqueness_check(df, checks.unique_key).violations)
-    if checks.sources_dim is not None:
-        if checks.ref_column not in df.columns:
-            raise ValueError(
-                f"AggregateChecks.ref_column '{checks.ref_column}' is not a "
-                f"column of the table; referential check cannot run")
-        parts.append(agg.referential_check(
-            df, checks.sources_dim, checks.ref_column,
-            id_column=suite.id_column))
-    for colname, max_rate in (checks.null_rate_max or {}).items():
-        parts.append(agg.null_rate_check(df, colname, max_rate,
-                                         by=checks.null_rate_by))
-    drift_results = []
+    unique_key = checks.unique_key
+    if unique_key == AUTO_UNIQUE_KEY:
+        # default behavior: check doc_id when present, skip when absent —
+        # only an EXPLICITLY configured missing key is a hard error
+        unique_key = "doc_id" if "doc_id" in df.columns else None
+    elif unique_key and unique_key not in df.columns:
+        # silent skip = false clean verdict on a duplicate-ridden table;
+        # a misconfigured check must be LOUD, not absent
+        raise ValueError(
+            f"AggregateChecks.unique_key '{checks.unique_key}' is not a "
+            f"column of the table ({sorted(df.columns)}); set "
+            f"unique_key=None to opt out of the uniqueness check")
+    if checks.sources_dim is not None and checks.ref_column not in df.columns:
+        raise ValueError(
+            f"AggregateChecks.ref_column '{checks.ref_column}' is not a "
+            f"column of the table; referential check cannot run")
     if checks.drift_baseline is not None and not checks.drift_edges:
         raise ValueError(
             "AggregateChecks.drift_baseline is set but drift_edges is "
             "empty — the frozen bucket edges are required to compare "
             "against the checkpointed baseline")
-    if checks.drift_baseline is not None:
-        drift_by = (checks.null_rate_by
-                    if checks.drift_by == "__same_as_null_rate_by__"
-                    else checks.drift_by)
-        drift_results = agg.drift_check(
-            df, checks.drift_baseline, checks.drift_column,
-            list(checks.drift_edges), by=drift_by,
-            psi_threshold=checks.psi_threshold,
-            ks_threshold=checks.ks_threshold)
-        parts.append(agg.drift_violations(
-            spark, drift_results, checks.psi_threshold, checks.ks_threshold))
+
+    parts: list[DataFrame] = []
+    if unique_key:
+        parts.append(agg.uniqueness_check(df, unique_key).violations)
+
+    # ONE fused scan for null-rate + drift + referential-miss-count.
+    null_rate_max = checks.null_rate_max or {}
+    drift_by = (checks.null_rate_by
+                if checks.drift_by == "__same_as_null_rate_by__"
+                else checks.drift_by)
+    need_fused = (bool(null_rate_max) or checks.sources_dim is not None
+                  or checks.drift_baseline is not None)
+    drift_results = []
+    if need_fused:
+        fused = agg.fused_aggregate_pass(
+            df,
+            null_rate_cols=list(null_rate_max),
+            null_rate_by=checks.null_rate_by,
+            dim=checks.sources_dim,
+            ref_column=checks.ref_column,
+            drift_column=(checks.drift_column
+                          if checks.drift_baseline is not None else None),
+            edges=list(checks.drift_edges),
+            drift_by=drift_by,
+        )
+        if checks.sources_dim is not None and fused.ref_missing_total() > 0:
+            # dirty path only: a targeted anti-join lists the offending
+            # rows; the clean path never takes this scan
+            parts.append(agg.referential_check(
+                df, checks.sources_dim, checks.ref_column,
+                id_column=suite.id_column))
+        if null_rate_max:
+            parts.append(agg.null_rate_violations_from_stats(
+                spark, fused, null_rate_max))
+        if checks.drift_baseline is not None:
+            n = len(checks.drift_edges) - 1
+            drift_results = agg.drift_from_counts(
+                fused.drift_counts(),
+                agg.hist_rows_to_map(checks.drift_baseline.collect()),
+                n, checks.drift_column,
+                checks.psi_threshold, checks.ks_threshold)
+            parts.append(agg.drift_violations(
+                spark, drift_results, checks.psi_threshold,
+                checks.ks_threshold))
 
     stacked = _empty_violations_df(spark)
     for p in parts:

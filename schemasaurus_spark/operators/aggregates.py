@@ -111,6 +111,150 @@ def null_rate_check(df: DataFrame, column: str, max_rate: float,
     )
 
 
+# ---------------------------------------------------------- fused one-pass
+
+
+@dataclass
+class FusedAggStats:
+    """Collected output of :func:`fused_aggregate_pass` — everything the
+    null-rate, drift, and referential check families need, reduced to
+    (groups × columns)-sized driver-side data by ONE scan of the input."""
+
+    # rows of (group_key, drift_key, n_rows, {col}__nulls..., __hb_*...,
+    # __ref_miss) — group cardinality sized, never data sized
+    rows: list
+    null_rate_cols: list[str]
+    n_hist_buckets: int  # n = len(edges) - 1; buckets are -1..n
+    has_ref: bool
+
+    def null_stats(self) -> dict:
+        """group_key -> (n_rows, {col: n_nulls}) summed across drift keys."""
+        out: dict = {}
+        for r in self.rows:
+            gk = r["group_key"]
+            n, nulls = out.get(gk, (0, {c: 0 for c in self.null_rate_cols}))
+            n += r["n_rows"]
+            for c in self.null_rate_cols:
+                nulls[c] += r[f"{c}__nulls"] or 0
+            out[gk] = (n, nulls)
+        return out
+
+    def drift_counts(self) -> dict:
+        """drift_key -> {bucket: count} summed across null-rate keys —
+        identical to collecting histogram(): zero buckets dropped, and a
+        group whose drift column is entirely NULL yields no entry (the
+        groupBy-after-filter shape never saw it)."""
+        out: dict = {}
+        for r in self.rows:
+            dk = r["__drift_key"]
+            m = out.setdefault(dk, {})
+            for b in range(-1, self.n_hist_buckets + 1):
+                c = r[f"__hb_{b + 1}"] or 0
+                if c:
+                    m[b] = m.get(b, 0) + c
+        return {dk: m for dk, m in out.items() if m}
+
+    def ref_missing_total(self) -> int:
+        return sum(r["__ref_miss"] or 0 for r in self.rows)
+
+
+def fused_aggregate_pass(
+    df: DataFrame,
+    null_rate_cols: Sequence[str] = (),
+    null_rate_by: str | None = None,
+    dim: DataFrame | None = None,
+    ref_column: str = "source",
+    dim_column: str | None = None,
+    drift_column: str | None = None,
+    edges: Sequence[float] = (),
+    drift_by: str | None = None,
+) -> FusedAggStats:
+    """ONE scan for the whole statistical check suite (SURVEY §4 "one-pass
+    stats over the 10^12-row table"; round-3 VERDICT #1).
+
+    Fuses into a single grouped aggregation:
+
+    * null counts for EVERY null-rate column (was one scan per column),
+    * the fixed-edge drift histogram as conditional partial counts
+      (``sum(when(bucket==i, 1))`` — identical counts to :func:`histogram`),
+    * the referential miss COUNT via a broadcast LEFT join marker (zero
+      fact-table shuffle; row-level offender extraction stays a separate
+      lazy anti-join that only ever executes when this count is non-zero).
+
+    Grouping: the agg groups on BOTH keys at once (null_rate_by ×
+    drift_by); the per-family marginals are summed driver-side from the
+    collected partials. Cross-cardinality is (sources × sources)-sized —
+    group keys are low-cardinality dimensions by construction, so the
+    collect stays sketch-sized at any input scale.
+
+    Returns collected driver-side stats; violation frames are built from
+    them with ``createDataFrame`` (LocalTableScan — no second scan).
+    """
+    n = max(len(edges) - 1, 0)
+    work = df
+    if dim is not None:
+        dcol = dim_column or ref_column
+        dim_small = (dim.select(F.col(dcol).alias(ref_column)).distinct()
+                     .withColumn("__ref_hit", F.lit(1)))
+        work = work.join(F.broadcast(dim_small), on=ref_column, how="left")
+    gk1 = (F.col(null_rate_by) if null_rate_by else F.lit("*"))
+    gk2 = (F.col(drift_by) if (drift_column and drift_by) else F.lit("*"))
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in null_rate_cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long"))
+                    .alias(f"{c}__nulls"))
+    if drift_column and edges:
+        x = F.col(drift_column).cast("double")
+        conds = [x < edges[0]]
+        conds += [(x >= edges[i]) & (x < edges[i + 1]) for i in range(n)]
+        conds.append(x >= edges[n])
+        for b, cond in zip(range(-1, n + 1), conds):
+            aggs.append(
+                F.sum(F.when(x.isNotNull() & cond, F.lit(1)).otherwise(0))
+                .cast("long").alias(f"__hb_{b + 1}"))
+    if dim is not None:
+        aggs.append(F.sum((F.col(ref_column).isNotNull()
+                           & F.col("__ref_hit").isNull()).cast("long"))
+                    .alias("__ref_miss"))
+    else:
+        aggs.append(F.lit(0).cast("long").alias("__ref_miss"))
+    rows = (work.groupBy(gk1.alias("group_key"), gk2.alias("__drift_key"))
+            .agg(*aggs).collect())
+    return FusedAggStats(rows, list(null_rate_cols),
+                         n if (drift_column and edges) else 0,
+                         dim is not None)
+
+
+def null_rate_violations_from_stats(spark, fused: FusedAggStats,
+                                    null_rate_max: dict[str, float]
+                                    ) -> DataFrame:
+    """Driver-built `stats.null_rate` violations from the fused pass —
+    LocalTableScan only. Value formatting goes through the SAME Spark
+    expressions as :func:`null_rate_check` (round → cast string on a
+    double column) so the output is byte-identical to the per-column-scan
+    path."""
+    offender_rows = []
+    for gk, (n_rows, nulls) in fused.null_stats().items():
+        for c, max_rate in null_rate_max.items():
+            rate = (nulls[c] / n_rows) if n_rows else 0.0
+            if rate > max_rate:
+                offender_rows.append(
+                    (None if gk is None else str(gk), c, float(rate),
+                     str(max_rate),
+                     render_message("stats.null_rate", max_rate)))
+    tiny = spark.createDataFrame(
+        offender_rows,
+        "group_key string, column string, null_rate double, "
+        "arg string, message string")
+    return tiny.select(
+        F.col("group_key").alias("doc_id"),
+        F.lit("stats.null_rate").alias("constraint_id"),
+        F.col("column"),
+        F.round("null_rate", 6).cast("string").alias("value"),
+        "arg", "message",
+    )
+
+
 # ------------------------------------------------------------- uniqueness
 
 
@@ -403,22 +547,32 @@ def drift_check(
     n = len(edges) - 1
     hist_fn = array_histogram if is_array else histogram
     cur = hist_fn(df, column, edges, by=by).collect()
-    base = baseline_hist.collect()
+    return drift_from_counts(hist_rows_to_map(cur),
+                             hist_rows_to_map(baseline_hist.collect()),
+                             n, column, psi_threshold, ks_threshold)
 
-    def to_map(rows):
-        m: dict[str, dict[int, int]] = {}
-        for r in rows:
-            m.setdefault(r["group_key"], {})[r["bucket"]] = r["count"]
-        return m
 
-    curm, basem = to_map(cur), to_map(base)
+def hist_rows_to_map(rows) -> dict:
+    """(group_key, bucket, count) rows → {group_key: {bucket: count}}."""
+    m: dict[str, dict[int, int]] = {}
+    for r in rows:
+        m.setdefault(r["group_key"], {})[r["bucket"]] = r["count"]
+    return m
+
+
+def drift_from_counts(curm: dict, basem: dict, n_buckets: int, column: str,
+                      psi_threshold: float, ks_threshold: float
+                      ) -> list[DriftResult]:
+    """PSI/KS math over already-collected bucket-count maps — shared by
+    the standalone :func:`drift_check` and the fused one-scan engine path."""
     results = []
     for gk in sorted(set(curm) | set(basem),
                      key=lambda g: (g is None, str(g))):
         e, a = basem.get(gk, {}), curm.get(gk, {})
-        p = psi(e, a, n)
-        k = ks_statistic(e, a, n)
-        results.append(DriftResult(column, gk, p, k, p <= psi_threshold and k <= ks_threshold))
+        p = psi(e, a, n_buckets)
+        k = ks_statistic(e, a, n_buckets)
+        results.append(DriftResult(column, gk, p, k,
+                                   p <= psi_threshold and k <= ks_threshold))
     return results
 
 

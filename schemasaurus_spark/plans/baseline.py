@@ -43,6 +43,17 @@ class BaselineStore:
         import uuid
 
         d = self._dir(column)
+        # remember the version committed BEFORE this save: a concurrent
+        # load() may have just read edges.json naming it, so it must
+        # survive this save's cleanup (round-3 ADVICE — deleting every
+        # other hist* dir raced concurrent readers/writers)
+        prev_committed = None
+        if (d / "edges.json").exists():
+            try:
+                prev_committed = json.loads(
+                    (d / "edges.json").read_text()).get("hist")
+            except (ValueError, OSError):
+                prev_committed = None
         version = uuid.uuid4().hex[:8]
         hist.coalesce(1).write.mode("overwrite").parquet(
             str(d / f"hist-{version}"))
@@ -51,11 +62,15 @@ class BaselineStore:
                                    "hist": f"hist-{version}"}))
         tmp.replace(d / "edges.json")  # atomic commit, written LAST
         # best-effort cleanup of superseded versions (crash-safe: an
-        # uncommitted or stale hist-* dir is simply never referenced)
+        # uncommitted or stale hist-* dir is simply never referenced).
+        # The previous committed version is RETAINED one generation so an
+        # in-flight load() that read the old edges.json still finds its
+        # directory; it is reaped by the save after next.
         import shutil
 
+        keep = {f"hist-{version}", prev_committed}
         for old in d.glob("hist*"):
-            if old.is_dir() and old.name != f"hist-{version}":
+            if old.is_dir() and old.name not in keep:
                 shutil.rmtree(old, ignore_errors=True)
 
     def load(self, spark: SparkSession, column: str):

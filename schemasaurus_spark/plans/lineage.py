@@ -58,7 +58,7 @@ VIOLATIONS_EMPTY_SCHEMA = (
 )
 
 
-def _canon(path: str) -> str:
+def _canon(path: str, anchor: str | None = None) -> str:
     """Canonical file key: input_file_name() yields PERCENT-ENCODED
     absolute file: URIs while manifests store paths as the user gave them
     (possibly relative, possibly with spaces). Comparing the raw strings
@@ -66,7 +66,12 @@ def _canon(path: str) -> str:
     run records a false PASS — so BOTH sides normalize through this one
     helper: strip the scheme, percent-decode, absolutize. (The Spark-side
     twin is the url_decode/regexp_replace expression in run(); abspath
-    needs no executor analog because input_file_name is already absolute.)"""
+    needs no executor analog because input_file_name is already absolute.)
+
+    ``anchor``: relative paths resolve against this directory (the
+    SnapshotStore root — a stable location) instead of the process CWD, so
+    the same file canonicalizes to the same lineage key no matter where the
+    driver was launched from. Absolute paths are unaffected."""
     import os
     from urllib.parse import unquote
 
@@ -74,7 +79,10 @@ def _canon(path: str) -> str:
         if path.startswith(prefix):
             path = path[len(prefix):]
             break
-    return os.path.abspath(unquote(path))
+    path = unquote(path)
+    if anchor and not os.path.isabs(path):
+        path = os.path.join(os.path.abspath(str(anchor)), path)
+    return os.path.abspath(path)
 
 
 @dataclass
@@ -100,7 +108,11 @@ class ValidationCheckpoint:
         counts stay exact. ``pre_hash`` folds the transform's identity into
         the lineage key so resume never skips files validated under a
         DIFFERENT preprocessing."""
-        self.state = Path(state_dir)
+        # absolutize: Spark resolves relative paths against the JVM working
+        # directory, which need not match the Python CWD — a relative state
+        # dir would stage violations somewhere the Python-side re-read
+        # never looks (silent false PASS)
+        self.state = Path(state_dir).absolute()
         self.state.mkdir(parents=True, exist_ok=True)
         if pre is not None and not pre_hash:
             raise ValueError(
@@ -181,7 +193,10 @@ class ValidationCheckpoint:
             snapshot_id: str | None = None) -> CheckpointedRun:
         snap = store._get(snapshot_id)
         suite_hash = self._suite_hash(suite)
-        canon = {f: _canon(f) for f in snap.files}
+        # anchor = the store root: a manifest-relative path must resolve to
+        # the same lineage key from any launch directory (resume otherwise
+        # re-validates and double-commits under a second key)
+        canon = {f: _canon(f, store.root) for f in snap.files}
         done = self.completed_files(spark, suite_hash) & set(canon.values())
         todo = [f for f in snap.files if canon[f] not in done]
         if not todo:
@@ -201,10 +216,16 @@ class ValidationCheckpoint:
             # resolves, so per-file lineage is unaffected
             df = self.pre(df)
         plan = compile_suite(suite, df.schema)
-        # Spark-side twin of _canon(): scheme strip + percent-decode
-        # (input_file_name is already absolute)
-        canon_file = F.url_decode(
-            F.regexp_replace(F.input_file_name(), "^file:(//)?", ""))
+        # Spark-side twin of _canon(): scheme strip + percent-decode.
+        # F.url_decode is x-www-form-urlencoded ('+' → space) while the
+        # Python twin uses a pure percent-decode ('+' stays '+'); a literal
+        # '+' in the table path would silently diverge the lineage key from
+        # the staged-violation key (false PASS). Re-encoding '+' as %2B
+        # first makes url_decode behave as a pure percent-decoder.
+        # (input_file_name is already absolute.)
+        canon_file = F.url_decode(F.regexp_replace(
+            F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),
+            "[+]", "%2B"))
 
         # THE single data scan: stage the violations increment, keyed by
         # attempt (partition dir = cheap pruned re-read below). Explode

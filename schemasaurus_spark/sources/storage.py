@@ -48,7 +48,10 @@ class Snapshot:
 
 class SnapshotStore:
     def __init__(self, root: str):
-        self.root = Path(root)
+        # absolutize at construction: Spark resolves relative paths against
+        # the JVM working directory, which need not match the Python CWD —
+        # a relative root would silently write data somewhere else entirely
+        self.root = Path(root).absolute()
         self.data_dir = self.root / "data"
         self.manifest_path = self.root / "manifest.json"
         self.root.mkdir(parents=True, exist_ok=True)
@@ -66,10 +69,30 @@ class SnapshotStore:
         tmp.write_text(json.dumps({"snapshots": snaps}, indent=1))
         tmp.replace(self.manifest_path)  # atomic commit, Iceberg-style
 
+    def _resolve(self, path: str) -> str:
+        """Manifest path → absolute path. New-format manifests store paths
+        RELATIVE TO THE STORE ROOT (relocatable store, and the same file
+        resolves identically from any driver CWD — lineage keys depend on
+        it). Legacy manifests stored paths as glob() produced them
+        (CWD-relative when the root arg was relative): root-joined first,
+        CWD fallback for legacy rows."""
+        import os
+
+        if os.path.isabs(path):
+            return path
+        rooted = os.path.abspath(str(self.root / path))
+        if os.path.exists(rooted):
+            return rooted
+        return os.path.abspath(path)  # legacy CWD-relative manifest row
+
     def snapshots(self) -> list[Snapshot]:
-        return [Snapshot(s["id"], tuple(s["files"]), s["ts"],
-                         s.get("record_counts") or {})
-                for s in self._load()]
+        out = []
+        for s in self._load():
+            files = tuple(self._resolve(f) for f in s["files"])
+            counts = {self._resolve(f): n
+                      for f, n in (s.get("record_counts") or {}).items()}
+            out.append(Snapshot(s["id"], files, s["ts"], counts))
+        return out
 
     def current(self) -> Snapshot | None:
         snaps = self.snapshots()
@@ -80,27 +103,58 @@ class SnapshotStore:
     def append(self, df: DataFrame) -> Snapshot:
         """Write df as a new snapshot = previous files + new files. Per-file
         row counts land in the manifest (Iceberg `record_count` analog) via a
-        footer-only read — no data scan."""
-        snaps = self._load()
-        sid = f"s{len(snaps):05d}"
-        out_dir = self.data_dir / sid
-        # overwrite, not error: a crash between this write and _save()
-        # leaves an orphan dir for an id the manifest never recorded; the
-        # retry recomputes the SAME id, and mode('error') would then brick
-        # every future append with 'path already exists'. Overwriting the
-        # unrecorded staging dir is exactly the manifest-last commit
-        # protocol — only _save() publishes a snapshot.
-        df.write.mode("overwrite").parquet(str(out_dir))
-        new_files = sorted(str(p) for p in out_dir.glob("*.parquet"))
-        prev = snaps[-1]["files"] if snaps else []
-        prev_counts = snaps[-1].get("record_counts") or {} if snaps else {}
-        counts = dict(prev_counts)
-        counts.update({f: file_record_count(f) for f in new_files})
-        snap = {"id": sid, "files": prev + new_files, "ts": time.time(),
-                "record_counts": counts}
-        snaps.append(snap)
-        self._save(snaps)
-        return Snapshot(sid, tuple(snap["files"]), snap["ts"], counts)
+        footer-only read — no data scan.
+
+        Concurrency + crash safety (round-3 ADVICE): the whole
+        load→write→save sequence holds an advisory ``flock`` on the store,
+        so two concurrent ``append()`` calls serialize instead of computing
+        the same sid and overwriting each other's committed files (Iceberg's
+        optimistic catalog swap, done pessimistically — same-host drivers
+        are the only writers this sandbox has). Data is staged into a
+        uuid-named temp dir and atomically renamed to the sid; a crash at
+        any point leaves either an unreferenced ``_tmp-*`` dir or an
+        unreferenced sid dir (removed on the next locked attempt) — only
+        ``_save()`` publishes a snapshot."""
+        import os
+        import shutil
+        import uuid
+
+        lock_path = self.root / ".lock"
+        with open(lock_path, "w") as lock_f:
+            try:
+                import fcntl
+
+                fcntl.flock(lock_f, fcntl.LOCK_EX)
+            except ImportError:  # non-POSIX: documented single-writer
+                pass
+            snaps = self._load()
+            sid = f"s{len(snaps):05d}"
+            out_dir = self.data_dir / sid
+            if out_dir.exists():
+                # orphan of a crashed earlier attempt: sid is derived from
+                # manifest length, so an existing-but-unpublished dir can
+                # only be a leftover — remove it, never read it
+                shutil.rmtree(out_dir)
+            tmp_dir = self.data_dir / f"_tmp-{uuid.uuid4().hex}"
+            df.write.mode("overwrite").parquet(str(tmp_dir))
+            os.rename(tmp_dir, out_dir)
+            abs_files = sorted(str(p) for p in out_dir.glob("*.parquet"))
+            # manifest stores root-RELATIVE paths (see _resolve)
+            root_abs = os.path.abspath(str(self.root))
+            new_files = [os.path.relpath(os.path.abspath(f), root_abs)
+                         for f in abs_files]
+            prev = snaps[-1]["files"] if snaps else []
+            prev_counts = snaps[-1].get("record_counts") or {} if snaps else {}
+            counts = dict(prev_counts)
+            counts.update({f: file_record_count(a)
+                           for f, a in zip(new_files, abs_files)})
+            snap = {"id": sid, "files": prev + new_files, "ts": time.time(),
+                    "record_counts": counts}
+            snaps.append(snap)
+            self._save(snaps)
+        return Snapshot(
+            sid, tuple(self._resolve(f) for f in snap["files"]), snap["ts"],
+            {self._resolve(f): n for f, n in counts.items()})
 
     # -- read --------------------------------------------------------------
 

@@ -164,6 +164,57 @@ def test_special_char_table_path_counts_violations(spark, tmp_path):
     assert again.n_violations == run.n_violations
 
 
+def test_plus_in_table_path_counts_violations(spark, tmp_path):
+    """A literal '+' in the table path: F.url_decode is form-encoding
+    ('+' → space) while the Python-side canonicalizer is a pure
+    percent-decode. Without the %2B re-encode the two keys diverge and the
+    run records a silent false PASS (round-3 ADVICE, medium)."""
+    from schemasaurus_spark import datagen, dsl
+
+    store = SnapshotStore(str(tmp_path / "tbl+v2"))
+    store.append(datagen.finalize(
+        datagen.corrupt_enum(datagen.gen_sequences(spark, 200, 2), every=40)))
+    cp = ValidationCheckpoint(str(tmp_path / "state+x"))
+    suite = dsl.Suite(id_column="doc_id",
+                      columns={"source": [dsl.Enum(datagen.SOURCES)]})
+    run = cp.run(spark, store, suite)
+    assert run.n_violations > 0                       # not a false PASS
+    assert cp.violations(spark).count() == run.n_violations
+    again = cp.run(spark, store, suite)
+    assert again.files_validated == 0 and again.files_skipped == 2
+    assert again.n_violations == run.n_violations
+
+
+def test_resume_is_cwd_independent(spark, tmp_path, monkeypatch):
+    """A store created via a RELATIVE root must resume cleanly when the
+    driver is relaunched from a different directory: manifest paths are
+    stored root-relative, so lineage keys cannot depend on the process CWD
+    (round-3 ADVICE — CWD-dependent keys re-validated every file and
+    double-committed its violations)."""
+    from schemasaurus_spark import datagen, dsl
+
+    monkeypatch.chdir(tmp_path)
+    store = SnapshotStore("tbl")                      # relative root
+    store.append(datagen.finalize(
+        datagen.corrupt_enum(datagen.gen_sequences(spark, 200, 2), every=40)))
+    cp = ValidationCheckpoint("state")
+    suite = dsl.Suite(id_column="doc_id",
+                      columns={"source": [dsl.Enum(datagen.SOURCES)]})
+    r1 = cp.run(spark, store, suite)
+    assert r1.n_violations > 0
+
+    elsewhere = tmp_path / "elsewhere"
+    elsewhere.mkdir()
+    monkeypatch.chdir(elsewhere)                      # "new launch dir"
+    store2 = SnapshotStore(str(tmp_path / "tbl"))     # same store, abs path
+    cp2 = ValidationCheckpoint(str(tmp_path / "state"))
+    r2 = cp2.run(spark, store2, suite)
+    assert r2.files_validated == 0                    # nothing re-validated
+    assert r2.files_skipped == r1.files_validated
+    assert r2.n_violations == r1.n_violations
+    assert cp2.violations(spark).count() == r1.n_violations  # no duplicates
+
+
 def test_lineage_dedupes_concurrent_attempts(spark, tmp_path):
     """Two racing runs can both append lineage for the same file; readers
     must keep ONE winner per (suite_hash, file) or every later aggregate
