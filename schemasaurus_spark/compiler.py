@@ -617,8 +617,12 @@ class ConstraintCompiler:
         extractor flagged elements the pass test ignored. TupleItems stays
         null-strict: a tuple POSITION holding null fails its spec
         (presence is positional, pinned by the conformance_array oracle)."""
+        dt = _dtype(self.schema, col_name)
+        et = dt.elementType if isinstance(dt, T.ArrayType) else None
         for sub in self._expand_element_refs(c.constraints):
-            pred, code, arg = self._element_predicate(sub)
+            pred, code, arg = self._element_predicate(sub, et)
+            if getattr(pred, "static_true", False):
+                continue  # provably can't fail on this element type
             if isinstance(sub, dsl.NotNull):
                 failed_any = F.exists(col, lambda x: x.isNull())
             # range checks get specialized O(n) pass tests (array_min/max
@@ -693,9 +697,16 @@ class ConstraintCompiler:
                 return _vio_struct(full_code, col_name, x[fname], arg, msg)
             return f
 
+        dt = _dtype(self.schema, col_name)
+        est = dt.elementType if isinstance(dt, T.ArrayType) else None
         for fname, subs in (c.field_items() if c.fields else []):
+            ftype = None
+            if isinstance(est, T.StructType) and fname in est.fieldNames():
+                ftype = est[fname].dataType
             for sub in subs:
-                pred, code, arg = self._element_predicate(sub)
+                pred, code, arg = self._element_predicate(sub, ftype)
+                if getattr(pred, "static_true", False):
+                    continue
                 elem_failed = _failed_factory(
                     fname, pred, isinstance(sub, dsl.NotNull))
                 failed_any = F.exists(col, elem_failed)
@@ -723,10 +734,14 @@ class ConstraintCompiler:
         (processor.js:54-61,113-124). Position i (1-based element_at) checks
         specs[i]; extras beyond len(specs) each emit `additionalItems` when
         additional=False — one violation per extra element, value = element."""
+        dt = _dtype(self.schema, col_name)
+        et = dt.elementType if isinstance(dt, T.ArrayType) else None
         for i, spec in enumerate(c.specs):
             elem = F.get(col, i)  # 0-based, null-safe (ANSI element_at throws)
             for sub in spec:
-                pred, code, arg = self._element_predicate(sub)
+                pred, code, arg = self._element_predicate(sub, et)
+                if getattr(pred, "static_true", False):
+                    continue
                 failed = F.size(col) > i
                 failed = failed & ~F.coalesce(pred(elem), F.lit(False))
                 if null_guard:
@@ -799,11 +814,11 @@ class ConstraintCompiler:
                 out.append(s)
         return out
 
-    def _element_branch_pred(self, branch):
+    def _element_branch_pred(self, branch, elem_type=None):
         """AND of a branch's element predicates — a sub-schema used as an
         element check inside combinators/refs. Null-safe: a null predicate
         result counts as failed (matching the offender-extraction guard)."""
-        preds = [self._element_predicate(s)[0] for s in branch]
+        preds = [self._element_predicate(s, elem_type)[0] for s in branch]
 
         def bp(x):
             ok = F.lit(True)
@@ -845,9 +860,14 @@ class ConstraintCompiler:
                     e["value"], arg, msg)
             return vio
 
+        mdt = _dtype(self.schema, col_name)
+        vtype = mdt.valueType if isinstance(mdt, T.MapType) else None
+
         def emit_value_checks(regex, subs):
             for sub in self._expand_element_refs(subs):
-                pred, code, arg = self._element_predicate(sub)
+                pred, code, arg = self._element_predicate(sub, vtype)
+                if getattr(pred, "static_true", False):
+                    continue
                 bad = bad_factory(regex, pred, isinstance(sub, dsl.NotNull))
                 offenders = F.filter(entries, bad)
                 has = F.size(offenders) > 0
@@ -890,19 +910,27 @@ class ConstraintCompiler:
             ok = ok | key.rlike(r)
         return ok
 
-    def _element_predicate(self, sub: dsl.Constraint):
+    def _element_predicate(self, sub: dsl.Constraint, elem_type=None):
         """Map a scalar constraint onto array elements (lambda-variable form).
 
         Combinators nest (the reference's items walk descends into arbitrary
         sub-schemas, processor.js:31-64): the element emits ONE violation
         with the combinator's code — per-branch sub-error bubbling is a
         column-level feature only (documented divergence; at element level a
-        bubbled sub-error would not identify which element it came from)."""
+        bubbled sub-error would not identify which element it came from).
+
+        ``elem_type`` is the element's Spark DataType (from the array/map
+        schema): TypeIs folds statically against it, exactly like the
+        column-level static DCE (double elements keep the whole-valued
+        runtime probe)."""
+        if isinstance(sub, dsl.TypeIs):
+            return self._element_type_pred(sub, elem_type)
         if isinstance(sub, (dsl.AllOf, dsl.AnyOf, dsl.OneOf)):
             # NO default args on these closures: F.forall/filter treat a
             # two-arg callable as the (element, index) form (CLAUDE.md
             # round-1 gotcha) — branch_preds binds by closure instead
-            branch_preds = [self._element_branch_pred(b) for b in sub.branches]
+            branch_preds = [self._element_branch_pred(b, elem_type)
+                            for b in sub.branches]
             if isinstance(sub, dsl.AllOf):
                 def pred_all(x):
                     ok = F.lit(True)
@@ -925,7 +953,7 @@ class ConstraintCompiler:
                 return n == F.lit(1)
             return pred_one, "oneOf", None
         if isinstance(sub, dsl.Not):
-            bp = self._element_branch_pred(sub.branch)
+            bp = self._element_branch_pred(sub.branch, elem_type)
             return (lambda x: ~bp(x)), "not", None
         if isinstance(sub, dsl.Ref):
             # nested (inside a combinator branch) ref: AND of the target —
@@ -940,7 +968,7 @@ class ConstraintCompiler:
                     f"cyclic Ref('{sub.name}') in items element schema")
             self._ref_stack.add(sub.name)
             try:
-                bp = self._element_branch_pred(target)
+                bp = self._element_branch_pred(target, elem_type)
             finally:
                 self._ref_stack.discard(sub.name)
             return bp, f"ref.{sub.name}", None
@@ -970,6 +998,62 @@ class ConstraintCompiler:
         raise SuiteCompileError(
             f"{type(sub).__name__} not supported as an items() element constraint"
         )
+
+    def _element_type_pred(self, sub: dsl.TypeIs, elem_type):
+        """``items: {type: ...}`` — static against the element's Spark type
+        (the official suite's items/type cases): exact-type members fold to
+        constants; ``integer`` on float/double/decimal elements keeps the
+        whole-valued runtime probe; ``null`` is always runtime. Union lists
+        OR their members and emit ONE ``type`` violation (the element-level
+        single-code convention — the column-level error splice needs a
+        column to attach each tried type to)."""
+        types = sub.type if isinstance(sub.type, (list, tuple)) else [sub.type]
+
+        def member_factory(tname):
+            if tname == "null":
+                return lambda x: x.isNull()
+            if elem_type is None:
+                raise SuiteCompileError(
+                    f"TypeIs('{tname}') as an element constraint needs a "
+                    f"typed schema (compile with df.schema)")
+            if tname == "integer" and isinstance(
+                    elem_type, (T.FloatType, T.DoubleType, T.DecimalType)):
+                return lambda x: (x % F.lit(1.0)) == 0.0
+            static = {
+                "string": isinstance(elem_type, T.StringType),
+                "integer": isinstance(
+                    elem_type, (T.ByteType, T.ShortType, T.IntegerType,
+                                T.LongType)),
+                "number": isinstance(elem_type, _NUMERIC),
+                "boolean": isinstance(elem_type, T.BooleanType),
+                "array": isinstance(elem_type, T.ArrayType),
+                "object": isinstance(elem_type, (T.StructType, T.MapType)),
+            }.get(tname)
+            if static is None:
+                raise SuiteCompileError(f"Unknown type '{tname}'")
+
+            def const(x):
+                return F.lit(static)
+            const.static_value = static
+            return const
+
+        members = [member_factory(t) for t in types]
+
+        def pred(x):
+            ok = F.lit(False)
+            for mp in members:
+                ok = ok | mp(x)
+            return ok
+
+        # static DCE: if any member folds to a constant TRUE, the check can
+        # never fail — mark it so the items compilers emit NOTHING (a
+        # constant-false exists() still walks every element of every array
+        # at runtime; at 10^12 rows × 2048 tokens that is real work)
+        pred.static_true = any(getattr(mp, "static_value", None) is True
+                               for mp in members)
+        if len(types) == 1:
+            return pred, str(types[0]), None
+        return pred, "type", list(types)
 
     # -- custom ---------------------------------------------------------------
 

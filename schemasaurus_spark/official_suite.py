@@ -1,0 +1,323 @@
+"""Official JSON-Schema-Test-Suite ingestion.
+
+The reference runs the real draft-4 suite straight from its submodule
+(``/root/reference/test/official_suite_spec.js:9-51``): every ``*.json``
+file in the suite directory is a list of cases
+``{description, schema, tests: [{description, data, valid}]}``, filtered by
+a substring ignore-list (``test/ignored.json``). This module ingests the
+SAME native format — point :func:`load_official_suite` at a
+JSON-Schema-Test-Suite checkout (or any file in its format) and
+:func:`run_official_tests` evaluates every case through the engine's public
+translation path (``suite_from_json_schema`` / ``_constraints_from``), so
+corpus updates never drift from what users actually run.
+
+Translation model (SURVEY.md §5: reference value-level cases become
+partition-level assertions):
+
+* each test's ``data`` value becomes one COLUMN of a single-row DataFrame,
+  typed from the data itself (object data → struct column, its schema's
+  ``properties`` → dotted sub-columns);
+* ~24 tests batch into ONE frame + ONE compiled suite = one Spark job
+  (the round-3 batching strategy);
+* a test passes iff the engine emits no violation attributed to its column
+  — mirroring the reference's ``{valid: errors.length === 0}``
+  (v4validator.js:326).
+
+Documented divergences auto-skip with a recorded reason (inspect
+:class:`SuiteRunResult.skipped`) rather than failing:
+
+* the reference ignore-list entries (remote refs, "definition" meta-cases,
+  numeric-type-indistinct locales) — ``REFERENCE_IGNORED`` mirrors
+  ``test/ignored.json``;
+* top-level ``null`` data: a DataFrame row cannot omit a column, so the
+  engine collapses missing/undefined and null (SURVEY §1.2); the
+  reference's "null passes bare required / fails bare type" split has no
+  columnar analog;
+* data not expressible as ONE Spark type (heterogeneous arrays like
+  ``[1, "x"]`` — dynamic-typing cases);
+* schemas using keywords the translator rejects (raise
+  ``SchemaTranslationError``) — recorded loudly with the error text.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field, replace
+from pathlib import Path
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+from schemasaurus_spark import dsl
+from schemasaurus_spark.schema_json import (
+    SchemaTranslationError, _constraints_from, suite_from_json_schema,
+)
+from schemasaurus_spark.validate import validate
+
+# mirror of /root/reference/test/ignored.json (substring match on either
+# description, official_suite_spec.js:27-29)
+REFERENCE_IGNORED = [
+    "definition",
+    "remote ref",
+    "change resolution",
+    "some languages do not distinguish between different types of numeric"
+    " value",
+]
+
+
+@dataclass(frozen=True)
+class OfficialTest:
+    file: str
+    case: str      # case description
+    test: str      # test description
+    schema: dict | bool
+    data: object
+    valid: bool
+
+
+@dataclass
+class SuiteRunResult:
+    passed: list[OfficialTest] = field(default_factory=list)
+    failed: list[tuple[OfficialTest, bool]] = field(default_factory=list)
+    skipped: list[tuple[OfficialTest, str]] = field(default_factory=list)
+
+    def summary(self) -> str:
+        return (f"{len(self.passed)} passed, {len(self.failed)} failed, "
+                f"{len(self.skipped)} skipped")
+
+
+def load_official_suite(path: str | Path) -> list[OfficialTest]:
+    """Load every case file under ``path`` (a directory of ``*.json`` in
+    the suite's native format, or a single file) — the analog of
+    ``loadSuite`` (official_suite_spec.js:9-21; non-recursive, like the
+    reference's ``isFile`` filter)."""
+    p = Path(path)
+    files = sorted(p.glob("*.json")) if p.is_dir() else [p]
+    out: list[OfficialTest] = []
+    for f in files:
+        for case in json.loads(f.read_text()):
+            for t in case.get("tests", []):
+                out.append(OfficialTest(
+                    f.name, case.get("description", ""),
+                    t.get("description", ""), case["schema"], t["data"],
+                    bool(t["valid"])))
+    return out
+
+
+def is_ignored(t: OfficialTest, ignored: list[str]) -> bool:
+    return any(s in t.case or s in t.test for s in ignored)
+
+
+# ------------------------------------------------------- data → Spark type
+
+
+_DRAFT_TYPE_DDL = {"string": "string", "integer": "bigint",
+                   "number": "double", "boolean": "boolean",
+                   "null": "string"}
+
+
+class _Untypeable(ValueError):
+    pass
+
+
+def _unify(ddls: set[str]) -> str:
+    if len(ddls) == 1:
+        return next(iter(ddls))
+    if ddls == {"bigint", "double"}:
+        return "double"
+    raise _Untypeable(f"no single Spark type for {sorted(ddls)}")
+
+
+def _ddl_of(value, hint: Optional[dict] = None) -> str:
+    """Spark DDL type for one JSON value (bool before int: Python bools
+    are ints). ``hint`` is the sub-schema, used only for nulls/empties."""
+    if isinstance(value, bool):
+        return "boolean"
+    if isinstance(value, int):
+        return "bigint"
+    if isinstance(value, float):
+        return "double"
+    if isinstance(value, str):
+        return "string"
+    if value is None:
+        t = (hint or {}).get("type")
+        if isinstance(t, list):
+            t = next((x for x in t if x != "null"), "string")
+        return _DRAFT_TYPE_DDL.get(t, "string")
+    if isinstance(value, list):
+        if not value:
+            return "array<string>"
+        items_hint = (hint or {}).get("items")
+        eh = items_hint if isinstance(items_hint, dict) else None
+        return f"array<{_unify({_ddl_of(v, eh) for v in value})}>"
+    if isinstance(value, dict):
+        props = (hint or {}).get("properties", {})
+        fields = ", ".join(
+            f"`{k}`: {_ddl_of(v, props.get(k))}" for k, v in value.items())
+        return f"struct<{fields}>" if fields else "struct<`__empty`: string>"
+    raise _Untypeable(f"unsupported JSON value {value!r}")
+
+
+def _convert(value):
+    """JSON value → the row literal Spark expects for _ddl_of's type
+    (dicts → tuples, field order preserved)."""
+    if isinstance(value, dict):
+        return tuple(_convert(v) for v in value.values()) or (None,)
+    if isinstance(value, list):
+        converted = [_convert(v) for v in value]
+        # int elements in a double-unified array need float()
+        if any(isinstance(v, float) for v in value):
+            converted = [float(v) if isinstance(v, (int, float))
+                         and not isinstance(v, bool) else v
+                         for v in converted]
+        return converted
+    return value
+
+
+# ----------------------------------------------------- test → suite column
+
+
+def _object_mode(schema: dict) -> bool:
+    return isinstance(schema, dict) and (
+        "properties" in schema
+        or isinstance(schema.get("required"), list)
+        or "dependencies" in schema)
+
+
+def _prefix_columns(suite: dsl.Suite, col: str) -> tuple[dict, list]:
+    cols = {f"{col}.{k}": v for k, v in suite.columns.items()}
+    row = []
+    for on, c in suite.row:
+        if isinstance(c, dsl.Dependency):
+            c = replace(
+                c, on=f"{col}.{c.on}",
+                requires=[f"{col}.{r}" for r in (c.requires or [])] or c.requires,
+                constraints=[(f"{col}.{t}", sc)
+                             for t, sc in (c.constraints or [])]
+                or c.constraints)
+            row.append((f"{col}.{on}", c))
+        else:
+            row.append((on, c))
+    return cols, row
+
+
+def plan_test(t: OfficialTest, col: str):
+    """One test → (ddl, row_value, columns_dict, row_constraints,
+    definitions). Raises _Untypeable / SchemaTranslationError for the
+    documented-divergence shapes."""
+    schema = t.schema
+    if isinstance(schema, bool):
+        raise SchemaTranslationError(
+            "boolean schemas are draft-6+; draft-4 schemas are objects")
+    if t.data is None:
+        raise _Untypeable(
+            "top-level null data: missing-vs-null collapses in a DataFrame "
+            "row (documented divergence, SURVEY §1.2)")
+    if _object_mode(schema) and isinstance(t.data, dict):
+        sub = suite_from_json_schema(schema, id_column="cid")
+        cols, row = _prefix_columns(sub, col)
+        # the struct must carry every property the suite constrains, plus
+        # every key the data actually has
+        data = dict(t.data)
+        declared = {k.split(".")[0] for k in sub.columns}
+        # dependency targets are READ columns — the struct must carry them
+        for _, c in sub.row:
+            if isinstance(c, dsl.Dependency):
+                declared.add(c.on.split(".")[0])
+                for r2 in c.requires or ():
+                    declared.add(r2.split(".")[0])
+                for tgt, _ in c.constraints or ():
+                    declared.add(tgt.split(".")[0])
+        props = schema.get("properties", {})
+        for k in declared:
+            data.setdefault(k, None)
+        ddl = _ddl_of(data, {"properties": props})
+        return ddl, _convert(data), cols, row, sub.definitions
+    # map-mode: key-count / key-pattern keywords operate on MapType
+    if isinstance(t.data, dict):
+        if not t.data:
+            ddl = "map<string, string>"
+        else:
+            ddl = (f"map<string, "
+                   f"{_unify({_ddl_of(v) for v in t.data.values()})}>")
+        cs = _constraints_from(schema, None, False, root=schema)
+        return ddl, dict(t.data), {col: cs}, [], {}
+    # value-mode: `definitions` is a container, not a constraint keyword —
+    # translate it into named Refs (the root stays available for pointers)
+    own = {k: v for k, v in schema.items() if k != "definitions"}
+    cs = _constraints_from(own, None, False, root=schema)
+    defs = {n: _constraints_from(d, None, False, root=schema)
+            for n, d in (schema.get("definitions") or {}).items()}
+    return _ddl_of(t.data, schema), _convert(t.data), {col: cs}, [], defs
+
+
+# ---------------------------------------------------------------- running
+
+
+def run_official_tests(spark: SparkSession, tests: list[OfficialTest],
+                       ignored: list[str] | None = None,
+                       batch_size: int = 24) -> SuiteRunResult:
+    """Evaluate official-format tests, batched (~24 per Spark job).
+
+    A test whose schema carries ``definitions`` runs in its own frame
+    (batch suites merge columns into one Suite; definition names from
+    different schemas could collide)."""
+    ignored = REFERENCE_IGNORED if ignored is None else ignored
+    res = SuiteRunResult()
+    planned, solo = [], []
+    for t in tests:
+        if is_ignored(t, ignored):
+            res.skipped.append((t, "ignore-list"))
+            continue
+        try:
+            plan = plan_test(t, "pending")
+        except (_Untypeable, SchemaTranslationError) as e:
+            res.skipped.append((t, str(e)))
+            continue
+        (solo if plan[4] else planned).append(t)
+
+    for group in ([planned[i:i + batch_size]
+                   for i in range(0, len(planned), batch_size)]
+                  + [[t] for t in solo]):
+        _run_batch(spark, group, res)
+    return res
+
+
+def _run_batch(spark: SparkSession, tests: list[OfficialTest],
+               res: SuiteRunResult) -> None:
+    """Run one batch; if the merged frame/suite fails to build or compile
+    (e.g. a keyword lands on a Spark type it cannot apply to), bisect to
+    per-test runs so one incompatible case cannot sink its batch — a solo
+    failure records a skip with the engine error as the reason."""
+    try:
+        _execute_batch(spark, tests, res)
+    except Exception as e:  # noqa: BLE001 — recorded, never swallowed
+        if len(tests) == 1:
+            res.skipped.append((tests[0], f"engine error: {e}"))
+        else:
+            for t in tests:
+                _run_batch(spark, [t], res)
+
+
+def _execute_batch(spark: SparkSession, tests: list[OfficialTest],
+                   res: SuiteRunResult) -> None:
+    fields, row, columns, rowcs, defs = ["cid string"], ["t0"], {}, [], {}
+    for i, t in enumerate(tests):
+        ddl, value, cols, rcs, d = plan_test(t, f"c{i}")
+        fields.append(f"c{i} {ddl}")
+        row.append(value)
+        columns.update(cols)
+        rowcs.extend(rcs)
+        defs.update(d)
+    df = spark.createDataFrame([tuple(row)], ", ".join(fields))
+    suite = dsl.Suite(id_column="cid", columns=columns, row=rowcs,
+                      definitions=defs)
+    got: dict[int, bool] = {i: True for i in range(len(tests))}
+    for r in validate(df, suite).violations().collect():
+        base = r["column"].split(".")[0].split("[")[0]
+        got[int(base[1:])] = False
+    for i, t in enumerate(tests):
+        if got[i] == t.valid:
+            res.passed.append(t)
+        else:
+            res.failed.append((t, got[i]))

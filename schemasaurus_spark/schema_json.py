@@ -63,18 +63,56 @@ _SCALAR_KEYWORDS = {
 }
 
 
-def _ref_name(ref: str) -> str:
+def _definitions_ref_name(ref: str) -> Optional[str]:
+    """'#/definitions/<name>' (a flat name, no further pointer segments or
+    escapes) → <name>; anything else → None (generic pointer path)."""
     prefix = "#/definitions/"
-    if not ref.startswith(prefix):
+    if ref.startswith(prefix):
+        name = ref[len(prefix):]
+        if name and "/" not in name and "~" not in name and "%" not in name:
+            return name
+    return None
+
+
+def resolve_json_pointer(root: dict, ref: str):
+    """Resolve any same-document JSON-pointer ``$ref`` — the reference's
+    ``resolveRef`` (``/root/reference/src/int/references.js:7-27``):
+    URI-decode, split on '#', de-tilde each '/'-segment (``~0``→``~``,
+    ``~1``→``/``, applied in the reference's order), walk the document.
+    A non-empty part before '#' is a remote ref and raises, exactly like
+    the reference's ``defaultLoader`` (references.js:3-5)."""
+    from urllib.parse import unquote
+
+    rem, sep, loc = unquote(ref).partition("#")
+    if rem or not sep:
         raise SchemaTranslationError(
-            f"only '#/definitions/<name>' refs are supported, got {ref!r}")
-    return ref[len(prefix):]
+            f"remote ref {ref!r} is not supported (the reference's "
+            f"defaultLoader throws the same way, references.js:3-5)")
+    node = root
+    for seg in loc.split("/"):
+        if seg == "":
+            continue
+        seg = seg.replace("~0", "~").replace("~1", "/")
+        try:
+            node = node[int(seg)] if isinstance(node, list) else node[seg]
+        except (KeyError, IndexError, ValueError, TypeError):
+            raise SchemaTranslationError(
+                f"Cannot find ref '{ref}' in schema")
+    return node
 
 
 def _constraints_from(schema: dict, custom_fns: Optional[dict],
-                      runtime_types: bool) -> list[dsl.Constraint]:
+                      runtime_types: bool, root: Optional[dict] = None,
+                      stack: tuple = ()) -> list[dsl.Constraint]:
     """Translate one (property-level) schema dict into a constraint list,
-    in the reference's deterministic keyword order."""
+    in the reference's deterministic keyword order.
+
+    ``root`` is the enclosing draft-4 document: arbitrary JSON-pointer
+    ``$ref``\\ s resolve against it by inline expansion (the reference
+    resolves at compile time, compiler.js:142-144 + references.js);
+    ``stack`` is the chain of refs currently being expanded — a revisit is
+    a cyclic ref and raises (the reference only supports root recursion,
+    compiler.js:136-141)."""
     unknown = set(schema) - _SCALAR_KEYWORDS
     if unknown:
         raise SchemaTranslationError(
@@ -88,7 +126,28 @@ def _constraints_from(schema: dict, custom_fns: Optional[dict],
     if schema.get("required") is True:  # draft-3-style inline required
         out.append(dsl.NotNull(message=m("required")))
     if "$ref" in schema:
-        out.append(dsl.Ref(_ref_name(schema["$ref"])))
+        ref = schema["$ref"]
+        name = _definitions_ref_name(ref)
+        if name is not None:
+            # flat definitions ref → named DSL Ref (compile-time expansion
+            # with its own cycle guard; named reuse keeps the suite small)
+            out.append(dsl.Ref(name))
+        elif root is not None:
+            if ref in stack:
+                raise SchemaTranslationError(
+                    f"cyclic $ref chain {' -> '.join(stack + (ref,))} — "
+                    f"recursive schemas have no columnar equivalent")
+            target = resolve_json_pointer(root, ref)
+            if not isinstance(target, dict):
+                raise SchemaTranslationError(
+                    f"$ref {ref!r} resolves to {type(target).__name__}, "
+                    f"not a schema object")
+            out.extend(_constraints_from(target, custom_fns, runtime_types,
+                                         root, stack + (ref,)))
+        else:
+            raise SchemaTranslationError(
+                f"$ref {ref!r}: arbitrary JSON-pointer refs need the "
+                f"enclosing document (translate via suite_from_json_schema)")
     if "type" in schema:
         t = schema["type"]
         out.append(dsl.TypeIs(t if isinstance(t, str) else list(t),
@@ -135,7 +194,8 @@ def _constraints_from(schema: dict, custom_fns: Optional[dict],
                 freq = set(freq) if isinstance(freq, list) else set()
                 fields = {}
                 for fname, fschema in it["properties"].items():
-                    fcs = _constraints_from(fschema, custom_fns, runtime_types)
+                    fcs = _constraints_from(fschema, custom_fns,
+                                                runtime_types, root, stack)
                     if fname in freq:
                         fcs = [dsl.NotNull()] + fcs
                     fields[fname] = fcs
@@ -146,11 +206,13 @@ def _constraints_from(schema: dict, custom_fns: Optional[dict],
                 "properties",)
             it_scalar = {k: v for k, v in it.items() if k not in drop}
             out.append(dsl.Items(
-                _constraints_from(it_scalar, custom_fns, runtime_types)
+                _constraints_from(it_scalar, custom_fns, runtime_types,
+                                  root, stack)
                 if it_scalar else (),
                 fields=fields))
         else:  # positional tuple form
-            specs = [_constraints_from(s, custom_fns, runtime_types)
+            specs = [_constraints_from(s, custom_fns, runtime_types,
+                                       root, stack)
                      for s in it]
             out.append(dsl.TupleItems(
                 specs, additional=schema.get("additionalItems", True)))
@@ -173,11 +235,12 @@ def _constraints_from(schema: dict, custom_fns: Optional[dict],
             # value sub-schemas present (or an additional-keys policy):
             # full patternProperties semantics over map entries
             out.append(dsl.PatternProperties(
-                specs=[(r, _constraints_from(s, custom_fns, runtime_types))
+                specs=[(r, _constraints_from(s, custom_fns, runtime_types,
+                                             root, stack))
                        for r, s in pp.items()],
                 additional=(False if addl is False else
                             _constraints_from(addl, custom_fns,
-                                              runtime_types)
+                                              runtime_types, root, stack)
                             if isinstance(addl, dict) else None),
                 message=m("additionalProperties")))
         elif pp:
@@ -187,12 +250,13 @@ def _constraints_from(schema: dict, custom_fns: Optional[dict],
     for kw, cls in (("allOf", dsl.AllOf), ("anyOf", dsl.AnyOf),
                     ("oneOf", dsl.OneOf)):
         if kw in schema:
-            branches = [_constraints_from(b, custom_fns, runtime_types)
+            branches = [_constraints_from(b, custom_fns, runtime_types,
+                                          root, stack)
                         for b in schema[kw]]
             out.append(cls(branches, message=m(kw)))
     if "not" in schema:
         out.append(dsl.Not(_constraints_from(schema["not"], custom_fns,
-                                             runtime_types),
+                                             runtime_types, root, stack),
                            message=m("not")))
     if "conform" in schema:
         for name, enabled in schema["conform"].items():
@@ -458,7 +522,8 @@ def suite_from_json_schema(
             if nested is not None:
                 own = {k: v for k, v in sub.items()
                        if k not in ("properties", "required")}
-                cs = head + _constraints_from(own, custom_fns, runtime_types)
+                cs = head + _constraints_from(own, custom_fns, runtime_types,
+                                              root=schema)
                 if cs:
                     columns[path] = cs
                 nreq = sub.get("required")
@@ -466,7 +531,7 @@ def suite_from_json_schema(
                      path + ".")
             else:
                 columns[path] = head + _constraints_from(
-                    sub, custom_fns, runtime_types)
+                    sub, custom_fns, runtime_types, root=schema)
 
     walk(props, required, "")
     row: list[tuple] = []
@@ -478,13 +543,15 @@ def suite_from_json_schema(
             cons = []
             req = set(dep.get("required", []))
             for target, tschema in sub_props.items():
-                for c in _constraints_from(tschema, custom_fns, runtime_types):
+                for c in _constraints_from(tschema, custom_fns, runtime_types,
+                                           root=schema):
                     cons.append((target, c))
             for target in req:
                 cons.append((target, dsl.NotNull()))
             row.append((on, dsl.Dependency(on=on, constraints=cons)))
     definitions = {
-        dname: _constraints_from(dschema, custom_fns, runtime_types)
+        dname: _constraints_from(dschema, custom_fns, runtime_types,
+                                 root=schema)
         for dname, dschema in (schema.get("definitions") or {}).items()
     }
     return dsl.Suite(

@@ -498,6 +498,28 @@ CASES += [
 ]
 
 
+# Round-4: TypeIs as an items() element constraint (items/type cases of the
+# official draft-4 suite; static fold against the element Spark type, with
+# the whole-valued runtime probe kept for double elements).
+CASES += [
+    ("items type static match", "array<int>",
+     [dsl.Items([dsl.TypeIs("integer")])], [1, 2], set()),
+    ("items type static mismatch", "array<string>",
+     [dsl.Items([dsl.TypeIs("integer")])], ["x"], {"items.integer"}),
+    ("items type double whole ok", "array<double>",
+     [dsl.Items([dsl.TypeIs("integer")])], [1.0, 2.0], set()),
+    ("items type double frac fails", "array<double>",
+     [dsl.Items([dsl.TypeIs("integer")])], [1.5], {"items.integer"}),
+    ("items union type single code", "array<int>",
+     [dsl.Items([dsl.TypeIs(["integer", "string"])])], [1], set()),
+    ("items type number on string fails", "array<string>",
+     [dsl.Items([dsl.TypeIs("number")])], ["1"], {"items.number"}),
+    ("items type inside combinator branch", "array<int>",
+     [dsl.Items([dsl.AnyOf([[dsl.TypeIs("string")], [dsl.Minimum(0)]])])],
+     [1, -2], {"items.anyOf"}),
+]
+
+
 def test_corpus_size():
     """Round-3 bar (VERDICT.md next-steps #6): corpus ≥200 translated cases."""
     assert len(CASES) >= 200

@@ -1,0 +1,64 @@
+"""Official JSON-Schema-Test-Suite format ingestion (round-3 VERDICT #3).
+
+The reference runs the real draft-4 suite from its submodule
+(test/official_suite_spec.js:9-51 + test/ignored.json); the submodule is
+not vendored in this sandbox, so tests/data/official_draft4/ carries a
+corpus written in the suite's NATIVE ``{schema, tests:[{data,valid}]}``
+format. The loader/runner works unchanged on a real suite checkout:
+``run_official_tests(spark, load_official_suite(path))``.
+"""
+
+from pathlib import Path
+
+import pytest
+
+from schemasaurus_spark.official_suite import (
+    OfficialTest, REFERENCE_IGNORED, is_ignored, load_official_suite,
+    run_official_tests,
+)
+
+CORPUS = Path(__file__).parent / "data" / "official_draft4"
+
+
+def test_loader_reads_native_format():
+    tests = load_official_suite(CORPUS)
+    assert len(tests) >= 70
+    files = {t.file for t in tests}
+    assert {"type.json", "ref.json", "properties.json",
+            "dependencies.json"} <= files
+    t0 = next(t for t in tests if t.file == "type.json")
+    assert isinstance(t0.schema, dict) and isinstance(t0.valid, bool)
+
+
+def test_ignore_list_matches_reference_semantics():
+    """Substring match on either description — official_suite_spec.js:27-29."""
+    t = OfficialTest("f", "remote ref, containing refs itself", "x",
+                     {}, 1, True)
+    assert is_ignored(t, REFERENCE_IGNORED)
+    t2 = OfficialTest("f", "minimum validation", "boundary", {}, 1, True)
+    assert not is_ignored(t2, REFERENCE_IGNORED)
+
+
+def test_official_corpus_runs_green(spark):
+    """Every runnable test matches the official expectation; skips carry
+    the documented divergence reasons."""
+    res = run_official_tests(spark, load_official_suite(CORPUS))
+    msgs = [f"{t.file} / {t.case} / {t.test}: engine said {got}"
+            for t, got in res.failed]
+    assert not res.failed, "\n".join(msgs)
+    assert len(res.passed) >= 70
+
+    reasons = {t.test: why for t, why in res.skipped}
+    # the reference's own ignore list (remote refs, "definition" cases)
+    assert any(why == "ignore-list" for why in reasons.values())
+    # engine divergences, recorded loudly
+    assert any("missing-vs-null" in why for why in reasons.values())
+    assert any("no single Spark type" in why for why in reasons.values())
+    # nothing is skipped silently without a reason
+    assert all(why for why in reasons.values())
+
+
+def test_single_file_load_and_run(spark):
+    tests = load_official_suite(CORPUS / "minimum.json")
+    res = run_official_tests(spark, tests)
+    assert not res.failed and len(res.passed) == 5
