@@ -41,7 +41,8 @@ HEADLINE = [
     "events_daily", "events_json", "simhash", "normalize_roundtrip",
     "embedding_neardup", "violation_rank", "winnow_fingerprints",
     "rollup_docs", "sessionize_events", "validate_lineitem",
-    "salted_events_stats", "validate_spans", "conformance_misc",
+    "salted_events_stats", "validate_spans", "validate_nested",
+    "conformance_misc",
 ]
 
 

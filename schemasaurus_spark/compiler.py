@@ -995,9 +995,97 @@ class ConstraintCompiler:
         if isinstance(sub, dsl.Format):
             spec = get_format(sub.name)
             return (lambda x: x.rlike(spec.regexp)), f"format.{sub.name}", spec.message
+        # ---- container constraints ON an element (arbitrary-depth descent,
+        # processor.js:31-64 recursion): array<array<…>> and
+        # array<struct<…, array<…>>> element schemas. The element emits ONE
+        # violation with the container's code — per-inner-element error
+        # extraction is a top-level feature (an inner offender would not
+        # identify its outer element), same convention as combinators.
+        if isinstance(sub, dsl.MinItems):
+            return (lambda x: F.size(x) >= sub.value), "minItems", sub.value
+        if isinstance(sub, dsl.MaxItems):
+            return (lambda x: F.size(x) <= sub.value), "maxItems", sub.value
+        if isinstance(sub, dsl.UniqueItems):
+            return (lambda x: F.size(x) == F.size(F.array_distinct(x))), \
+                "uniqueItems", None
+        if isinstance(sub, dsl.Items):
+            return self._nested_items_pred(sub, elem_type), "items", None
+        if isinstance(sub, dsl.TupleItems):
+            return self._nested_tuple_pred(sub, elem_type), "items", None
         raise SuiteCompileError(
             f"{type(sub).__name__} not supported as an items() element constraint"
         )
+
+    def _nested_items_pred(self, sub: dsl.Items, elem_type):
+        """Predicate form of an Items schema applied to an ARRAY-typed
+        element/field: forall inner elements pass. Inner null elements
+        follow the engine-wide convention (skip checks, NotNull flags);
+        struct fields= descend recursively at any depth."""
+        inner_et = (elem_type.elementType
+                    if isinstance(elem_type, T.ArrayType) else None)
+        scalar = []   # (pred, is_required)
+        for s in self._expand_element_refs(sub.constraints):
+            pred, _, _ = self._element_predicate(s, inner_et)
+            if getattr(pred, "static_true", False):
+                continue
+            scalar.append((pred, isinstance(s, dsl.NotNull)))
+        fields = []   # (fname, pred, is_required)
+        if sub.fields:
+            for fname, fsubs in sub.field_items():
+                ftype = None
+                if (isinstance(inner_et, T.StructType)
+                        and fname in inner_et.fieldNames()):
+                    ftype = inner_et[fname].dataType
+                for fs in fsubs:
+                    fp, _, _ = self._element_predicate(fs, ftype)
+                    if getattr(fp, "static_true", False):
+                        continue
+                    fields.append((fname, fp, isinstance(fs, dsl.NotNull)))
+
+        def elem_ok_factory():
+            def elem_ok(y):
+                ok = F.lit(True)
+                for q, req in scalar:
+                    ok = ok & (y.isNotNull() if req else
+                               (y.isNull()
+                                | F.coalesce(q(y), F.lit(False))))
+                for fname, q, req in fields:
+                    fv = y[fname]
+                    ok = ok & (fv.isNotNull() if req else
+                               (fv.isNull()
+                                | F.coalesce(q(fv), F.lit(False))))
+                return ok
+            return elem_ok
+
+        elem_ok = elem_ok_factory()
+
+        def pred(x):
+            return F.forall(x, elem_ok)
+        return pred
+
+    def _nested_tuple_pred(self, sub: dsl.TupleItems, elem_type):
+        """Predicate form of a positional TupleItems schema on an
+        ARRAY-typed element (null-strict per position, like the top-level
+        compile; additional=False bounds the size)."""
+        inner_et = (elem_type.elementType
+                    if isinstance(elem_type, T.ArrayType) else None)
+        spec_preds = []
+        for i, spec in enumerate(sub.specs):
+            for s in spec:
+                q, _, _ = self._element_predicate(s, inner_et)
+                if getattr(q, "static_true", False):
+                    continue
+                spec_preds.append((i, q))
+
+        def pred(x):
+            ok = F.lit(True)
+            for i, q in spec_preds:
+                ok = ok & ((F.size(x) <= i)
+                           | F.coalesce(q(F.get(x, i)), F.lit(False)))
+            if not sub.additional:
+                ok = ok & (F.size(x) <= len(sub.specs))
+            return ok
+        return pred
 
     def _element_type_pred(self, sub: dsl.TypeIs, elem_type):
         """``items: {type: ...}`` — static against the element's Spark type

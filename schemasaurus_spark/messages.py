@@ -48,6 +48,11 @@ DEFAULT_MESSAGES: dict[str, str] = {
     "allOf": "does not meet all requirements",
     "anyOf": "does not meet any requirement",
     "custom": "is not valid",
+    # nested-descent single-code convention (an Items/TupleItems schema used
+    # as an ELEMENT constraint — no reference counterpart; the reference
+    # bubbles per-inner-element codes, which at element level would not
+    # identify their outer element)
+    "items": "shall have valid items",
     # Engine-side aggregate checks (no reference counterpart; SURVEY.md §2.5).
     "unique.doc_id": "shall be unique across the table",
     "ref.source": "shall reference an existing dimension row",

@@ -101,23 +101,32 @@ def auto_n_bits(n_rows: int, target_bucket_size: int = 1024,
 def _bucketed(df: DataFrame, vec_col: str, id_col: str,
               dims: list[int] | None, planes: list[list[float]] | None,
               seed: int, target_bucket_size: int,
-              n_tables: int = 1) -> list[DataFrame]:
+              n_tables: int = 1, n_rows: int | None = None,
+              dim: int | None = None) -> list[DataFrame]:
     """(bucket, id, v) frames — one per hash table. Explicit ``planes``
     pins one Gaussian table (same precedence as sign_lsh_buckets: planes
     win when both are passed); explicit ``dims`` pins the deterministic
-    axis projection (the oracle path); neither → adaptive: count the
-    corpus (one column-less scan — parquet answers from footer metadata),
-    derive the bit count from N, and build ``n_tables`` independent seeded
+    axis projection (the oracle path); neither → adaptive: derive the bit
+    count from the corpus size and build ``n_tables`` independent seeded
     Gaussian tables (the recall lever: a near pair split by one table's
-    planes usually collides in another)."""
+    planes usually collides in another).
+
+    EAGER unless hinted (round-3 VERDICT #7): the adaptive path needs the
+    row count and the vector dimension, and without the ``n_rows``/``dim``
+    hints it runs two inline driver actions per call — ``df.count()`` (a
+    column-less scan; parquet answers from footer metadata) and a
+    ``first()``. Bulk pipelines should pass both hints so plan
+    construction stays lazy; the hints only size the planes, so an
+    approximate ``n_rows`` (right order of magnitude) is fine."""
     if planes is not None:
         buckets = [_plane_bits(vec_col, planes)]
     elif dims is not None:
         buckets = [_axis_bits(vec_col, dims)]
     else:
-        n = df.count()
+        n = n_rows if n_rows is not None else df.count()
         bits = auto_n_bits(n, target_bucket_size)
-        dim = len(df.select(vec_col).first()[0])
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
         buckets = [_plane_bits(vec_col, gaussian_planes(dim, bits, seed + t))
                    for t in range(max(n_tables, 1))]
     return [
@@ -275,12 +284,15 @@ def _multi_table_slims(df: DataFrame, vec_col: str, id_col: str,
                        dims: list[int] | None,
                        planes: list[list[float]] | None,
                        n_tables: int, seed: int,
-                       target_bucket_size: int) -> list[DataFrame]:
+                       target_bucket_size: int,
+                       n_rows: int | None = None,
+                       dim: int | None = None) -> list[DataFrame]:
     """One (bucket, id, v) frame per independent hash table — thin wrapper
     over _bucketed (explicit dims/planes pin one table; otherwise n_tables
     adaptive Gaussian tables)."""
     return _bucketed(df, vec_col, id_col, dims, planes, seed,
-                     target_bucket_size, n_tables=n_tables)
+                     target_bucket_size, n_tables=n_tables, n_rows=n_rows,
+                     dim=dim)
 
 
 def ann_knn_join(df: DataFrame, k: int = 5, dims: list[int] | None = None,
@@ -289,7 +301,8 @@ def ann_knn_join(df: DataFrame, k: int = 5, dims: list[int] | None = None,
                  planes: list[list[float]] | None = None,
                  n_tables: int = 1, bucket_cap: int | None = None,
                  target_bucket_size: int = 1024,
-                 seed: int = 42) -> DataFrame:
+                 seed: int = 42, n_rows: int | None = None,
+                 dim: int | None = None) -> DataFrame:
     """Approximate k-nearest-neighbors for EVERY vector (the KNN-graph
     builder semantic dedup/clustering needs): candidates come from the
     sign-LSH bucket self-join (never all-pairs), exact cosine ranks within
@@ -311,7 +324,7 @@ def ann_knn_join(df: DataFrame, k: int = 5, dims: list[int] | None = None,
     from pyspark.sql.window import Window
 
     slims = _multi_table_slims(df, vec_col, id_col, dims, planes, n_tables,
-                               seed, target_bucket_size)
+                               seed, target_bucket_size, n_rows, dim)
     all_pairs = None
     for slim in slims:
         a = slim.alias("a")
@@ -339,13 +352,14 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
                          planes: list[list[float]] | None = None,
                          n_tables: int = 1, bucket_cap: int | None = None,
                          target_bucket_size: int = 1024,
-                         seed: int = 42) -> DataFrame:
+                         seed: int = 42, n_rows: int | None = None,
+                         dim: int | None = None) -> DataFrame:
     """Embedding near-duplicate pairs: sign-LSH bucket join (candidates),
     then exact cosine ≥ threshold. All-pairs work is confined to buckets;
     same scale levers as ann_knn_join (adaptive bits / bucket_cap /
     n_tables — see there)."""
     slims = _multi_table_slims(df, vec_col, id_col, dims, planes, n_tables,
-                               seed, target_bucket_size)
+                               seed, target_bucket_size, n_rows, dim)
     all_pairs = None
     for slim in slims:
         # cap the LEFT (lower-id) side: _cap_bucket keeps the lowest ids

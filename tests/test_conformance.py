@@ -520,6 +520,47 @@ CASES += [
 ]
 
 
+# Round-4: arbitrary-depth Items descent (processor.js:31-64 recursion at
+# depth >= 2): container constraints as element predicates.
+CASES += [
+    ("nested array items fail", "array<array<int>>",
+     [dsl.Items([dsl.Items([dsl.Minimum(0)])])], [[1], [2, -3]],
+     {"items.items"}),
+    ("nested array items ok", "array<array<int>>",
+     [dsl.Items([dsl.Items([dsl.Minimum(0)])])], [[1], [2]], set()),
+    ("uniqueItems on inner arrays", "array<array<int>>",
+     [dsl.Items([dsl.UniqueItems()])], [[1, 1], [2]],
+     {"items.uniqueItems"}),
+    ("minItems on inner arrays", "array<array<int>>",
+     [dsl.Items([dsl.MinItems(2)])], [[1], [2, 3]], {"items.minItems"}),
+    ("maxItems on inner arrays ok", "array<array<int>>",
+     [dsl.Items([dsl.MaxItems(2)])], [[1], [2, 3]], set()),
+    ("struct field array minItems", "array<struct<s:int,tags:array<string>>>",
+     [dsl.Items(fields={"tags": [dsl.MinItems(1)]})], [(1, [])],
+     {"items.tags.minItems"}),
+    ("struct field nested items fail",
+     "array<struct<s:int,tags:array<string>>>",
+     [dsl.Items(fields={"tags": [dsl.Items([dsl.MinLength(2)])]})],
+     [(1, ["x", "ok"])], {"items.tags.items"}),
+    ("struct field nested items ok",
+     "array<struct<s:int,tags:array<string>>>",
+     [dsl.Items(fields={"tags": [dsl.Items([dsl.MinLength(2)])]})],
+     [(1, ["yes", "ok"])], set()),
+    ("nested inner null element skips checks", "array<array<string>>",
+     [dsl.Items([dsl.Items([dsl.MinLength(2)])])], [["ok", None]], set()),
+    ("nested inner NotNull flags nulls", "array<array<string>>",
+     [dsl.Items([dsl.Items([dsl.NotNull()])])], [["ok", None]],
+     {"items.items"}),
+    ("tuple schema per element ok", "array<array<int>>",
+     [dsl.Items([dsl.TupleItems([[dsl.Minimum(1)], [dsl.Maximum(5)]],
+                                additional=False)])], [[2, 3]], set()),
+    ("tuple schema per element fail", "array<array<int>>",
+     [dsl.Items([dsl.TupleItems([[dsl.Minimum(1)], [dsl.Maximum(5)]],
+                                additional=False)])], [[0, 9, 1]],
+     {"items.items"}),
+]
+
+
 def test_corpus_size():
     """Round-3 bar (VERDICT.md next-steps #6): corpus ≥200 translated cases."""
     assert len(CASES) >= 200

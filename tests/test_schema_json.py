@@ -450,3 +450,27 @@ def test_unresolvable_pointer_is_loud():
               "properties": {"x": {"$ref": "#/properties/nope/deeper"}}}
     with pytest.raises(SchemaTranslationError, match="Cannot find ref"):
         suite_from_json_schema(schema, id_column="x")
+
+
+def test_nested_items_translation(spark):
+    """items: {items: {...}} and items: {properties: {tags: {items: …}}}
+    translate to arbitrary-depth Items descent (round-3 VERDICT #4)."""
+    schema = {
+        "type": "object",
+        "properties": {
+            "mat": {"items": {"items": {"minimum": 0}, "minItems": 1}},
+            "spans": {"items": {
+                "properties": {
+                    "tags": {"minItems": 1, "items": {"minLength": 2}}},
+            }},
+        },
+    }
+    s = suite_from_json_schema(schema, id_column="mat")
+    df = spark.createDataFrame(
+        [([[1, -2], []], [([],)]), ([[3]], [(["ok"],)])],
+        "mat array<array<int>>, spans array<struct<tags:array<string>>>")
+    codes = {(r["column"], r["constraint_id"])
+             for r in validate(df, s).violations().collect()}
+    assert ("mat", "items.items") in codes        # inner -2 < 0
+    assert ("mat", "items.minItems") in codes     # [] inner array
+    assert ("spans", "items.tags.minItems") in codes

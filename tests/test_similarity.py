@@ -170,3 +170,26 @@ def test_multi_table_dedups_candidate_pairs(spark):
     n = out.count()
     nd = out.dropDuplicates(["id_a", "id_b"]).count()
     assert n == nd
+
+
+def test_adaptive_lsh_hints_avoid_inline_actions(spark, emb):
+    """n_rows/dim hints keep the adaptive plane sizing LAZY: plan
+    construction must run NO driver action (round-3 VERDICT #7); without
+    hints the count()/first() pair still runs (documented eager path)."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    def boom(self, *a, **k):
+        raise AssertionError("inline driver action during plan construction")
+
+    real_count, real_first = CDF.count, CDF.first
+    CDF.count, CDF.first = boom, boom
+    try:
+        knn = sim.ann_knn_join(emb, k=2, n_rows=2000, dim=8,
+                               target_bucket_size=256)
+        pairs = sim.cosine_neardup_pairs(emb, threshold=0.9, n_rows=2000,
+                                         dim=8, target_bucket_size=256)
+    finally:
+        CDF.count, CDF.first = real_count, real_first
+    # the hinted plans still execute correctly afterwards
+    assert knn.count() > 0
+    assert pairs.count() >= 0
