@@ -739,9 +739,11 @@ class ConstraintCompiler:
         for i, spec in enumerate(c.specs):
             elem = F.get(col, i)  # 0-based, null-safe (ANSI element_at throws)
             for sub in spec:
+                # NO static_true skip here: tuple positions are null-strict
+                # (a null at a spec'd position fails), so even a
+                # statically-type-matching check can still fail on null —
+                # the null-aware const pred handles it
                 pred, code, arg = self._element_predicate(sub, et)
-                if getattr(pred, "static_true", False):
-                    continue
                 failed = F.size(col) > i
                 failed = failed & ~F.coalesce(pred(elem), F.lit(False))
                 if null_guard:
@@ -1072,9 +1074,8 @@ class ConstraintCompiler:
         spec_preds = []
         for i, spec in enumerate(sub.specs):
             for s in spec:
+                # no static_true skip: tuple positions stay null-strict
                 q, _, _ = self._element_predicate(s, inner_et)
-                if getattr(q, "static_true", False):
-                    continue
                 spec_preds.append((i, q))
 
         def pred(x):
@@ -1120,8 +1121,14 @@ class ConstraintCompiler:
             if static is None:
                 raise SuiteCompileError(f"Unknown type '{tname}'")
 
+            # null-AWARE constant: a null element is NOT of type `tname`
+            # (draft-4: null only matches "null"). Where the caller's null
+            # convention skips nulls (items/fields/map values) the guard
+            # hides this; where positions are null-strict (TupleItems) it
+            # must fail — a bare F.lit(static) made the verdict depend on
+            # the element's physical dtype (round-4 review finding).
             def const(x):
-                return F.lit(static)
+                return x.isNotNull() & F.lit(static)
             const.static_value = static
             return const
 

@@ -53,6 +53,9 @@ DEFAULT_MESSAGES: dict[str, str] = {
     # bubbles per-inner-element codes, which at element level would not
     # identify their outer element)
     "items": "shall have valid items",
+    # element-level union type check emits ONE `type` violation (the
+    # column-level error splice has one code per tried type instead)
+    "type": "shall be one of types %s",
     # Engine-side aggregate checks (no reference counterpart; SURVEY.md §2.5).
     "unique.doc_id": "shall be unique across the table",
     "ref.source": "shall reference an existing dimension row",

@@ -140,9 +140,26 @@ def _ddl_of(value, hint: Optional[dict] = None) -> str:
     if isinstance(value, str):
         return "string"
     if value is None:
-        t = (hint or {}).get("type")
+        h = hint or {}
+        t = h.get("type")
         if isinstance(t, list):
             t = next((x for x in t if x != "null"), "string")
+        # an absent OBJECT-typed property must still materialize the struct
+        # shape its sub-schema constrains (a 'string' placeholder made the
+        # compile fail on the missing dotted path and the whole case skip
+        # as an engine error — round-4 review finding); the null struct
+        # value itself keeps the null-skip semantics
+        if t == "object" or "properties" in h:
+            props = h.get("properties", {})
+            if props:
+                fields = ", ".join(f"`{k}`: {_ddl_of(None, v)}"
+                                   for k, v in props.items())
+                return f"struct<{fields}>"
+            return "struct<`__empty`: string>"
+        if t == "array":
+            items_hint = h.get("items")
+            eh = items_hint if isinstance(items_hint, dict) else None
+            return f"array<{_ddl_of(None, eh)}>"
         return _DRAFT_TYPE_DDL.get(t, "string")
     if isinstance(value, list):
         if not value:
@@ -184,10 +201,10 @@ def _object_mode(schema: dict) -> bool:
         or "dependencies" in schema)
 
 
-def _prefix_columns(suite: dsl.Suite, col: str) -> tuple[dict, list]:
-    cols = {f"{col}.{k}": v for k, v in suite.columns.items()}
-    row = []
-    for on, c in suite.row:
+def _prefix_columns(columns: dict, row: list, col: str) -> tuple[dict, list]:
+    cols = {f"{col}.{k}": v for k, v in columns.items()}
+    out_row = []
+    for on, c in row:
         if isinstance(c, dsl.Dependency):
             c = replace(
                 c, on=f"{col}.{c.on}",
@@ -195,16 +212,41 @@ def _prefix_columns(suite: dsl.Suite, col: str) -> tuple[dict, list]:
                 constraints=[(f"{col}.{t}", sc)
                              for t, sc in (c.constraints or [])]
                 or c.constraints)
-            row.append((f"{col}.{on}", c))
+            out_row.append((f"{col}.{on}", c))
         else:
-            row.append((on, c))
-    return cols, row
+            # unreachable today (suite_from_json_schema only emits
+            # Dependency rows) — an unprefixed label would mis-attribute
+            # violations and crash the batch attribution, so fail loudly
+            raise SchemaTranslationError(
+                f"row constraint {type(c).__name__} is not supported in "
+                f"official-suite object mode")
+    return cols, out_row
 
 
-def plan_test(t: OfficialTest, col: str):
-    """One test → (ddl, row_value, columns_dict, row_constraints,
-    definitions). Raises _Untypeable / SchemaTranslationError for the
-    documented-divergence shapes."""
+@dataclass
+class TestPlan:
+    """Column-name-agnostic plan for one test (built ONCE per test — the
+    runner reuses it for both classification and execution; round-4
+    review removed the double translation). ``own`` is the value/map-mode
+    constraint list on the column itself; object-mode uses
+    ``sub_columns``/``sub_row`` (unprefixed) instead."""
+
+    ddl: str
+    value: object
+    own: list | None
+    sub_columns: dict | None
+    sub_row: list | None
+    defs: dict
+
+    def columns_for(self, col: str) -> tuple[dict, list]:
+        if self.own is not None:
+            return {col: self.own}, []
+        return _prefix_columns(self.sub_columns, self.sub_row, col)
+
+
+def plan_test(t: OfficialTest) -> TestPlan:
+    """One test → :class:`TestPlan`. Raises _Untypeable /
+    SchemaTranslationError for the documented-divergence shapes."""
     schema = t.schema
     if isinstance(schema, bool):
         raise SchemaTranslationError(
@@ -215,7 +257,6 @@ def plan_test(t: OfficialTest, col: str):
             "row (documented divergence, SURVEY §1.2)")
     if _object_mode(schema) and isinstance(t.data, dict):
         sub = suite_from_json_schema(schema, id_column="cid")
-        cols, row = _prefix_columns(sub, col)
         # the struct must carry every property the suite constrains, plus
         # every key the data actually has
         data = dict(t.data)
@@ -232,7 +273,8 @@ def plan_test(t: OfficialTest, col: str):
         for k in declared:
             data.setdefault(k, None)
         ddl = _ddl_of(data, {"properties": props})
-        return ddl, _convert(data), cols, row, sub.definitions
+        return TestPlan(ddl, _convert(data), None, dict(sub.columns),
+                        list(sub.row), sub.definitions)
     # map-mode: key-count / key-pattern keywords operate on MapType
     if isinstance(t.data, dict):
         if not t.data:
@@ -241,14 +283,15 @@ def plan_test(t: OfficialTest, col: str):
             ddl = (f"map<string, "
                    f"{_unify({_ddl_of(v) for v in t.data.values()})}>")
         cs = _constraints_from(schema, None, False, root=schema)
-        return ddl, dict(t.data), {col: cs}, [], {}
+        return TestPlan(ddl, dict(t.data), cs, None, None, {})
     # value-mode: `definitions` is a container, not a constraint keyword —
     # translate it into named Refs (the root stays available for pointers)
     own = {k: v for k, v in schema.items() if k != "definitions"}
     cs = _constraints_from(own, None, False, root=schema)
     defs = {n: _constraints_from(d, None, False, root=schema)
             for n, d in (schema.get("definitions") or {}).items()}
-    return _ddl_of(t.data, schema), _convert(t.data), {col: cs}, [], defs
+    return TestPlan(_ddl_of(t.data, schema), _convert(t.data), cs, None,
+                    None, defs)
 
 
 # ---------------------------------------------------------------- running
@@ -270,15 +313,15 @@ def run_official_tests(spark: SparkSession, tests: list[OfficialTest],
             res.skipped.append((t, "ignore-list"))
             continue
         try:
-            plan = plan_test(t, "pending")
+            plan = plan_test(t)
         except (_Untypeable, SchemaTranslationError) as e:
             res.skipped.append((t, str(e)))
             continue
-        (solo if plan[4] else planned).append(t)
+        (solo if plan.defs else planned).append((t, plan))
 
     for group in ([planned[i:i + batch_size]
                    for i in range(0, len(planned), batch_size)]
-                  + [[t] for t in solo]):
+                  + [[tp] for tp in solo]):
         _run_batch(spark, group, res)
     return res
 
@@ -293,22 +336,23 @@ def _run_batch(spark: SparkSession, tests: list[OfficialTest],
         _execute_batch(spark, tests, res)
     except Exception as e:  # noqa: BLE001 — recorded, never swallowed
         if len(tests) == 1:
-            res.skipped.append((tests[0], f"engine error: {e}"))
+            res.skipped.append((tests[0][0], f"engine error: {e}"))
         else:
-            for t in tests:
-                _run_batch(spark, [t], res)
+            for tp in tests:
+                _run_batch(spark, [tp], res)
 
 
-def _execute_batch(spark: SparkSession, tests: list[OfficialTest],
+def _execute_batch(spark: SparkSession,
+                   tests: list[tuple[OfficialTest, TestPlan]],
                    res: SuiteRunResult) -> None:
     fields, row, columns, rowcs, defs = ["cid string"], ["t0"], {}, [], {}
-    for i, t in enumerate(tests):
-        ddl, value, cols, rcs, d = plan_test(t, f"c{i}")
-        fields.append(f"c{i} {ddl}")
-        row.append(value)
+    for i, (t, plan) in enumerate(tests):
+        cols, rcs = plan.columns_for(f"c{i}")
+        fields.append(f"c{i} {plan.ddl}")
+        row.append(plan.value)
         columns.update(cols)
         rowcs.extend(rcs)
-        defs.update(d)
+        defs.update(plan.defs)
     df = spark.createDataFrame([tuple(row)], ", ".join(fields))
     suite = dsl.Suite(id_column="cid", columns=columns, row=rowcs,
                       definitions=defs)
@@ -316,7 +360,7 @@ def _execute_batch(spark: SparkSession, tests: list[OfficialTest],
     for r in validate(df, suite).violations().collect():
         base = r["column"].split(".")[0].split("[")[0]
         got[int(base[1:])] = False
-    for i, t in enumerate(tests):
+    for i, (t, _) in enumerate(tests):
         if got[i] == t.valid:
             res.passed.append(t)
         else:

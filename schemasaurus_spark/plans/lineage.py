@@ -59,27 +59,31 @@ VIOLATIONS_EMPTY_SCHEMA = (
 
 
 def _canon(path: str, anchor: str | None = None) -> str:
-    """Canonical file key: input_file_name() yields PERCENT-ENCODED
-    absolute file: URIs while manifests store paths as the user gave them
-    (possibly relative, possibly with spaces). Comparing the raw strings
-    silently mismatches — every per-file violation count reads 0 and the
-    run records a false PASS — so BOTH sides normalize through this one
-    helper: strip the scheme, percent-decode, absolutize. (The Spark-side
-    twin is the url_decode/regexp_replace expression in run(); abspath
-    needs no executor analog because input_file_name is already absolute.)
+    """Canonical file key = the LITERAL filesystem path, absolutized.
+
+    The two sides arrive differently encoded and must meet here:
+
+    * manifests store the literal path exactly as the filesystem has it —
+      NO decoding is applied (a literal ``%20`` or ``+`` in a directory
+      name must survive; an unconditional unquote() turned ``tbl%20v1``
+      into ``tbl v1`` and silently false-PASSed the whole table — round-4
+      review finding);
+    * ``input_file_name()`` yields a percent-ENCODED absolute ``file:``
+      URI (space → ``%20``, literal ``%`` → ``%25``), so the Spark-side
+      twin in run() strips the scheme and fully percent-decodes (with the
+      ``+``→``%2B`` re-encode making url_decode a pure percent-decoder),
+      restoring the same literal path.
 
     ``anchor``: relative paths resolve against this directory (the
     SnapshotStore root — a stable location) instead of the process CWD, so
     the same file canonicalizes to the same lineage key no matter where the
     driver was launched from. Absolute paths are unaffected."""
     import os
-    from urllib.parse import unquote
 
     for prefix in ("file://", "file:"):
         if path.startswith(prefix):
             path = path[len(prefix):]
             break
-    path = unquote(path)
     if anchor and not os.path.isabs(path):
         path = os.path.join(os.path.abspath(str(anchor)), path)
     return os.path.abspath(path)

@@ -135,6 +135,12 @@ class SnapshotStore:
                 # manifest length, so an existing-but-unpublished dir can
                 # only be a leftover — remove it, never read it
                 shutil.rmtree(out_dir)
+            # reap staging dirs from crashed attempts: _tmp-* is only ever
+            # created under this lock, so any that exist now are dead
+            # (round-4 review: without this, every crash between write and
+            # rename leaked a snapshot-sized directory forever)
+            for stale in self.data_dir.glob("_tmp-*"):
+                shutil.rmtree(stale, ignore_errors=True)
             tmp_dir = self.data_dir / f"_tmp-{uuid.uuid4().hex}"
             df.write.mode("overwrite").parquet(str(tmp_dir))
             os.rename(tmp_dir, out_dir)

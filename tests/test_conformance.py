@@ -561,6 +561,23 @@ CASES += [
 ]
 
 
+# Round-4 review fixes: tuple positions stay null-strict under statically
+# folded type checks (the verdict must not depend on the element's physical
+# dtype), and a "null" union member still admits nulls.
+CASES += [
+    ("tuple static type null fails", "array<int>",
+     [dsl.TupleItems([[dsl.TypeIs("integer")]])], [None],
+     {"items.0.integer"}),
+    ("tuple runtime type null fails", "array<double>",
+     [dsl.TupleItems([[dsl.TypeIs("integer")]])], [None],
+     {"items.0.integer"}),
+    ("tuple null-union type null ok", "array<int>",
+     [dsl.TupleItems([[dsl.TypeIs(["null", "integer"])]])], [None], set()),
+    ("items static type null skips (element convention)", "array<int>",
+     [dsl.Items([dsl.TypeIs("integer")])], [1, None], set()),
+]
+
+
 def test_corpus_size():
     """Round-3 bar (VERDICT.md next-steps #6): corpus ≥200 translated cases."""
     assert len(CASES) >= 200

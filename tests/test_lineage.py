@@ -232,3 +232,26 @@ def test_lineage_dedupes_concurrent_attempts(spark, tmp_path):
     assert len(lin) == 2                              # one row per file
     winner = [r for r in lin if r["file"] == "/f1"][0]
     assert winner["attempt_id"] == "a2"               # latest wall_ts wins
+
+
+def test_percent_in_table_path_counts_violations(spark, tmp_path):
+    """A literal '%' (or '%20') in the table path: manifest paths are
+    literal and must NOT be percent-decoded on the Python side —
+    input_file_name() encodes the '%' as %25 and the Spark-side
+    url_decode restores the literal, so both keys match only when the
+    manifest path is left untouched (round-4 review finding: an
+    unconditional unquote() false-PASSed 'tbl%20v1')."""
+    from schemasaurus_spark import datagen, dsl
+
+    store = SnapshotStore(str(tmp_path / "tbl%20v1"))
+    store.append(datagen.finalize(
+        datagen.corrupt_enum(datagen.gen_sequences(spark, 200, 2), every=40)))
+    cp = ValidationCheckpoint(str(tmp_path / "state"))
+    suite = dsl.Suite(id_column="doc_id",
+                      columns={"source": [dsl.Enum(datagen.SOURCES)]})
+    run = cp.run(spark, store, suite)
+    assert run.n_violations > 0                       # not a false PASS
+    assert cp.violations(spark).count() == run.n_violations
+    again = cp.run(spark, store, suite)
+    assert again.files_validated == 0 and again.files_skipped == 2
+    assert again.n_violations == run.n_violations
