@@ -74,21 +74,35 @@ def _definitions_ref_name(ref: str) -> Optional[str]:
     return None
 
 
-def resolve_json_pointer(root: dict, ref: str):
-    """Resolve any same-document JSON-pointer ``$ref`` — the reference's
-    ``resolveRef`` (``/root/reference/src/int/references.js:7-27``):
-    URI-decode, split on '#', de-tilde each '/'-segment (``~0``→``~``,
-    ``~1``→``/``, applied in the reference's order), walk the document.
-    A non-empty part before '#' is a remote ref and raises, exactly like
-    the reference's ``defaultLoader`` (references.js:3-5)."""
+def resolve_json_pointer(root: dict, ref: str, loader=None):
+    """Resolve any JSON-pointer ``$ref`` — the reference's ``resolveRef``
+    (``/root/reference/src/int/references.js:7-27``): URI-decode, split on
+    '#', de-tilde each '/'-segment (``~0``→``~``, ``~1``→``/``, applied in
+    the reference's order), walk the document.
+
+    A non-empty part before '#' is a REMOTE ref: ``loader(remote)`` must
+    return the remote schema document (the reference's ``options.loader``,
+    compiler.js:143); without a loader it raises, exactly like the
+    reference's ``defaultLoader`` (references.js:3-5). A bare '#'-less ref
+    is treated as remote too. Refs inside the resolved remote target keep
+    resolving against the ORIGINAL document — the reference's ``step``
+    keeps ``this.schemaRoot`` unchanged after a remote resolve."""
     from urllib.parse import unquote
 
     rem, sep, loc = unquote(ref).partition("#")
     if rem or not sep:
-        raise SchemaTranslationError(
-            f"remote ref {ref!r} is not supported (the reference's "
-            f"defaultLoader throws the same way, references.js:3-5)")
-    node = root
+        if loader is None:
+            raise SchemaTranslationError(
+                f"remote ref {ref!r} is not supported without a ref_loader "
+                f"(the reference's defaultLoader throws the same way, "
+                f"references.js:3-5)")
+        node = loader(rem if rem else ref)
+        if not isinstance(node, dict):
+            raise SchemaTranslationError(
+                f"ref_loader returned {type(node).__name__} for {rem!r}, "
+                f"not a schema document")
+    else:
+        node = root
     for seg in loc.split("/"):
         if seg == "":
             continue
@@ -103,7 +117,7 @@ def resolve_json_pointer(root: dict, ref: str):
 
 def _constraints_from(schema: dict, custom_fns: Optional[dict],
                       runtime_types: bool, root: Optional[dict] = None,
-                      stack: tuple = ()) -> list[dsl.Constraint]:
+                      stack: tuple = (), loader=None) -> list[dsl.Constraint]:
     """Translate one (property-level) schema dict into a constraint list,
     in the reference's deterministic keyword order.
 
@@ -137,13 +151,13 @@ def _constraints_from(schema: dict, custom_fns: Optional[dict],
                 raise SchemaTranslationError(
                     f"cyclic $ref chain {' -> '.join(stack + (ref,))} — "
                     f"recursive schemas have no columnar equivalent")
-            target = resolve_json_pointer(root, ref)
+            target = resolve_json_pointer(root, ref, loader)
             if not isinstance(target, dict):
                 raise SchemaTranslationError(
                     f"$ref {ref!r} resolves to {type(target).__name__}, "
                     f"not a schema object")
             out.extend(_constraints_from(target, custom_fns, runtime_types,
-                                         root, stack + (ref,)))
+                                         root, stack + (ref,), loader))
         else:
             raise SchemaTranslationError(
                 f"$ref {ref!r}: arbitrary JSON-pointer refs need the "
@@ -195,7 +209,7 @@ def _constraints_from(schema: dict, custom_fns: Optional[dict],
                 fields = {}
                 for fname, fschema in it["properties"].items():
                     fcs = _constraints_from(fschema, custom_fns,
-                                                runtime_types, root, stack)
+                                                runtime_types, root, stack, loader)
                     if fname in freq:
                         fcs = [dsl.NotNull()] + fcs
                     fields[fname] = fcs
@@ -207,12 +221,12 @@ def _constraints_from(schema: dict, custom_fns: Optional[dict],
             it_scalar = {k: v for k, v in it.items() if k not in drop}
             out.append(dsl.Items(
                 _constraints_from(it_scalar, custom_fns, runtime_types,
-                                  root, stack)
+                                  root, stack, loader)
                 if it_scalar else (),
                 fields=fields))
         else:  # positional tuple form
             specs = [_constraints_from(s, custom_fns, runtime_types,
-                                       root, stack)
+                                       root, stack, loader)
                      for s in it]
             out.append(dsl.TupleItems(
                 specs, additional=schema.get("additionalItems", True)))
@@ -236,11 +250,11 @@ def _constraints_from(schema: dict, custom_fns: Optional[dict],
             # full patternProperties semantics over map entries
             out.append(dsl.PatternProperties(
                 specs=[(r, _constraints_from(s, custom_fns, runtime_types,
-                                             root, stack))
+                                             root, stack, loader))
                        for r, s in pp.items()],
                 additional=(False if addl is False else
                             _constraints_from(addl, custom_fns,
-                                              runtime_types, root, stack)
+                                              runtime_types, root, stack, loader)
                             if isinstance(addl, dict) else None),
                 message=m("additionalProperties")))
         elif pp:
@@ -251,12 +265,12 @@ def _constraints_from(schema: dict, custom_fns: Optional[dict],
                     ("oneOf", dsl.OneOf)):
         if kw in schema:
             branches = [_constraints_from(b, custom_fns, runtime_types,
-                                          root, stack)
+                                          root, stack, loader)
                         for b in schema[kw]]
             out.append(cls(branches, message=m(kw)))
     if "not" in schema:
         out.append(dsl.Not(_constraints_from(schema["not"], custom_fns,
-                                             runtime_types, root, stack),
+                                             runtime_types, root, stack, loader),
                            message=m("not")))
     if "conform" in schema:
         for name, enabled in schema["conform"].items():
@@ -499,6 +513,7 @@ def suite_from_json_schema(
     custom_fns: Optional[dict[str, Callable]] = None,
     runtime_types: bool = False,
     name: str = "json_schema",
+    ref_loader: Optional[Callable[[str], dict]] = None,
 ) -> dsl.Suite:
     """Translate a draft-4 object schema into a Suite (see module doc)."""
     if schema.get("type", "object") != "object":
@@ -523,7 +538,7 @@ def suite_from_json_schema(
                 own = {k: v for k, v in sub.items()
                        if k not in ("properties", "required")}
                 cs = head + _constraints_from(own, custom_fns, runtime_types,
-                                              root=schema)
+                                              root=schema, loader=ref_loader)
                 if cs:
                     columns[path] = cs
                 nreq = sub.get("required")
@@ -531,7 +546,7 @@ def suite_from_json_schema(
                      path + ".")
             else:
                 columns[path] = head + _constraints_from(
-                    sub, custom_fns, runtime_types, root=schema)
+                    sub, custom_fns, runtime_types, root=schema, loader=ref_loader)
 
     walk(props, required, "")
     row: list[tuple] = []
@@ -544,14 +559,14 @@ def suite_from_json_schema(
             req = set(dep.get("required", []))
             for target, tschema in sub_props.items():
                 for c in _constraints_from(tschema, custom_fns, runtime_types,
-                                           root=schema):
+                                           root=schema, loader=ref_loader):
                     cons.append((target, c))
             for target in req:
                 cons.append((target, dsl.NotNull()))
             row.append((on, dsl.Dependency(on=on, constraints=cons)))
     definitions = {
         dname: _constraints_from(dschema, custom_fns, runtime_types,
-                                 root=schema)
+                                 root=schema, loader=ref_loader)
         for dname, dschema in (schema.get("definitions") or {}).items()
     }
     return dsl.Suite(

@@ -474,3 +474,35 @@ def test_nested_items_translation(spark):
     assert ("mat", "items.items") in codes        # inner -2 < 0
     assert ("mat", "items.minItems") in codes     # [] inner array
     assert ("spans", "items.tags.minItems") in codes
+
+
+def test_remote_ref_loader_hook(spark):
+    """ref_loader plays the reference's options.loader (compiler.js:143 →
+    resolveRef(loader, …)): the remote part resolves through the hook,
+    the fragment walks the REMOTE document, and refs inside the resolved
+    target keep resolving against the ORIGINAL document."""
+    remote_docs = {
+        "http://x.example/common.json": {
+            "defs": {"code": {"pattern": "^[A-Z]{3}$",
+                              "$ref": "#/definitions/short"}},
+        },
+    }
+    schema = {
+        "type": "object",
+        "properties": {
+            "c": {"$ref": "http://x.example/common.json#/defs/code"},
+        },
+        "definitions": {"short": {"maxLength": 3}},
+    }
+    s = suite_from_json_schema(schema, id_column="c",
+                               ref_loader=remote_docs.__getitem__)
+    df = spark.createDataFrame([("ABC",), ("nope",)], "c string")
+    got = {(r["c"], r["constraint_id"])
+           for r in validate(df, s).violations().collect()}
+    assert ("nope", "pattern") in got
+    assert ("nope", "maxLength") in got   # nested ref hit the LOCAL defs
+    assert not any(c == "ABC" for c, _ in got)
+
+    # without a loader, remote refs still raise like defaultLoader
+    with pytest.raises(SchemaTranslationError, match="remote"):
+        suite_from_json_schema(schema, id_column="c")
