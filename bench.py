@@ -42,7 +42,7 @@ HEADLINE = [
     "embedding_neardup", "violation_rank", "winnow_fingerprints",
     "rollup_docs", "sessionize_events", "validate_lineitem",
     "salted_events_stats", "validate_spans", "validate_nested",
-    "conformance_misc",
+    "full_validation", "conformance_misc",
 ]
 
 

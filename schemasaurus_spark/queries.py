@@ -1283,6 +1283,86 @@ SELECT doc_id, 'items.items', 'mat'
 """
 
 
+def q_full_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE ENGINE FACADE, driver-graded end-to-end (round 4): one
+    ``run_full_validation`` call over a staged documents table exercises
+    every family through the FUSED one-scan aggregate path — row suite,
+    exact salted uniqueness, broadcast-anti referential, per-group
+    null-rate, and PSI/KS drift vs an in-query baseline. The oracle
+    reproduces each family's violation set in SQL; value/arg/message are
+    deliberately excluded (drift values are float strings — the discrete
+    (doc_id, constraint_id, column) set is the portable contract, and the
+    row COUNT pins per-occurrence uniqueness semantics)."""
+    from schemasaurus_spark.engine import AggregateChecks, run_full_validation
+
+    edges = [0.0, 100, 200, 300, 400, 500, 600]
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select(
+        (F.col("doc_id") % 450).cast("string").alias("doc_id2"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("xx"))
+         .otherwise(F.col("lang")).alias("lang2"),
+        F.col("n_chars"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("long"))
+         .otherwise(F.col("n_chars")).alias("nc_nullable"),
+    )
+    # checkpointed-baseline stand-in: the staged frame's own histogram
+    # under a 3x shift (groups x buckets rows — sketch-sized collect)
+    shifted = staged.withColumn("n_chars", F.col("n_chars") * 3)
+    baseline = spark.createDataFrame(
+        [(r["group_key"], r["bucket"], r["count"]) for r in
+         agg.histogram(shifted, "n_chars", edges, by="lang2").collect()],
+        "group_key string, bucket int, count long")
+    suite = dsl.Suite(id_column="doc_id2",
+                      columns={"n_chars": [dsl.Maximum(400)]},
+                      name="full_validation")
+    res = run_full_validation(staged, suite, AggregateChecks(
+        unique_key="doc_id2",
+        sources_dim=d.select(F.col("lang").alias("lang2")).distinct(),
+        ref_column="lang2",
+        null_rate_max={"nc_nullable": 0.01},
+        null_rate_by="lang2",
+        drift_baseline=baseline,
+        drift_edges=edges,
+        drift_column="n_chars",
+    ))
+    return res.violations().select("doc_id", "constraint_id", "column")
+
+
+SQL_FULL_VALIDATION = """
+WITH s AS (
+  SELECT CAST(doc_id % 450 AS VARCHAR) AS doc_id2,
+         CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang2,
+         n_chars,
+         CASE WHEN doc_id % 5 = 0 THEN NULL ELSE n_chars END AS nc
+  FROM documents)
+SELECT doc_id2 AS doc_id, 'maximum' AS constraint_id, 'n_chars' AS column
+  FROM s WHERE n_chars > 400
+UNION ALL
+SELECT doc_id2, 'unique.doc_id', 'doc_id2'
+  FROM (SELECT doc_id2, COUNT(*) AS c FROM s GROUP BY 1
+        HAVING COUNT(*) > 1) dup,
+       UNNEST(generate_series(2, dup.c)) AS g(occ)
+UNION ALL
+SELECT doc_id2, 'ref.lang2', 'lang2' FROM s
+  WHERE lang2 IS NOT NULL
+    AND lang2 NOT IN (SELECT DISTINCT lang FROM documents
+                      WHERE lang IS NOT NULL)
+UNION ALL
+SELECT lang2, 'stats.null_rate', 'nc_nullable'
+  FROM (SELECT lang2,
+               SUM(CASE WHEN nc IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*) AS r
+        FROM s GROUP BY 1)
+  WHERE r > 0.01
+UNION ALL
+SELECT lang2, 'drift.psi.n_chars', 'n_chars'
+  FROM (SELECT DISTINCT lang2 FROM s)
+UNION ALL
+SELECT lang2, 'drift.ks.n_chars', 'n_chars'
+  FROM (SELECT DISTINCT lang2 FROM s)
+"""
+
+
 def q_tdigest_ntok(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch (applyInPandas partial+merge) — approximate
     by design, so no exact SQL oracle; driver records rows-only."""
@@ -1411,6 +1491,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jsonschema_validate": q_jsonschema_validate,
     "validate_spans": q_validate_spans,
     "validate_nested": q_validate_nested,
+    "full_validation": q_full_validation,
     "validate_lineitem": q_validate_lineitem,
     "salted_events_stats": q_salted_events_stats,
     "docs_except": q_docs_except,
@@ -1469,6 +1550,7 @@ ORACLES: dict[str, str] = {
     "jsonschema_validate": SQL_JSONSCHEMA_VALIDATE,
     "validate_spans": SQL_VALIDATE_SPANS,
     "validate_nested": SQL_VALIDATE_NESTED,
+    "full_validation": SQL_FULL_VALIDATION,
     "validate_lineitem": SQL_VALIDATE_LINEITEM,
     "salted_events_stats": SQL_SALTED_EVENTS_STATS,
     "docs_except": SQL_DOCS_EXCEPT,
