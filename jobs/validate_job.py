@@ -73,6 +73,10 @@ def main() -> int:
                          "vs the checkpointed baseline (bootstrap-written "
                          "under --state on the first run)")
     ap.add_argument("--drift-column", default="n_tok")
+    ap.add_argument("--drift-array", action="store_true",
+                    help="drift over the ELEMENTS of --drift-column (the "
+                         "north star's token-id histogram; array column, "
+                         "no explode)")
     ap.add_argument("--drift-by", default="source",
                     help="'none' = one global histogram (small groups make "
                          "PSI/KS noisy at low row counts)")
@@ -156,7 +160,8 @@ def main() -> int:
         edges = [float(x) for x in args.drift_edges.split(",")]
         drift_by = None if args.drift_by in ("", "none") else args.drift_by
         bs = BaselineStore(args.state)
-        cur_hist = agg.histogram(df, args.drift_column, edges, by=drift_by)
+        hist_fn = agg.array_histogram if args.drift_array else agg.histogram
+        cur_hist = hist_fn(df, args.drift_column, edges, by=drift_by)
         loaded = bs.load(spark, args.drift_column)
         if loaded is None:
             bs.save(cur_hist, args.drift_column, edges)
@@ -164,7 +169,8 @@ def main() -> int:
         else:
             base_hist, base_edges = loaded
             results = agg.drift_check(df, base_hist, args.drift_column,
-                                      base_edges, by=drift_by)
+                                      base_edges, by=drift_by,
+                                      is_array=args.drift_array)
             report["drift"] = [
                 {"group": r.group_key, "psi": round(r.psi, 6),
                  "ks": round(r.ks, 6), "pass": r.passed}

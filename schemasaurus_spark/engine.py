@@ -58,6 +58,10 @@ class AggregateChecks:
     # to null_rate_by for compatibility with callers that group both the
     # same way.
     drift_by: object = "__same_as_null_rate_by__"
+    # True = drift over the ELEMENTS of an array column (the north star's
+    # token-id histogram): fused per-bucket size(filter(...)) partial
+    # counts, never an explode
+    drift_is_array: bool = False
     psi_threshold: float = 0.2
     ks_threshold: float = 0.15
 
@@ -176,6 +180,7 @@ def run_full_validation(df: DataFrame, suite: Suite,
                           if checks.drift_baseline is not None else None),
             edges=list(checks.drift_edges),
             drift_by=drift_by,
+            drift_is_array=checks.drift_is_array,
         )
         if checks.sources_dim is not None and fused.ref_missing_total() > 0:
             # dirty path only: a targeted anti-join lists the offending

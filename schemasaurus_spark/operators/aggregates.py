@@ -168,6 +168,7 @@ def fused_aggregate_pass(
     drift_column: str | None = None,
     edges: Sequence[float] = (),
     drift_by: str | None = None,
+    drift_is_array: bool = False,
 ) -> FusedAggStats:
     """ONE scan for the whole statistical check suite (SURVEY §4 "one-pass
     stats over the 10^12-row table"; round-3 VERDICT #1).
@@ -204,14 +205,37 @@ def fused_aggregate_pass(
         aggs.append(F.sum(F.col(c).isNull().cast("long"))
                     .alias(f"{c}__nulls"))
     if drift_column and edges:
-        x = F.col(drift_column).cast("double")
-        conds = [x < edges[0]]
-        conds += [(x >= edges[i]) & (x < edges[i + 1]) for i in range(n)]
-        conds.append(x >= edges[n])
-        for b, cond in zip(range(-1, n + 1), conds):
-            aggs.append(
-                F.sum(F.when(x.isNotNull() & cond, F.lit(1)).otherwise(0))
-                .cast("long").alias(f"__hb_{b + 1}"))
+        if drift_is_array:
+            # token-id drift: per-bucket partial counts over array ELEMENTS
+            # via size(filter(...)) — the array_histogram shape, no explode
+            # (null arrays contribute null → skipped by sum, matching the
+            # standalone where(isNotNull) filter)
+            arr = F.col(drift_column)
+            elem_conds = [lambda e, lo=None, hi=edges[0]: e < hi]
+            elem_conds += [
+                (lambda e, lo=edges[i], hi=edges[i + 1]:
+                 (e >= lo) & (e < hi))
+                for i in range(n)
+            ]
+            elem_conds.append(lambda e, lo=edges[n], hi=None: e >= lo)
+            for b, cond in zip(range(-1, n + 1), elem_conds):
+                # closure factory per bucket: a bare lambda in F.filter
+                # must stay single-argument (two-arg = (element, index))
+                def count_expr(c=cond):
+                    return F.size(F.filter(arr, lambda e: c(e)))
+                aggs.append(F.sum(count_expr()).cast("long")
+                            .alias(f"__hb_{b + 1}"))
+        else:
+            x = F.col(drift_column).cast("double")
+            conds = [x < edges[0]]
+            conds += [(x >= edges[i]) & (x < edges[i + 1])
+                      for i in range(n)]
+            conds.append(x >= edges[n])
+            for b, cond in zip(range(-1, n + 1), conds):
+                aggs.append(
+                    F.sum(F.when(x.isNotNull() & cond, F.lit(1))
+                          .otherwise(0))
+                    .cast("long").alias(f"__hb_{b + 1}"))
     if dim is not None:
         aggs.append(F.sum((F.col(ref_column).isNotNull()
                            & F.col("__ref_hit").isNull()).cast("long"))

@@ -84,3 +84,32 @@ def test_job_with_json_schema_document(spark, tmp_path):
     rep3, _ = _run_job("--table", str(tmp_path / "tbl"), "--state", state,
                        "--schema-json", str(schema_path))
     assert rep3["files_validated"] == 3
+
+
+def test_job_token_id_array_drift(spark, tmp_path):
+    """--drift-array: the north star's token-id histogram drift through the
+    packaged job — bootstrap freezes the element-level histogram, a
+    same-distribution snapshot passes, and no explode ever runs."""
+    from schemasaurus_spark import datagen
+    from schemasaurus_spark.sources.storage import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    store.append(datagen.finalize(datagen.gen_sequences(spark, 300, 3)))
+    state = str(tmp_path / "state")
+    edges = "0,1000,5000,10000,25000,50257"
+
+    rep1, rc1 = _run_job("--table", str(tmp_path / "tbl"), "--state", state,
+                         "--aggregate", "--drift-by", "none",
+                         "--drift-column", "tokens", "--drift-array",
+                         "--drift-edges", edges)
+    assert rc1 == 0 and rep1["drift"] == "baseline_bootstrapped"
+
+    store.append(datagen.finalize(datagen.gen_sequences(spark, 150, 2,
+                                                        start=300)))
+    rep2, rc2 = _run_job("--table", str(tmp_path / "tbl"), "--state", state,
+                         "--aggregate", "--drift-by", "none",
+                         "--drift-column", "tokens", "--drift-array",
+                         "--drift-edges", edges)
+    assert rc2 == 0 and rep2["pass"], rep2
+    assert isinstance(rep2["drift"], list) and rep2["drift"]
+    assert all(g["pass"] for g in rep2["drift"])  # same generator, no drift

@@ -159,3 +159,40 @@ def test_auto_unique_key_skips_when_absent(spark):
     with pytest.raises(ValueError, match="unique_key"):
         run_full_validation(df, suite,
                             AggregateChecks(unique_key="doc_id"))
+
+
+def test_fused_token_id_drift_matches_standalone(spark):
+    """drift_is_array routes the north star's token-id histogram through
+    the SAME fused scan: per-bucket size(filter(...)) partial sums, no
+    explode — and the PSI/KS results are identical to the standalone
+    drift_check(is_array=True) path."""
+    from schemasaurus_spark import NotNull, Suite
+
+    df = datagen.finalize(datagen.gen_sequences(spark, 2000, 8))
+    edges = [0.0, 1000, 5000, 10000, 25000, 50257]
+    # baseline from a COLLAPSED corpus (every token id squeezed into the
+    # first bucket) so drift actually fires — a multiplicative shift of a
+    # near-uniform vocab stays near-uniform and fools no histogram
+    shifted = df.withColumn(
+        "tokens", F.transform("tokens", lambda t: t % 900))
+    baseline_rows = agg.array_histogram(shifted, "tokens", edges,
+                                        by="source").collect()
+    baseline = spark.createDataFrame(
+        [(r["group_key"], r["bucket"], r["count"]) for r in baseline_rows],
+        "group_key string, bucket int, count long")
+
+    expected = agg.drift_check(df, baseline, "tokens", edges, by="source",
+                               is_array=True)
+
+    suite = Suite(id_column="doc_id", columns={"doc_id": [NotNull()]})
+    res = run_full_validation(df, suite, AggregateChecks(
+        unique_key=None, drift_baseline=baseline, drift_edges=edges,
+        drift_column="tokens", drift_is_array=True, null_rate_by="source"))
+    got = res.drift
+    assert [(r.group_key, round(r.psi, 10), round(r.ks, 10), r.passed)
+            for r in got] == \
+           [(r.group_key, round(r.psi, 10), round(r.ks, 10), r.passed)
+            for r in expected]
+    assert any(not r.passed for r in got)  # the shift was detected
+    # violations stay driver-built (no scans in the frame)
+    assert _n_file_scans(res.agg_violations) == 0
