@@ -166,7 +166,21 @@ def _ddl_of(value, hint: Optional[dict] = None) -> str:
             return "array<string>"
         items_hint = (hint or {}).get("items")
         eh = items_hint if isinstance(items_hint, dict) else None
-        return f"array<{_unify({_ddl_of(v, eh) for v in value})}>"
+        # empty CHILD lists are typeless — they adopt their siblings'
+        # element type instead of forcing array<string> into the unify
+        ddls, has_empty_child = set(), False
+        for v in value:
+            if isinstance(v, list) and not v:
+                has_empty_child = True
+                continue
+            ddls.add(_ddl_of(v, eh))
+        if not ddls:
+            return "array<array<string>>"
+        inner = _unify(ddls)
+        if has_empty_child and not inner.startswith("array<"):
+            raise _Untypeable(
+                f"empty array among {inner} elements has no single type")
+        return f"array<{inner}>"
     if isinstance(value, dict):
         props = (hint or {}).get("properties", {})
         fields = ", ".join(
