@@ -205,6 +205,25 @@ def _convert(value):
     return value
 
 
+def _pad_declared(value, hint: Optional[dict]):
+    """Recursively add schema-declared-but-absent properties as None into
+    dict data (and descend through lists), so a PRESENT-but-partial object
+    (e.g. ``{"obj": {}}``) still materializes every dotted sub-column the
+    suite constrains — the same defect class as the absent-property case,
+    one level shallower (round-4 review)."""
+    if isinstance(value, dict):
+        props = (hint or {}).get("properties", {})
+        out = {k: _pad_declared(v, props.get(k)) for k, v in value.items()}
+        for k in props:
+            out.setdefault(k, None)
+        return out
+    if isinstance(value, list):
+        items_hint = (hint or {}).get("items")
+        eh = items_hint if isinstance(items_hint, dict) else None
+        return [_pad_declared(v, eh) for v in value]
+    return value
+
+
 # ----------------------------------------------------- test → suite column
 
 
@@ -286,6 +305,7 @@ def plan_test(t: OfficialTest) -> TestPlan:
         props = schema.get("properties", {})
         for k in declared:
             data.setdefault(k, None)
+        data = _pad_declared(data, {"properties": props})
         ddl = _ddl_of(data, {"properties": props})
         return TestPlan(ddl, _convert(data), None, dict(sub.columns),
                         list(sub.row), sub.definitions)

@@ -207,23 +207,12 @@ def fused_aggregate_pass(
     if drift_column and edges:
         if drift_is_array:
             # token-id drift: per-bucket partial counts over array ELEMENTS
-            # via size(filter(...)) — the array_histogram shape, no explode
+            # via the SAME bucket builder array_histogram uses — no explode
             # (null arrays contribute null → skipped by sum, matching the
             # standalone where(isNotNull) filter)
-            arr = F.col(drift_column)
-            elem_conds = [lambda e, lo=None, hi=edges[0]: e < hi]
-            elem_conds += [
-                (lambda e, lo=edges[i], hi=edges[i + 1]:
-                 (e >= lo) & (e < hi))
-                for i in range(n)
-            ]
-            elem_conds.append(lambda e, lo=edges[n], hi=None: e >= lo)
-            for b, cond in zip(range(-1, n + 1), elem_conds):
-                # closure factory per bucket: a bare lambda in F.filter
-                # must stay single-argument (two-arg = (element, index))
-                def count_expr(c=cond):
-                    return F.size(F.filter(arr, lambda e: c(e)))
-                aggs.append(F.sum(count_expr()).cast("long")
+            for b, expr in array_element_bucket_counts(
+                    F.col(drift_column), edges):
+                aggs.append(F.sum(expr).cast("long")
                             .alias(f"__hb_{b + 1}"))
         else:
             x = F.col(drift_column).cast("double")
@@ -471,6 +460,27 @@ def histogram(df: DataFrame, column: str, edges: list[float],
     )
 
 
+def array_element_bucket_counts(col, edges: Sequence[float]):
+    """Per-bucket element-count expressions over an ARRAY column — the ONE
+    definition of the element bucket scheme (-1 = underflow, i =
+    [edges[i], edges[i+1]), n = overflow), shared by
+    :func:`array_histogram` and the fused pass so their boundaries can
+    never diverge. Returns [(bucket, size(filter(...)))] in bucket order."""
+    n = len(edges) - 1
+
+    def count(lo, hi):
+        if lo is None:
+            return F.size(F.filter(col, lambda x: x < hi))
+        if hi is None:
+            return F.size(F.filter(col, lambda x: x >= lo))
+        return F.size(F.filter(col, lambda x: (x >= lo) & (x < hi)))
+
+    out = [(-1, count(None, edges[0]))]
+    out += [(i, count(edges[i], edges[i + 1])) for i in range(n)]
+    out.append((n, count(edges[n], None)))
+    return out
+
+
 def array_histogram(df: DataFrame, array_col: str, edges: list[float],
                     by: str | None = None) -> DataFrame:
     """Fixed-edge histogram over the ELEMENTS of an array column (the
@@ -481,22 +491,15 @@ def array_histogram(df: DataFrame, array_col: str, edges: list[float],
     n = len(edges) - 1
     col = F.col(array_col)
 
-    def bucket_count(lo, hi):
-        return F.size(F.filter(col, lambda x: (x >= lo) & (x < hi)))
-
     # same bucket scheme as the scalar histogram(): -1 = underflow,
     # i = [edges[i], edges[i+1]), n = overflow (x >= edges[-1]). Without
     # the -1/n buckets, out-of-range elements silently VANISH from the
     # counts and drift_check stays blind to range shifts the scalar path
     # would flag via its overflow bucket.
-    aggs = [F.sum(F.size(F.filter(col, lambda x: x < edges[0])))
-            .alias("b_under")]
-    aggs += [
-        F.sum(bucket_count(edges[i], edges[i + 1])).alias(f"b{i}")
-        for i in range(n)
-    ]
-    aggs.append(F.sum(F.size(F.filter(col, lambda x: x >= edges[n])))
-                .alias("b_over"))
+    counts = array_element_bucket_counts(col, edges)
+    names = {-1: "b_under", n: "b_over"}
+    aggs = [F.sum(expr).alias(names.get(b, f"b{b}"))
+            for b, expr in counts]
     keys = [F.col(by).alias("group_key")] if by else [F.lit("*").alias("group_key")]
     wide = df.where(col.isNotNull()).groupBy(*keys).agg(*aggs)
     structs = [F.struct(F.lit(-1).alias("bucket"),

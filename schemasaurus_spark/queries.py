@@ -1355,12 +1355,68 @@ SELECT lang2, 'stats.null_rate', 'nc_nullable'
         FROM s GROUP BY 1)
   WHERE r > 0.01
 UNION ALL
-SELECT lang2, 'drift.psi.n_chars', 'n_chars'
-  FROM (SELECT DISTINCT lang2 FROM s)
+SELECT lang2, 'drift.psi.n_chars', 'n_chars' FROM drift_stats
+  WHERE psi > 0.2
 UNION ALL
-SELECT lang2, 'drift.ks.n_chars', 'n_chars'
-  FROM (SELECT DISTINCT lang2 FROM s)
+SELECT lang2, 'drift.ks.n_chars', 'n_chars' FROM drift_stats
+  WHERE ks > 0.15
 """
+
+# The drift predicate is computed SEMANTICALLY (round-4 review: a
+# hardcoded every-group-drifts list couldn't catch drift-math bugs):
+# the oracle rebuilds both histograms, applies the engine's exact
+# eps-clamp + renormalize bucket math (_counts_to_probs), and emits a
+# row only where PSI/KS exceed the thresholds. Floats only decide a
+# far-from-threshold predicate, so cross-engine summation order is safe.
+_FV_DRIFT_CTES = """
+bucketize AS (
+  SELECT lang2,
+         CASE WHEN v < 0 THEN -1 WHEN v < 100 THEN 0 WHEN v < 200 THEN 1
+              WHEN v < 300 THEN 2 WHEN v < 400 THEN 3 WHEN v < 500 THEN 4
+              WHEN v < 600 THEN 5 ELSE 6 END AS bucket,
+         which
+  FROM (SELECT lang2, n_chars AS v, 'cur' AS which FROM s
+        UNION ALL
+        SELECT lang2, n_chars * 3 AS v, 'base' AS which FROM s)
+  WHERE v IS NOT NULL),
+hist AS (
+  SELECT lang2, bucket, which, COUNT(*) AS c
+  FROM bucketize GROUP BY 1, 2, 3),
+grid AS (
+  SELECT g.lang2, b.range AS bucket, w.which
+  FROM (SELECT DISTINCT lang2 FROM s) g
+  CROSS JOIN range(-1, 7) b
+  CROSS JOIN (VALUES ('cur'), ('base')) AS w(which)),
+filled AS (
+  SELECT grid.lang2, grid.bucket, grid.which, COALESCE(hist.c, 0) AS c
+  FROM grid LEFT JOIN hist
+    ON hist.lang2 = grid.lang2 AND hist.bucket = grid.bucket
+   AND hist.which = grid.which),
+clamped AS (
+  SELECT lang2, bucket, which,
+         GREATEST(c * 1.0 / GREATEST(SUM(c) OVER (PARTITION BY lang2,
+                                                  which), 1), 1e-6) AS p0
+  FROM filled),
+probs AS (
+  SELECT lang2, bucket, which,
+         p0 / SUM(p0) OVER (PARTITION BY lang2, which) AS p
+  FROM clamped),
+j AS (
+  SELECT c.lang2, c.bucket, c.p AS q, b.p AS p
+  FROM (SELECT * FROM probs WHERE which = 'cur') c
+  JOIN (SELECT * FROM probs WHERE which = 'base') b
+    ON b.lang2 = c.lang2 AND b.bucket = c.bucket),
+cum AS (
+  SELECT lang2, bucket, q, p,
+         SUM(q - p) OVER (PARTITION BY lang2 ORDER BY bucket) AS d
+  FROM j),
+drift_stats AS (
+  SELECT lang2, SUM((q - p) * ln(q / p)) AS psi, MAX(ABS(d)) AS ks
+  FROM cum GROUP BY 1)
+"""
+
+SQL_FULL_VALIDATION = SQL_FULL_VALIDATION.replace(
+    "  FROM documents)", "  FROM documents),\n" + _FV_DRIFT_CTES.strip(), 1)
 
 
 def q_tdigest_ntok(spark: SparkSession, sf_dir: str) -> DataFrame:
