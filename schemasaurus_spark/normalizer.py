@@ -97,10 +97,16 @@ def _cast(col: Column, dtype, target: str) -> Column:
         if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
             return col.cast("long")
         if isinstance(dtype, (T.FloatType, T.DoubleType)):
-            # parseInt(3.9) == 3 → cast truncates toward zero; NaN/±Inf →
-            # null (the non-ANSI cast would fabricate 0 / Long.MIN/MAX,
-            # values that never existed — parseInt(NaN) is NaN)
-            return F.when(F.isnan(col) | (F.abs(col) == float("inf")),
+            # parseInt(3.9) == 3 → cast truncates toward zero; NaN/±Inf
+            # AND finite long-overflow → null (the non-ANSI cast would
+            # fabricate 0 / Long.MIN/MAX — values that never existed;
+            # round-4 review: 1e30 saturated to Long.MAX_VALUE despite
+            # this guard's promise). Documented divergence from JS
+            # parseInt(String(1e30)) == 1, which parses the exponent
+            # notation's leading digit — a footgun, not a behavior to keep.
+            unrepresentable = (F.isnan(col)
+                               | (F.abs(col) >= F.lit(9.223372036854776e18)))
+            return F.when(unrepresentable,
                           F.lit(None).cast("long")).otherwise(col.cast("long"))
         if isinstance(dtype, T.DecimalType):
             return col.cast("long")

@@ -25,7 +25,25 @@ LANG_MARKERS = {
 
 
 def words(text: Column) -> Column:
-    return F.split(F.trim(text), WORD_SPLIT)
+    """Whitespace word list WITHOUT the empty-string artifact: split('')
+    yields [''] (one phantom token), which made an empty document count as
+    a 1-token document and fed '' into every shingle/hash downstream —
+    exactly what a quality filter must catch (round-4 review). The DuckDB
+    oracles wrap their splits in the same list_filter."""
+    return F.filter(F.split(F.trim(text), WORD_SPLIT),
+                    lambda w: w != F.lit(""))
+
+
+def normalized_text(text: Column) -> Column:
+    """THE canonical content normalization (lowercase alphanumerics) —
+    single definition shared by fingerprint() and the exact-dedup
+    operators so they can never disagree on what counts as a duplicate."""
+    return F.regexp_replace(F.lower(text), "[^a-z0-9]", "")
+
+
+def content_fingerprint(text: Column) -> Column:
+    """md5 of the canonical normalization — NULL for NULL text."""
+    return F.md5(normalized_text(text))
 
 
 def token_count_expr(text: Column) -> Column:
@@ -154,6 +172,12 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     tokens = df.select(F.col(id_col), w)
     freq = tokens.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
     total = freq.agg(F.sum("n").alias("t")).first()["t"]
+    if not total:
+        # empty corpus (e.g. an empty incremental delta): sum() aggregates
+        # to NULL and every downstream float(total) would TypeError —
+        # return the well-typed empty result instead
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, logprob double")
     if max_vocab is not None:
         # top-K by (n desc, word asc) runs as TakeOrderedAndProject and is
         # COLLECTED (K rows, driver-bounded by the user's own valve): the
@@ -281,6 +305,7 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
 def fingerprint(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Normalization fingerprint: md5 of lowercase alphanumerics — the
-    canonical content hash used by exact dedup across formatting variants."""
-    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
-    return df.select(F.col(id_col), F.md5(norm).alias("fp"))
+    canonical content hash used by exact dedup across formatting variants
+    (same content_fingerprint expression the dedup operators consume)."""
+    return df.select(F.col(id_col),
+                     content_fingerprint(F.col(text_col)).alias("fp"))

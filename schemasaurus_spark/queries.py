@@ -287,7 +287,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the BPE-ish regex starts with a literal apostrophe — doubled ('') inside
 # the SQL string literal
 SQL_TOKEN_COUNT = (
-    r"SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens, "
+    r"SELECT doc_id, len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '')) AS n_tokens, "
     r"len(regexp_extract_all(text, "
     r"'''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) "
     r"AS n_bpe_tokens FROM documents"
@@ -299,7 +299,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_TEXT_QUALITY = r"""
-WITH w AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents)
+WITH w AS (SELECT doc_id, text, list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '') AS ws FROM documents)
 SELECT doc_id,
        length(text) AS n_chars_calc,
        len(ws) AS n_words,
@@ -315,7 +315,7 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOP_TOKENS = r"""
 SELECT word, COUNT(*) AS n
-FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+FROM (SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), w -> w <> '')) AS word
       FROM documents)
 GROUP BY word ORDER BY n DESC, word LIMIT 20
 """
@@ -328,7 +328,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_UNIGRAM_LOGPROB = r"""
 WITH t AS (
   SELECT doc_id,
-         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), w -> w <> '')) AS word
   FROM documents),
 f AS (SELECT word, COUNT(*) AS n FROM t GROUP BY word),
 tot AS (SELECT COUNT(*) AS total FROM t)
@@ -343,7 +343,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_LANG_ID = r"""
-WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents),
+WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), w -> w <> '') AS ws FROM documents),
 h AS (SELECT doc_id,
        len(list_filter(ws, x -> x IN ('the','and','of','a'))) AS en_hits,
        len(list_filter(ws, x -> x IN ('el','la','de','los'))) AS es_hits,
@@ -415,11 +415,11 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DEDUP_APPLY = f"""
 WITH d AS ({SQL_DOCS_WITH_DUPS})
 SELECT doc_id FROM (
-  SELECT doc_id,
+  SELECT doc_id, text,
          ROW_NUMBER() OVER (
            PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
            ORDER BY doc_id) AS rn
-  FROM d) WHERE rn = 1
+  FROM d) WHERE rn = 1 OR text IS NULL
 """
 
 
@@ -431,7 +431,7 @@ SQL_DEDUP_EXACT = f"""
 WITH d AS ({SQL_DOCS_WITH_DUPS})
 SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
        COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
-FROM d GROUP BY 1 HAVING COUNT(*) > 1
+FROM d WHERE text IS NOT NULL GROUP BY 1 HAVING COUNT(*) > 1
 """
 
 
@@ -440,7 +440,7 @@ def q_dedup_prefix_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DEDUP_PREFIX_BUCKETS = r"""
-WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents)
+WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '') AS ws FROM documents)
 SELECT md5(array_to_string(ws[1:4], ' ')) AS bucket, COUNT(*) AS n_docs,
        MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
 FROM w GROUP BY 1 HAVING COUNT(*) > 1
@@ -452,7 +452,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MINHASH_LSH = r"""
-WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '') AS ws FROM documents),
 sh AS (SELECT doc_id,
        list_transform(generate_series(1, GREATEST(len(ws) - 4, 1)),
                       i -> array_to_string(ws[i:i+4], ' ')) AS shingles
@@ -483,8 +483,8 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_JACCARD_PAIRS = r"""
 WITH w AS (SELECT doc_id AS id,
-                  md5(array_to_string(regexp_split_to_array(trim(text), '\s+')[1:4], ' ')) AS bucket,
-                  list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ws
+                  md5(array_to_string(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '')[1:4], ' ')) AS bucket,
+                  list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '')) AS ws
            FROM documents)
 SELECT a.id AS id_a, b.id AS id_b,
        ROUND(len(list_intersect(a.ws, b.ws)) /
@@ -504,7 +504,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DEDUP_CLUSTERS = r"""
 WITH RECURSIVE w AS (
   SELECT doc_id AS id,
-         md5(array_to_string(regexp_split_to_array(trim(text), '\s+')[1:4], ' ')) AS bucket
+         md5(array_to_string(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '')[1:4], ' ')) AS bucket
   FROM documents),
 pairs AS (
   SELECT a.id AS id_a, b.id AS id_b
@@ -583,7 +583,7 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_REPETITION_SIGNALS = r"""
 WITH w AS (SELECT doc_id, text,
-                  regexp_split_to_array(trim(text), '\s+') AS ws
+                  list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '') AS ws
            FROM documents),
 g AS (SELECT doc_id, text,
              list_transform(generate_series(1, GREATEST(len(ws) - 2, 1)),
@@ -720,7 +720,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SIMHASH = r"""
 WITH w AS (SELECT doc_id,
-                  list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS ws
+                  list_distinct(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), w -> w <> '')) AS ws
            FROM documents)
 SELECT doc_id,
   CAST((

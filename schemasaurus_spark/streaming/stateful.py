@@ -60,12 +60,24 @@ def _make_dedup_fn(ttl_ms: int | None):
 def stream_duplicate_keys(stream_df: DataFrame, key_col: str = "doc_id",
                           ttl_minutes: float | None = None) -> DataFrame:
     """Per-key duplicate-occurrence stream (append mode). ``ttl_minutes``
-    bounds state: keys idle past the TTL are evicted (see module doc)."""
-    ttl_ms = int(ttl_minutes * 60_000) if ttl_minutes else None
+    bounds state: keys idle past the TTL are evicted (see module doc).
+
+    NULL keys are excluded, matching the batch check's SQL UNIQUE
+    semantics (aggregates.uniqueness_check: NULL != NULL — grouping nulls
+    together would report false duplicates the ground-truth batch pass
+    never reports). ``ttl_minutes`` must be positive when given: a falsy
+    0 silently meant "no timeout at all" — unbounded state, the exact
+    failure the TTL exists to prevent (round-4 review)."""
+    if ttl_minutes is not None and ttl_minutes <= 0:
+        raise ValueError(
+            f"ttl_minutes must be positive (got {ttl_minutes}); pass None "
+            f"to disable eviction explicitly")
+    ttl_ms = int(ttl_minutes * 60_000) if ttl_minutes is not None else None
     timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl_ms
                else GroupStateTimeout.NoTimeout)
     return (
         stream_df.select(stream_df[key_col].cast("string").alias("key"))
+        .where("key IS NOT NULL")
         .groupBy("key")
         .applyInPandasWithState(
             _make_dedup_fn(ttl_ms),

@@ -135,3 +135,17 @@ def test_spec_tree_rejects_parent_leaf_after_children(spark):
     spec = NormalizerSpec([col_spec("a.b", "integer"), col_spec("a")])
     with pytest.raises(ValueError, match="conflicts"):
         normalize(df, spec)
+
+
+def test_integer_cast_overflow_is_null(spark):
+    """Finite doubles beyond long range must NULL, not saturate to
+    Long.MAX_VALUE (round-4 review: the NaN/Inf guard promised exactly
+    this and didn't deliver it for finite overflow)."""
+    from schemasaurus_spark.normalizer import NormalizerSpec, col_spec, normalize
+
+    df = spark.createDataFrame(
+        [(1e30,), (-1e30,), (3.9,), (float("nan"),)], "v double")
+    out = normalize(df, NormalizerSpec(columns=[col_spec("v", "integer")]))
+    vals = [r["v"] for r in out.collect()]
+    assert vals[0] is None and vals[1] is None
+    assert vals[2] == 3 and vals[3] is None

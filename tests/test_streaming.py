@@ -203,3 +203,15 @@ def test_stateful_dedup_with_ttl_still_detects(spark):
         assert n >= 5, "no duplicates detected under TTL mode"
     finally:
         q.stop()
+
+
+def test_stream_dedup_rejects_zero_ttl(spark):
+    """ttl_minutes=0 used to silently disable eviction entirely —
+    unbounded state, the opposite of the parameter's purpose."""
+    import pytest
+    from schemasaurus_spark.streaming.stateful import stream_duplicate_keys
+
+    df = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="positive"):
+        stream_duplicate_keys(df.selectExpr("CAST(value AS STRING) doc_id"),
+                              ttl_minutes=0)

@@ -73,3 +73,58 @@ def test_duplicate_clusters_releases_cache(spark):
     # the localCheckpoint RDD backs the returned frame; the per-iteration
     # persist()s must all be released (round-2 cache leak)
     assert after <= before + 1
+
+
+def test_empty_text_counts_zero_tokens(spark):
+    """split('') yields [''] — the phantom token made empty docs score as
+    1-token documents through every quality signal (round-4 review)."""
+    from schemasaurus_spark.operators.text import token_count_expr
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "two words"), (4, None)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", token_count_expr(F.col("text")).alias("n")).collect()}
+    assert rows[1] == 0 and rows[2] == 0 and rows[3] == 2
+    assert rows[4] is None  # null text stays null, not 0
+
+
+def test_null_text_survives_dedup_apply(spark):
+    """NULL-text rows must pass through dedup untouched: a null-unsafe
+    fingerprint semi-join silently dropped every one of them (round-4
+    review — data loss), and exact_duplicates must not report the null
+    group as duplicates of each other."""
+    from schemasaurus_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, None), (4, None),
+         (5, "unique")],
+        "doc_id long, text string")
+    groups = dedup.exact_duplicates(df).collect()
+    assert len(groups) == 1 and groups[0]["keep_id"] == 1  # only real dups
+    survivors = sorted(r["doc_id"]
+                       for r in dedup.dedup_apply(df).collect())
+    assert survivors == [1, 3, 4, 5]  # both null-text rows kept
+
+
+def test_duplicate_clusters_nonconvergence_is_loud(spark):
+    """A component whose diameter exceeds max_iters must raise, not return
+    silently split clusters (round-4 review)."""
+    import pytest
+    from schemasaurus_spark.operators import dedup
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(chain, max_iters=3)
+    ok = dedup.duplicate_clusters(chain, max_iters=20).collect()
+    assert {r["cluster"] for r in ok} == {0}  # one component, label 0
+
+
+def test_unigram_logprob_empty_corpus(spark):
+    from schemasaurus_spark.operators import text
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = text.unigram_logprob(empty)
+    assert out.count() == 0 and set(out.columns) == {"doc_id", "logprob"}
