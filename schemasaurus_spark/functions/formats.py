@@ -21,6 +21,27 @@ class FormatSpec:
 
 _IPV4_OCTET = r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
 
+# Token-for-token transliteration of the reference's ipv6 regex
+# (default_formats.js:16) — pure alternation/classes, Java-regex
+# compatible. The engine's previous approximation accepted embedded-IPv4
+# forms with fewer than 6 leading groups and no '::' (e.g. '1:1.2.3.4'),
+# which the reference rejects (round-4 review).
+_D8 = r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+_V4 = rf"({_D8}(\.{_D8}){{3}})"
+_G = "[0-9A-Fa-f]{1,4}"
+_IPV6_RE = (
+    rf"^\s*("
+    rf"(({_G}:){{7}}({_G}|:))|"
+    rf"(({_G}:){{6}}(:{_G}|{_V4}|:))|"
+    rf"(({_G}:){{5}}(((:{_G}){{1,2}})|:{_V4}|:))|"
+    rf"(({_G}:){{4}}(((:{_G}){{1,3}})|((:{_G})?:{_V4})|:))|"
+    rf"(({_G}:){{3}}(((:{_G}){{1,4}})|((:{_G}){{0,2}}:{_V4})|:))|"
+    rf"(({_G}:){{2}}(((:{_G}){{1,5}})|((:{_G}){{0,3}}:{_V4})|:))|"
+    rf"(({_G}:){{1}}(((:{_G}){{1,6}})|((:{_G}){{0,4}}:{_V4})|:))|"
+    rf"(:(((:{_G}){{1,7}})|((:{_G}){{0,5}}:{_V4})|:))"
+    rf")(%.+)?\s*$"
+)
+
 DEFAULT_FORMATS: dict[str, FormatSpec] = {
     "email": FormatSpec(r"^[^@]+@[^@]+$", "shall be valid email"),
     "date-time": FormatSpec(
@@ -31,25 +52,13 @@ DEFAULT_FORMATS: dict[str, FormatSpec] = {
         rf"^(?:{_IPV4_OCTET}\.){{3}}{_IPV4_OCTET}$", "shall be valid ipv4 address"
     ),
     "ipv6": FormatSpec(
-        # Accept full/compressed hex groups with optional embedded IPv4 tail
-        # and zone index — same acceptance set as the reference's regex for
-        # all practically occurring addresses.
-        r"^\s*("
-        r"(([0-9A-Fa-f]{1,4}:){7}([0-9A-Fa-f]{1,4}|:))|"
-        r"(([0-9A-Fa-f]{1,4}:){1,7}:)|"
-        r"(([0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4})|"
-        r"(([0-9A-Fa-f]{1,4}:){1,5}(:[0-9A-Fa-f]{1,4}){1,2})|"
-        r"(([0-9A-Fa-f]{1,4}:){1,4}(:[0-9A-Fa-f]{1,4}){1,3})|"
-        r"(([0-9A-Fa-f]{1,4}:){1,3}(:[0-9A-Fa-f]{1,4}){1,4})|"
-        r"(([0-9A-Fa-f]{1,4}:){1,2}(:[0-9A-Fa-f]{1,4}){1,5})|"
-        r"([0-9A-Fa-f]{1,4}:((:[0-9A-Fa-f]{1,4}){1,6}))|"
-        r"(:((:[0-9A-Fa-f]{1,4}){1,7}|:))|"
-        rf"(([0-9A-Fa-f]{{1,4}}:){{1,6}}(:)?(?:{_IPV4_OCTET}\.){{3}}{_IPV4_OCTET})|"
-        rf"(::([0-9A-Fa-f]{{1,4}}:){{0,5}}(?:{_IPV4_OCTET}\.){{3}}{_IPV4_OCTET})"
-        r")(%.+)?\s*$",
+        _IPV6_RE,
         "shall be valid ipv6 address",
     ),
-    "uri": FormatSpec(r"^[a-zA-Z][a-zA-Z0-9+\-.]*:[^\s]*$", "shall be valid URI"),
+    # [a-zA-Z0-9+-.] is a RANGE from '+' (0x2B) to '.' (0x2E) — it also
+    # admits ',' — kept verbatim for acceptance parity with the reference
+    # (default_formats.js:20; round-4 review caught the engine dropping it)
+    "uri": FormatSpec(r"^[a-zA-Z][a-zA-Z0-9+-.]*:[^\s]*$", "shall be valid URI"),
     "hostname": FormatSpec(
         r"^([a-zA-Z0-9]|[a-zA-Z0-9][a-zA-Z0-9\-]{0,61}[a-zA-Z0-9])"
         r"(\.([a-zA-Z0-9]|[a-zA-Z0-9][a-zA-Z0-9\-]{0,61}[a-zA-Z0-9]))*$",

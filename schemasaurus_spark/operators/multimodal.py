@@ -65,18 +65,50 @@ def _sniff_decode(payload: bytes) -> np.ndarray:
     codec libs (BMP/WAV), deterministic stub otherwise. Sniffing goes
     through decode_media_info, so a payload whose MAGIC matches but whose
     header is truncated/malformed falls to the stub instead of crashing
-    the task (corrupt rows are features, never job failures)."""
-    if decode_media_info(payload)["kind"] != "unknown":
-        return real_decode(payload)
+    the task (corrupt rows are features, never job failures). VARIANT
+    gating matters too (round-4 review): a float32/stereo WAV or a
+    palettized/compressed BMP passes the magic sniff but would be parsed
+    as PCM16-mono / 24-bit-uncompressed into garbage features — those
+    route to the stub, like every other unsupported payload."""
+    info = decode_media_info(payload)
+    if info["kind"] != "unknown" and _variant_decodable(payload, info):
+        return real_decode(payload, info)
     return _stub_decode(payload or b"")
 
 
-def real_decode(payload: bytes) -> np.ndarray:
+def _variant_decodable(payload: bytes, info: dict) -> bool:
+    """True iff the payload is the exact variant real_decode implements:
+    24-bit uncompressed BMP (biBitCount=24, biCompression=0) or PCM16
+    mono WAV (audio_format=1, bits=16, channels=1)."""
+    try:
+        if info["kind"] == "bmp":
+            if len(payload) < 34:
+                return False
+            bit_count = struct.unpack_from("<H", payload, 28)[0]
+            compression = struct.unpack_from("<I", payload, 30)[0]
+            return bit_count == 24 and compression == 0
+        if info["kind"] == "wav":
+            fmt = _wav_chunks(payload).get(b"fmt ")
+            if fmt is None:
+                return False
+            off = fmt[0]
+            audio_format = struct.unpack_from("<H", payload, off)[0]
+            channels = struct.unpack_from("<H", payload, off + 2)[0]
+            bits = struct.unpack_from("<H", payload, off + 14)[0]
+            return audio_format == 1 and bits == 16 and channels == 1
+    except (struct.error, IndexError):
+        return False
+    return False
+
+
+def real_decode(payload: bytes, info: dict | None = None) -> np.ndarray:
     """Real decode for the containers parseable WITHOUT codec libraries:
-    uncompressed 24-bit BMP and PCM16 WAV (pure struct/numpy header + sample
-    parsing). Other containers (JPEG/PNG/MP3/...) still raise — inject a
-    codec via ``extract_features(decoder=...)``."""
-    info = decode_media_info(payload)
+    uncompressed 24-bit BMP and PCM16 mono WAV (pure struct/numpy header +
+    sample parsing). Other containers (JPEG/PNG/MP3/...) still raise —
+    inject a codec via ``extract_features(decoder=...)``. ``info`` skips a
+    second header parse when the caller already sniffed (the hot Arrow
+    kernel path)."""
+    info = info if info is not None else decode_media_info(payload)
     if info["kind"] == "bmp":
         px = _bmp_pixels(payload).astype(np.float64) / 255.0
         if px.size == 0:  # header ok but pixel data truncated away

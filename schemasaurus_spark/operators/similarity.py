@@ -36,7 +36,11 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """NULL (not a crash) for zero-norm vectors: a degenerate all-zero
+    embedding is a data artifact the pipeline must survive — a plain
+    division throws under ANSI mode (Spark 4 default), killing the job on
+    one bad row (round-4 verify drive)."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
@@ -126,12 +130,25 @@ def _bucketed(df: DataFrame, vec_col: str, id_col: str,
         n = n_rows if n_rows is not None else df.count()
         bits = auto_n_bits(n, target_bucket_size)
         if dim is None:
-            dim = len(df.select(vec_col).first()[0])
+            probe = (df.select(vec_col)
+                     .where(F.col(vec_col).isNotNull()).first())
+            if probe is None:
+                raise ValueError(
+                    f"adaptive LSH: no non-null '{vec_col}' vectors (pass "
+                    f"dim= explicitly for an empty/degenerate corpus)")
+            dim = len(probe[0])
         buckets = [_plane_bits(vec_col, gaussian_planes(dim, bits, seed + t))
                    for t in range(max(n_tables, 1))]
+    # stage the vector NORM once per row: the bucket self-joins score
+    # ~bucket_size pairs per vector, and cosine(av, bv) recomputed both
+    # norms per pair — an O(d) aggregate ~1000x per vector at the default
+    # bucket target (round-4 review; same stage-intermediates pattern as
+    # the winnowing 6x win). Same arithmetic, same rounding — byte-equal
+    # scores.
     return [
         df.select(b.alias("bucket"), F.col(id_col).alias("id"),
                   F.col(vec_col).alias("v"))
+        .withColumn("nv", _norm(F.col("v")))
         for b in buckets
     ]
 
@@ -184,10 +201,17 @@ def ivf_train_centroids(df: DataFrame, n_centroids: int = 16,
     import numpy as np
 
     sample = (df.select(vec_col)
+              .where(F.col(vec_col).isNotNull())
               .orderBy(F.rand(seed))
               .limit(sample_rows)
               .collect())
-    x = np.asarray([list(r[vec_col]) for r in sample], dtype=np.float64)
+    if not sample:
+        raise ValueError(
+            f"ivf_train_centroids: no non-null '{vec_col}' vectors to "
+            f"train on")
+    dim0 = len(sample[0][vec_col])
+    x = np.asarray([list(r[vec_col]) for r in sample
+                    if len(r[vec_col]) == dim0], dtype=np.float64)
     rng = np.random.RandomState(seed)
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
     for _ in range(n_iters):
@@ -210,8 +234,20 @@ def ivf_assign(df: DataFrame, centroids, vec_col: str = "embedding",
 
     cents = np.asarray(centroids, dtype=np.float64)
 
+    dim = cents.shape[1]
+
     def kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
+            # NULL / ragged vectors are unindexable, not task killers
+            # (round-4 review: np.stack raised on one corrupt row × 4
+            # retries = dead job): they are simply absent from the index
+            valid = pdf[vec_col].map(
+                lambda v: v is not None and len(v) == dim)
+            pdf = pdf[valid]
+            if pdf.empty:
+                yield pd.DataFrame({"id": pd.Series(dtype="int64"),
+                                    "cluster": pd.Series(dtype="int32")})
+                continue
             x = np.stack(pdf[vec_col].map(np.asarray).values).astype(np.float64)
             d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
             yield pd.DataFrame({"id": pdf[id_col], "cluster": d.argmin(1)})
@@ -280,21 +316,6 @@ def ann_ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     )
 
 
-def _multi_table_slims(df: DataFrame, vec_col: str, id_col: str,
-                       dims: list[int] | None,
-                       planes: list[list[float]] | None,
-                       n_tables: int, seed: int,
-                       target_bucket_size: int,
-                       n_rows: int | None = None,
-                       dim: int | None = None) -> list[DataFrame]:
-    """One (bucket, id, v) frame per independent hash table — thin wrapper
-    over _bucketed (explicit dims/planes pin one table; otherwise n_tables
-    adaptive Gaussian tables)."""
-    return _bucketed(df, vec_col, id_col, dims, planes, seed,
-                     target_bucket_size, n_tables=n_tables, n_rows=n_rows,
-                     dim=dim)
-
-
 def ann_knn_join(df: DataFrame, k: int = 5, dims: list[int] | None = None,
                  vec_col: str = "embedding", id_col: str = "vec_id",
                  round_to: int = 5,
@@ -323,8 +344,9 @@ def ann_knn_join(df: DataFrame, k: int = 5, dims: list[int] | None = None,
     DuckDB-reproducible oracle path)."""
     from pyspark.sql.window import Window
 
-    slims = _multi_table_slims(df, vec_col, id_col, dims, planes, n_tables,
-                               seed, target_bucket_size, n_rows, dim)
+    slims = _bucketed(df, vec_col, id_col, dims, planes, seed,
+                      target_bucket_size, n_tables=n_tables, n_rows=n_rows,
+                      dim=dim)
     all_pairs = None
     for slim in slims:
         a = slim.alias("a")
@@ -333,13 +355,16 @@ def ann_knn_join(df: DataFrame, k: int = 5, dims: list[int] | None = None,
              .where(F.col("a.id") != F.col("b.id"))
              .select(F.col("a.id").alias("id"),
                      F.col("b.id").alias("neighbor"),
-                     F.col("a.v").alias("av"), F.col("b.v").alias("bv")))
+                     F.col("a.v").alias("av"), F.col("b.v").alias("bv"),
+                     F.col("a.nv").alias("na"), F.col("b.nv").alias("nb")))
         all_pairs = p if all_pairs is None else all_pairs.unionByName(p)
     if len(slims) > 1:
         all_pairs = all_pairs.dropDuplicates(["id", "neighbor"])
     pairs = all_pairs.select(
         "id", "neighbor",
-        F.round(cosine(F.col("av"), F.col("bv")), round_to).alias("score"))
+        F.round(F.try_divide(_dot(F.col("av"), F.col("bv")),
+                             F.col("na") * F.col("nb")),
+                round_to).alias("score"))
     w = Window.partitionBy("id").orderBy(F.desc("score"), F.col("neighbor"))
     return (pairs.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= k).drop("rn"))
@@ -358,8 +383,9 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
     then exact cosine ≥ threshold. All-pairs work is confined to buckets;
     same scale levers as ann_knn_join (adaptive bits / bucket_cap /
     n_tables — see there)."""
-    slims = _multi_table_slims(df, vec_col, id_col, dims, planes, n_tables,
-                               seed, target_bucket_size, n_rows, dim)
+    slims = _bucketed(df, vec_col, id_col, dims, planes, seed,
+                      target_bucket_size, n_tables=n_tables, n_rows=n_rows,
+                      dim=dim)
     all_pairs = None
     for slim in slims:
         # cap the LEFT (lower-id) side: _cap_bucket keeps the lowest ids
@@ -374,10 +400,12 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
              .where(F.col("a.id") < F.col("b.id"))
              .select(F.col("a.id").alias("id_a"),
                      F.col("b.id").alias("id_b"),
-                     F.col("a.v").alias("av"), F.col("b.v").alias("bv")))
+                     F.col("a.v").alias("av"), F.col("b.v").alias("bv"),
+                     F.col("a.nv").alias("na"), F.col("b.nv").alias("nb")))
         all_pairs = p if all_pairs is None else all_pairs.unionByName(p)
     if len(slims) > 1:
         all_pairs = all_pairs.dropDuplicates(["id_a", "id_b"])
-    score = F.round(cosine(F.col("av"), F.col("bv")), round_to)
+    score = F.round(F.try_divide(_dot(F.col("av"), F.col("bv")),
+                                 F.col("na") * F.col("nb")), round_to)
     return (all_pairs.select("id_a", "id_b", score.alias("score"))
             .where(F.col("score") >= threshold))

@@ -57,10 +57,21 @@ def ingest(spark: SparkSession, path: str, fmt: str, columns: list[str],
         raw = read_jsonl(spark, path, columns)
     elif fmt == "csv":
         raw = read_csv(spark, path, columns)
-    elif fmt == "parquet":
-        raw = spark.read.parquet(path)
-    elif fmt == "orc":
-        raw = spark.read.orc(path)
+    elif fmt in ("parquet", "orc"):
+        # typed formats skip string staging, but the declared column list
+        # still applies: project to it (column pruning reaches the scan)
+        # and fail loudly on a declared column the file doesn't have —
+        # silently ignoring `columns` let misspellings pass and leaked
+        # undeclared columns into additionalProperties checks (round-4
+        # review)
+        raw = spark.read.parquet(path) if fmt == "parquet" \
+            else spark.read.orc(path)
+        missing = [c for c in columns if c not in raw.columns]
+        if missing:
+            raise ValueError(
+                f"ingest: declared column(s) {missing} not present in the "
+                f"{fmt} file (has: {sorted(raw.columns)})")
+        raw = raw.select(*columns)
     else:
         raise ValueError(f"unknown ingest format '{fmt}'")
     return validate(normalize(raw, spec), suite)

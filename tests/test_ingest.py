@@ -79,3 +79,26 @@ def test_append_retry_after_crash_between_write_and_manifest(spark, tmp_path):
     snap = store.append(df)                    # retry must succeed
     assert snap.id == "s00001"
     assert store.read(spark, "s00001").count() == 20   # 10 + 10, not 3
+
+
+def test_parquet_ingest_applies_declared_columns(spark, tmp_path):
+    """Typed-format ingest must project to the declared columns and fail
+    loudly on a misspelled one (round-4 review: `columns` was silently
+    ignored for parquet/orc)."""
+    import pytest
+    from schemasaurus_spark import NotNull, Suite
+    from schemasaurus_spark.normalizer import NormalizerSpec, col_spec
+    from schemasaurus_spark.sources.ingest import ingest
+
+    path = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(1, "a", "x")], "id long, v string, extra string") \
+        .write.parquet(path)
+    spec = NormalizerSpec(columns=[col_spec("id", "integer"),
+                                   col_spec("v")])
+    suite = Suite(id_column="id", columns={"v": [NotNull()]},
+                  allow_undeclared_columns=False)
+    res = ingest(spark, path, "parquet", ["id", "v"], spec, suite)
+    assert res.is_valid()  # 'extra' projected away, not a violation
+
+    with pytest.raises(ValueError, match="declared column"):
+        ingest(spark, path, "parquet", ["id", "nope"], spec, suite)

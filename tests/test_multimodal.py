@@ -111,3 +111,37 @@ def test_corrupt_payloads_become_features_not_failures(spark):
     assert n == [10]
     feats = mm.extract_features(df).collect()       # must not raise
     assert len(feats) == 6 and all(len(r["feat"]) == 8 for r in feats)
+
+
+def test_unsupported_wav_variant_routes_to_stub(spark):
+    """A stereo or float32 WAV passes the RIFF sniff but is NOT the
+    PCM16-mono variant real_decode implements — it must take the stub
+    path, not be misparsed into garbage features (round-4 review)."""
+    import struct
+    import numpy as np
+    from schemasaurus_spark.operators.multimodal import (
+        _sniff_decode, _stub_decode, make_wav)
+
+    mono = make_wav(8000, 64, 7)
+    # rewrite the fmt chunk: channels=2 (stereo) — same bytes otherwise
+    stereo = bytearray(mono)
+    fmt_off = mono.find(b"fmt ") + 8
+    struct.pack_into("<H", stereo, fmt_off + 2, 2)
+    stereo = bytes(stereo)
+
+    assert not np.array_equal(_sniff_decode(mono), _stub_decode(mono))
+    assert np.array_equal(_sniff_decode(stereo), _stub_decode(stereo))
+
+
+def test_unsupported_bmp_variant_routes_to_stub(spark):
+    import struct
+    import numpy as np
+    from schemasaurus_spark.operators.multimodal import (
+        _sniff_decode, _stub_decode, make_bmp)
+
+    bmp = make_bmp(6, 4, 3)
+    pal = bytearray(bmp)
+    struct.pack_into("<H", pal, 28, 8)   # biBitCount = 8 (palettized)
+    pal = bytes(pal)
+    assert not np.array_equal(_sniff_decode(bmp), _stub_decode(bmp))
+    assert np.array_equal(_sniff_decode(pal), _stub_decode(pal))

@@ -193,3 +193,42 @@ def test_adaptive_lsh_hints_avoid_inline_actions(spark, emb):
     # the hinted plans still execute correctly afterwards
     assert knn.count() > 0
     assert pairs.count() >= 0
+
+
+def test_ivf_ignores_null_and_ragged_vectors(spark):
+    """A corrupt (NULL or wrong-dim) embedding must be absent from the
+    index, not a task killer (round-4 review: np.stack raised on one bad
+    row x 4 retries = dead job)."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0]), (4, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    assigned = {r["id"]: r["cluster"]
+                for r in sim.ivf_assign(df, cents).collect()}
+    assert assigned == {1: 0, 3: 1}  # null + ragged rows absent, job alive
+    top = sim.ann_ivf_topk(df, [1.0, 0.0], k=5, n_probe=2,
+                           centroids=cents).collect()
+    assert [r["vec_id"] for r in top] == [1, 3]
+
+    # training skips nulls instead of crashing
+    c2 = sim.ivf_train_centroids(df, n_centroids=2)
+    assert len(c2) == 2
+
+
+def test_ivf_train_raises_on_all_null(spark):
+    df = spark.createDataFrame([(1, None)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no non-null"):
+        sim.ivf_train_centroids(df)
+
+
+def test_zero_norm_vector_scores_null_not_crash(spark):
+    """An all-zero embedding must yield NULL cosine, not an ANSI
+    DIVIDE_BY_ZERO job failure (round-4 verify drive)."""
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    rows = sim.cosine_topk(df, [1.0, 0.0], k=3).collect()
+    assert rows[0]["vec_id"] == 1 and rows[0]["score"] == 1.0
+    assert all(r["score"] is not None for r in rows[:2])
+    pairs = sim.cosine_neardup_pairs(df, threshold=0.5, dims=[0, 1])
+    assert pairs.count() >= 0  # zero-norm rows filtered by NULL >= t
