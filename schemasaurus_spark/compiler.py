@@ -182,17 +182,9 @@ def _dtype(schema: Optional[T.StructType], col: str):
 
 
 def _has_path(schema: Optional[T.StructType], col: str) -> bool:
-    if schema is None:
-        return True
-    dt: object = schema
-    for part in col.split("."):
-        if not isinstance(dt, T.StructType):
-            return False
-        try:
-            dt = dt[part].dataType
-        except (KeyError, ValueError):
-            return False
-    return True
+    """No schema = everything resolvable; otherwise _dtype IS the single
+    path-resolution implementation (a second copy drifted once)."""
+    return schema is None or _dtype(schema, col) is not None
 
 
 def _is_string(dt) -> bool:
@@ -234,7 +226,8 @@ class ConstraintCompiler:
             wanted = set(self.suite.columns) | {self.suite.id_column}
             all_cs = [c for cs in self.suite.columns.values() for c in cs]
             all_cs += [c for _, c in self.suite.row]
-            wanted |= dsl.referenced_columns(all_cs)
+            wanted |= dsl.referenced_columns(
+                all_cs, definitions=self.suite.definitions)
             missing = [c for c in sorted(wanted)
                        if not _has_path(self.schema, c)]
             if missing:
@@ -568,6 +561,24 @@ class ConstraintCompiler:
         valid = F.coalesce(any_ok, F.lit(False))
         out.valid = valid if out.valid is None else out.valid & valid
 
+    def _row_container_null(self, out, col_name, col, code, null_guard):
+        """ROW-level (unguarded) container constraint on a NULL value: fail
+        AND emit one violation with the container's code, like every
+        row-level scalar check — then run the container body null-guarded.
+        Without this, out.valid said invalid on NULL while the fragments
+        emitted nothing, so invalid_rows() disagreed with violations()/
+        verdicts()/is_valid() (round-4 review). Returns the (possibly
+        upgraded) null_guard for the body."""
+        if null_guard:
+            return True
+        null_failed = col.isNull()
+        msg = self._msg(code)
+        out.fragments.append(
+            _scalar_fragment(null_failed, code, col_name, col, None, msg))
+        ok = ~null_failed
+        out.valid = ok if out.valid is None else out.valid & ok
+        return True
+
     # -- arrays ---------------------------------------------------------------
 
     def _compile_unique_items(self, out, col_name, col, c, m, null_guard):
@@ -575,6 +586,7 @@ class ConstraintCompiler:
         carrying the duplicated value (v4validator.js:233-246). Pass test is
         O(n) (`array_distinct` size); the O(n²) occurrence extraction runs
         only on failing rows, guarded by `when`."""
+        null_guard = self._row_container_null(out, col_name, col, "uniqueItems", null_guard)
         has_dup = F.size(col) != F.size(F.array_distinct(col))
         if null_guard:
             has_dup = col.isNotNull() & has_dup
@@ -583,7 +595,8 @@ class ConstraintCompiler:
             out.fragments.append(
                 _scalar_fragment(has_dup, "uniqueItems", col_name, col, None, msg)
             )
-            out.valid = ~has_dup
+            ok = ~has_dup
+            out.valid = ok if out.valid is None else out.valid & ok
             return
         # element at 0-based index i is a duplicate occurrence iff it appears
         # among the first i elements; eqNullSafe so null duplicates (which
@@ -600,7 +613,8 @@ class ConstraintCompiler:
         out.fragments.append(
             F.when(has_dup, structs).otherwise(_empty_violations())
         )
-        out.valid = ~has_dup
+        ok = ~has_dup
+        out.valid = ok if out.valid is None else out.valid & ok
 
     def _compile_items(self, out, col_name, col, c: dsl.Items, null_guard):
         """Element-schema constraints (processor.js:31-47): pass test via
@@ -617,6 +631,7 @@ class ConstraintCompiler:
         extractor flagged elements the pass test ignored. TupleItems stays
         null-strict: a tuple POSITION holding null fails its spec
         (presence is positional, pinned by the conformance_array oracle)."""
+        null_guard = self._row_container_null(out, col_name, col, "items", null_guard)
         dt = _dtype(self.schema, col_name)
         et = dt.elementType if isinstance(dt, T.ArrayType) else None
         for sub in self._expand_element_refs(c.constraints):
@@ -734,6 +749,7 @@ class ConstraintCompiler:
         (processor.js:54-61,113-124). Position i (1-based element_at) checks
         specs[i]; extras beyond len(specs) each emit `additionalItems` when
         additional=False — one violation per extra element, value = element."""
+        null_guard = self._row_container_null(out, col_name, col, "items", null_guard)
         dt = _dtype(self.schema, col_name)
         et = dt.elementType if isinstance(dt, T.ArrayType) else None
         for i, spec in enumerate(c.specs):
@@ -774,6 +790,7 @@ class ConstraintCompiler:
         """patternProperties analog for maps: keys matching no allowed regex
         each emit `additionalProperties` carrying the key
         (processor.js:90-111 + v4validator.js:287)."""
+        null_guard = self._row_container_null(out, col_name, col, "additionalProperties", null_guard)
         def allowed(k):
             ok = F.lit(False)
             for p in c.patterns:
@@ -791,7 +808,8 @@ class ConstraintCompiler:
                                   _render_arg(list(c.patterns)), msg))
         out.fragments.append(
             F.when(has_bad, structs).otherwise(_empty_violations()))
-        out.valid = ~has_bad
+        ok = ~has_bad
+        out.valid = ok if out.valid is None else out.valid & ok
 
     def _expand_element_refs(self, constraints):
         """Inline top-level Ref entries in an items element schema so their
@@ -840,6 +858,7 @@ class ConstraintCompiler:
         included); null values skip checks, NotNull flags them. All
         closures are factories — NO default-arg lambdas (the harness would
         read them as the two-arg (element, index) form)."""
+        null_guard = self._row_container_null(out, col_name, col, "additionalProperties", null_guard)
         entries = F.map_entries(col)
 
         def bad_factory(regex, pred, is_required):
@@ -1169,7 +1188,10 @@ class ConstraintCompiler:
             # sees raw values — the reference's custom fns decide themselves
             failed = col.isNotNull() & failed
         msg = m or (self._msg("custom") if code == "custom" else
-                    render_message(code, self._msg("custom"), overrides=self.suite.messages))
+                    render_message(code, self._msg("custom"),
+                                   overrides=self.suite.messages,
+                                   gettext=getattr(self.suite, "gettext",
+                                                   None)))
         out.fragments.append(
             _scalar_fragment(failed, code, col_name, col, None, msg)
         )

@@ -469,11 +469,63 @@ class Dependency(Constraint):
 # --------------------------------------------------------------------- suite
 
 
-def referenced_columns(constraints) -> set:
+def _callable_digests(obj, _seen: set | None = None) -> list:
+    """Bytecode digests of every callable reachable from a Suite/Constraint
+    graph (Conform expr/pandas_fn, extension hooks): qualname +
+    sha256(co_code + co_consts + co_names). Deterministic across processes
+    (no addresses), sensitive to body edits."""
+    import hashlib
+
+    _seen = _seen if _seen is not None else set()
+    if id(obj) in _seen:
+        return []
+    _seen.add(id(obj))
+    out: list = []
+    if callable(obj) and not isinstance(obj, type):
+        code = getattr(obj, "__code__", None)
+        qual = getattr(obj, "__qualname__", repr(type(obj)))
+        if code is not None:
+            h = hashlib.sha256(
+                code.co_code
+                + repr(code.co_consts).encode()
+                + repr(code.co_names).encode()).hexdigest()[:12]
+            out.append(f"<fn:{qual}:{h}>")
+        else:
+            out.append(f"<fn:{qual}>")
+        return out
+    if isinstance(obj, Suite):
+        for cs in obj.columns.values():
+            out += _callable_digests(cs, _seen)
+        out += _callable_digests(list(obj.row), _seen)
+        for cs in obj.definitions.values():
+            out += _callable_digests(cs, _seen)
+        return out
+    if isinstance(obj, Constraint):
+        import dataclasses
+
+        for f in dataclasses.fields(obj):
+            out += _callable_digests(getattr(obj, f.name), _seen)
+        return out
+    if isinstance(obj, (list, tuple, set, frozenset)):
+        for x in obj:
+            out += _callable_digests(x, _seen)
+        return out
+    if isinstance(obj, dict):
+        for v in obj.values():
+            out += _callable_digests(v, _seen)
+        return out
+    return out
+
+
+def referenced_columns(constraints, definitions=None,
+                       _seen: frozenset = frozenset()) -> set:
     """Columns a constraint list READS beyond the column it is attached to:
     Conform extra_cols (ctx.parent analog) and Dependency on/requires/
-    schema-form targets, recursing through combinator branches. Used by the
-    compiler's missing-column check and by the undeclared-column scan (these
+    schema-form targets, recursing through combinator branches AND Ref
+    targets (pass ``definitions``; round-4 review — a Conform.extra_cols
+    inside a Ref'd definition escaped both the compile-time missing-column
+    check and the declared-column surface). Used by the compiler's
+    missing-column check and by the undeclared-column scan (these
     references are part of the declared surface, not undeclared extras)."""
     out: set = set()
     for c in constraints:
@@ -484,12 +536,17 @@ def referenced_columns(constraints) -> set:
             out |= set(c.requires)
             out |= {t for t, _ in c.constraints}
             for _, sub in c.constraints:
-                out |= referenced_columns([sub])
+                out |= referenced_columns([sub], definitions, _seen)
         elif isinstance(c, (AllOf, AnyOf, OneOf)):
             for b in c.branches:
-                out |= referenced_columns(b)
+                out |= referenced_columns(b, definitions, _seen)
         elif isinstance(c, Not):
-            out |= referenced_columns(c.branch)
+            out |= referenced_columns(c.branch, definitions, _seen)
+        elif isinstance(c, Ref) and definitions and c.name not in _seen:
+            target = definitions.get(c.name)
+            if target:
+                out |= referenced_columns(target, definitions,
+                                          _seen | {c.name})
     return out
 
 
@@ -555,11 +612,21 @@ class Suite:
     def fingerprint(self) -> str:
         """Stable, process-independent hash of the suite definition, used in
         lineage rows so resume only skips partitions validated with the SAME
-        suite. Function objects (Conform expr/pandas_fn) repr with memory
-        addresses — those are normalized away (their qualname survives in
-        the constraint's `name`, which is part of the structure)."""
+        suite.
+
+        Two round-4 review fixes: (1) address normalization targets ONLY
+        function-object reprs (`... at 0x7f...>`) — a blanket 0x… rewrite
+        collided suites whose USER DATA contained hex literals
+        (Enum(('0xa',)) vs Enum(('0xb',)) fingerprinted identically,
+        silently skipping resume re-validation); (2) every callable in the
+        suite contributes a bytecode digest, so editing a Conform lambda's
+        BODY in place changes the fingerprint even though its qualname and
+        repr don't — without it, resume skipped files validated under the
+        OLD logic."""
         import hashlib
         import re
 
-        canon = re.sub(r"0x[0-9a-f]+", "0x0", repr(self))
-        return hashlib.sha256(canon.encode()).hexdigest()[:16]
+        canon = re.sub(r" at 0x[0-9a-f]+>", " at 0x0>", repr(self))
+        code_tokens = "".join(sorted(_callable_digests(self)))
+        return hashlib.sha256(
+            (canon + "|" + code_tokens).encode()).hexdigest()[:16]

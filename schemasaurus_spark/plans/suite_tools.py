@@ -45,30 +45,66 @@ class SuiteVisitor:
 
     def row_constraint(self, label: str, c: dsl.Constraint) -> None: ...
 
+    # combinator/ref descent (round-4 review: the compiler ENFORCES branch
+    # and Ref-target constraints, so generated docs/DDL must see them):
+    # fired around each AllOf/AnyOf/OneOf branch, a Not branch, and a
+    # Ref's resolved definition
+    def branch_start(self, column: str, kind: str, index) -> None: ...
+
+    def branch_end(self, column: str, kind: str, index) -> None: ...
+
     def end(self, suite: dsl.Suite): ...
 
 
-def _visit_constraint(visitor: SuiteVisitor, name: str, c: dsl.Constraint):
+def _visit_constraint(visitor: SuiteVisitor, name: str, c: dsl.Constraint,
+                      definitions=None, _ref_stack: frozenset = frozenset()):
     visitor.constraint(name, c)
     if isinstance(c, dsl.Items):
         visitor.item_start(name, None)
         for sub in c.constraints:
-            _visit_constraint(visitor, name, sub)
+            _visit_constraint(visitor, name, sub, definitions, _ref_stack)
         # array<struct> field descent: the compiler ENFORCES these (codes
         # items.<field>.*), so visitors/markdown/DDL must see them too —
         # fields surface as item events keyed by the field name
         for fname, subs in (c.field_items() if c.fields else []):
             visitor.item_start(name, fname)
             for sub in subs:
-                _visit_constraint(visitor, f"{name}.{fname}", sub)
+                _visit_constraint(visitor, f"{name}.{fname}", sub,
+                                  definitions, _ref_stack)
             visitor.item_end(name, fname)
         visitor.item_end(name, None)
     elif isinstance(c, dsl.TupleItems):
         for i, spec in enumerate(c.specs):
             visitor.item_start(name, i)
             for sub in spec:
-                _visit_constraint(visitor, name, sub)
+                _visit_constraint(visitor, name, sub, definitions,
+                                  _ref_stack)
             visitor.item_end(name, i)
+    elif isinstance(c, (dsl.AllOf, dsl.AnyOf, dsl.OneOf)):
+        for i, branch in enumerate(c.branches):
+            visitor.branch_start(name, c.code, i)
+            for sub in branch:
+                _visit_constraint(visitor, name, sub, definitions,
+                                  _ref_stack)
+            visitor.branch_end(name, c.code, i)
+    elif isinstance(c, dsl.Not):
+        visitor.branch_start(name, "not", 0)
+        for sub in c.branch:
+            _visit_constraint(visitor, name, sub, definitions, _ref_stack)
+        visitor.branch_end(name, "not", 0)
+    elif isinstance(c, dsl.Ref) and definitions and c.name not in _ref_stack:
+        target = definitions.get(c.name)
+        if target:
+            visitor.branch_start(name, f"ref:{c.name}", 0)
+            for sub in target:
+                _visit_constraint(visitor, name, sub, definitions,
+                                  _ref_stack | {c.name})
+            visitor.branch_end(name, f"ref:{c.name}", 0)
+    elif isinstance(c, dsl.Dependency) and c.constraints:
+        visitor.branch_start(name, "dependency", 0)
+        for target, sub in c.constraints:
+            _visit_constraint(visitor, target, sub, definitions, _ref_stack)
+        visitor.branch_end(name, "dependency", 0)
 
 
 def walk_suite(suite: dsl.Suite, visitor: SuiteVisitor):
@@ -79,10 +115,17 @@ def walk_suite(suite: dsl.Suite, visitor: SuiteVisitor):
     for name, constraints in suite.columns.items():
         visitor.column_start(name)
         for c in constraints:
-            _visit_constraint(visitor, name, c)
+            _visit_constraint(visitor, name, c, suite.definitions)
         visitor.column_end(name)
     for label, c in suite.row:
         visitor.row_constraint(label, c)
+        _visit_constraint_children_only = isinstance(
+            c, dsl.Dependency) and c.constraints
+        if _visit_constraint_children_only:
+            visitor.branch_start(label, "dependency", 0)
+            for target, sub in c.constraints:
+                _visit_constraint(visitor, target, sub, suite.definitions)
+            visitor.branch_end(label, "dependency", 0)
     return visitor.end(suite)
 
 
@@ -116,6 +159,13 @@ class _MarkdownVisitor(SuiteVisitor):
         label = "each item" if index is None else f"item[{index}]"
         self.lines.append(f"{'  ' * (self._depth + 1)}- _{label}:_")
         self._depth += 2
+
+    def branch_start(self, column, kind, index):
+        self.lines.append(f"{'  ' * (self._depth + 1)}- _{kind}[{index}]:_")
+        self._depth += 2
+
+    def branch_end(self, column, kind, index):
+        self._depth -= 2
 
     def item_end(self, column, index):
         self._depth -= 2
@@ -158,7 +208,6 @@ class _DdlVisitor(SuiteVisitor):
             self._not_null = True
         else:
             self._checks.append(f"{c.code}: {_describe(c)}")
-        self._col = column
 
     def column_end(self, name):
         t = self.types.get(name, "STRING")

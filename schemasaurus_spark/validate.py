@@ -92,7 +92,8 @@ class ValidationResult:
         declared |= {label.split(".")[0] for label, _ in suite.row}
         refs = _dsl.referenced_columns(
             [c for cs in suite.columns.values() for c in cs]
-            + [c for _, c in suite.row])
+            + [c for _, c in suite.row],
+            definitions=suite.definitions)
         declared |= {r.split(".")[0] for r in refs}
         return [c for c in self.validated.columns if c not in declared]
 
@@ -121,13 +122,25 @@ class ValidationResult:
         return base.unionByName(pseudo)
 
     def metrics(self) -> DataFrame:
-        """Violation counts per (constraint_id, column) — the metrics table."""
-        return (
+        """Violation counts per (constraint_id, column) — the metrics table.
+        Includes the STATIC undeclared-column additionalProperties counts:
+        violations()/verdicts()/is_valid() all report them, and a metrics
+        consumer must not see a clean table the other surfaces call
+        invalid (round-4 review)."""
+        base = (
             self.validated
             .select(F.explode(VIOLATIONS_COL).alias("v"))
             .groupBy("v.constraint_id", "v.column")
             .agg(F.count(F.lit(1)).alias("n_violations"))
         )
+        extra = self.undeclared_columns()
+        if not extra:
+            return base
+        spark = self.validated.sparkSession
+        static = spark.createDataFrame(
+            [("additionalProperties", c, 1) for c in extra],
+            "constraint_id string, column string, n_violations long")
+        return base.unionByName(static)
 
     def violation_examples(self, k: int = 5) -> DataFrame:
         """Up to k example violations per (constraint_id, column) — the
@@ -158,17 +171,28 @@ class ValidationResult:
         return names
 
     def _row_filter(self, want_valid: bool) -> DataFrame:
-        """Row filter with a pushdown barrier: the predicate carries an
-        always-true non-deterministic conjunct so Catalyst cannot inline the
+        """Row filter with a pushdown barrier. Neither an AND-ed barrier
+        nor `when(barrier, pred)` works: Catalyst partitions AND-conjuncts
+        by determinism, and SimplifyConditionalsInPredicate rewrites the
+        CASE WHEN back into `barrier AND pred` — both still push the whole
         compiled constraint tree into the parquet scan as an interpreted
-        DataFilter (see violations() docstring)."""
+        DataFilter (round-4 review, verified in the physical plan; the
+        exact 77s-vs-5s negative-scaling pathology of BENCH.md round 2).
+        An OR-disjunct with a never-true NON-DETERMINISTIC side is not
+        conjunct-splittable, so the predicate stays above the scan — but
+        the barrier must also survive simplification: Spark 4 range-folds
+        `rand() < -1` to false and drops the disjunct (verified).
+        `monotonically_increasing_id() < 0` is flagged non-deterministic,
+        costs nothing, is false by contract, and is NOT folded;
+        tests/test_plans.py pins the scan's DataFilters empty."""
         rv = self.plan.row_valid
         pred = (F.coalesce(rv, F.lit(False)) if rv is not None
                 else F.size(VIOLATIONS_COL) == 0)
         if not want_valid:
             pred = ~pred
-        barrier = F.rand() > F.lit(-1.0)  # always true; blocks pushdown
-        return self.validated.where(pred & barrier).drop(VIOLATIONS_COL)
+        barrier = F.monotonically_increasing_id() < F.lit(0)  # always FALSE
+        return (self.validated.where(pred | barrier)
+                .drop(VIOLATIONS_COL))
 
     def valid_rows(self) -> DataFrame:
         return self._row_filter(True)

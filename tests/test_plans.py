@@ -108,3 +108,34 @@ def test_validate_lineitem_plan_shape(spark):
     assert p.count("*(") >= 1 and "*(2)" not in p  # a single codegen stage
     schema = p.split("ReadSchema: ")[1].split("\n")[0]
     assert "l_quantity" in schema and "l_extendedprice" not in schema
+
+
+def test_row_filter_barrier_blocks_constraint_pushdown(spark, tmp_path):
+    """invalid_rows()/valid_rows() over a parquet scan must NOT push the
+    compiled constraint tree into the FileScan as an interpreted
+    DataFilter (the 77s-vs-5s negative-scaling pathology, BENCH.md round
+    2). Catalyst defeats both an AND-ed non-deterministic conjunct
+    (conjuncts partition by determinism) and when(barrier, pred)
+    (SimplifyConditionalsInPredicate), and range-folds rand()<-1 — pinned
+    here so a future Spark upgrade or refactor can't silently regress it
+    (round-4 review caught exactly that)."""
+    import re
+
+    from schemasaurus_spark import datagen, dsl
+    from schemasaurus_spark.validate import validate
+
+    path = str(tmp_path / "seq")
+    datagen.finalize(datagen.gen_sequences(spark, 500, 2)) \
+        .write.parquet(path)
+    df = spark.read.parquet(path)
+    suite = dsl.Suite(id_column="doc_id",
+                      columns={"n_tok": [dsl.Minimum(1)],
+                               "doc_id": [dsl.NotNull()]})
+    res = validate(df, suite)
+    for frame, n_expect in [(res.valid_rows(), 500),
+                            (res.invalid_rows(), 0)]:
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"DataFilters: \[([^\]]*)\]", plan)
+        assert m is not None and m.group(1).strip() == "", \
+            f"constraint tree pushed into the scan: {m.group(1)[:200]}"
+        assert frame.count() == n_expect
