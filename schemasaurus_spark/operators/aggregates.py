@@ -124,7 +124,9 @@ class FusedAggStats:
     # __ref_miss) — group cardinality sized, never data sized
     rows: list
     null_rate_cols: list[str]
-    n_hist_buckets: int  # n = len(edges) - 1; buckets are -1..n
+    # n = len(edges) - 1 (buckets -1..n); None = drift not configured
+    # (0 is a LEGITIMATE value for a one-edge histogram)
+    n_hist_buckets: int | None
     has_ref: bool
 
     def null_stats(self) -> dict:
@@ -144,6 +146,8 @@ class FusedAggStats:
         identical to collecting histogram(): zero buckets dropped, and a
         group whose drift column is entirely NULL yields no entry (the
         groupBy-after-filter shape never saw it)."""
+        if self.n_hist_buckets is None:
+            return {}
         out: dict = {}
         for r in self.rows:
             dk = r["__drift_key"]
@@ -198,7 +202,11 @@ def fused_aggregate_pass(
         dim_small = (dim.select(F.col(dcol).alias(ref_column)).distinct()
                      .withColumn("__ref_hit", F.lit(1)))
         work = work.join(F.broadcast(dim_small), on=ref_column, how="left")
-    gk1 = (F.col(null_rate_by) if null_rate_by else F.lit("*"))
+    # the null-rate grouping key applies only when null-rate checks are
+    # configured: grouping a drift-only/ref-only run by the default
+    # 'source' crashed tables without that column (round-4 review)
+    gk1 = (F.col(null_rate_by) if (null_rate_by and null_rate_cols)
+           else F.lit("*"))
     gk2 = (F.col(drift_by) if (drift_column and drift_by) else F.lit("*"))
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in null_rate_cols:
@@ -234,7 +242,7 @@ def fused_aggregate_pass(
     rows = (work.groupBy(gk1.alias("group_key"), gk2.alias("__drift_key"))
             .agg(*aggs).collect())
     return FusedAggStats(rows, list(null_rate_cols),
-                         n if (drift_column and edges) else 0,
+                         n if (drift_column and edges) else None,
                          dim is not None)
 
 
@@ -318,11 +326,15 @@ def uniqueness_check(
     # group on the ACTUAL key columns — concat_ws('|') grouping would
     # collide distinct composite keys whose values contain '|'
     # (('x|y','z') vs ('x','y|z')); the joined form is display-only below
+    # __-prefixed staging column (repo convention): a bare 'salt' name
+    # silently OVERWROTE a user key column called 'salt', fragmenting its
+    # values across 64 random buckets — duplicates under-counted and the
+    # screen returned a false clean (round-4 review)
     partial = (
         df.where(not_null)
         .select(*[F.col(kc) for kc in keys])
-        .withColumn("salt", salt)
-        .groupBy(*keys, "salt")
+        .withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     # Phase 2: tiny re-agg over (key) — input is ≤ salt_buckets rows per key.

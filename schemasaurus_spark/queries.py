@@ -81,6 +81,8 @@ SELECT doc_id, 'enum' AS constraint_id, 'lang' AS column, lang AS value
 UNION ALL
 SELECT doc_id, 'required', 'lang', NULL FROM documents WHERE lang IS NULL
 UNION ALL
+SELECT doc_id, 'required', 'doc_id', NULL FROM documents WHERE doc_id IS NULL
+UNION ALL
 SELECT doc_id, 'minimum', 'n_chars', CAST(n_chars AS VARCHAR)
   FROM documents WHERE n_chars IS NOT NULL AND n_chars < {NCHARS_MIN}
 UNION ALL
@@ -114,7 +116,8 @@ def q_verdict_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_VERDICT_BY_SOURCE = f"""
 WITH per_row AS (
   SELECT source,
-         (CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+         (CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+       + (CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
        + (CASE WHEN lang IS NOT NULL AND lang NOT IN ('en','es','de','fr') THEN 1 ELSE 0 END)
        + (CASE WHEN n_chars IS NOT NULL AND n_chars < {NCHARS_MIN} THEN 1 ELSE 0 END)
        + (CASE WHEN n_chars IS NOT NULL AND n_chars > {NCHARS_MAX} THEN 1 ELSE 0 END)
@@ -966,7 +969,7 @@ SQL_NORMALIZE_ROUNDTRIP = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(n_chars AS BIGINT) AS n_chars,
        n_chars % 2 = 0 AS flag,
-       CASE WHEN lang = 'zh' THEN 'unknown' ELSE lang END AS lang,
+       CASE WHEN lang IS NULL OR lang = 'zh' THEN 'unknown' ELSE lang END AS lang,
        CASE WHEN doc_id % 3 <> 0 THEN source ELSE 'none' END AS meta_b
 FROM documents
 """
@@ -1390,7 +1393,8 @@ grid AS (
 filled AS (
   SELECT grid.lang2, grid.bucket, grid.which, COALESCE(hist.c, 0) AS c
   FROM grid LEFT JOIN hist
-    ON hist.lang2 = grid.lang2 AND hist.bucket = grid.bucket
+    ON hist.lang2 IS NOT DISTINCT FROM grid.lang2
+   AND hist.bucket = grid.bucket
    AND hist.which = grid.which),
 clamped AS (
   SELECT lang2, bucket, which,
@@ -1405,7 +1409,7 @@ j AS (
   SELECT c.lang2, c.bucket, c.p AS q, b.p AS p
   FROM (SELECT * FROM probs WHERE which = 'cur') c
   JOIN (SELECT * FROM probs WHERE which = 'base') b
-    ON b.lang2 = c.lang2 AND b.bucket = c.bucket),
+    ON b.lang2 IS NOT DISTINCT FROM c.lang2 AND b.bucket = c.bucket),
 cum AS (
   SELECT lang2, bucket, q, p,
          SUM(q - p) OVER (PARTITION BY lang2 ORDER BY bucket) AS d

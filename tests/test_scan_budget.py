@@ -196,3 +196,38 @@ def test_fused_token_id_drift_matches_standalone(spark):
     assert any(not r.passed for r in got)  # the shift was detected
     # violations stay driver-built (no scans in the frame)
     assert _n_file_scans(res.agg_violations) == 0
+
+
+def test_drift_only_run_without_source_column(spark):
+    """A drift-only config must not group by the default null_rate_by
+    ('source') — tables without that column crashed with
+    UNRESOLVED_COLUMN (round-4 review)."""
+    from schemasaurus_spark import NotNull, Suite
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", i % 50) for i in range(200)],
+        "doc_id long, lang string, n_chars long")
+    edges = [0.0, 10, 20, 30, 40, 50]
+    base_rows = [(r["group_key"], r["bucket"], r["count"]) for r in
+                 agg.histogram(df.withColumn("n_chars", F.col("n_chars") + 30),
+                               "n_chars", edges, by="lang").collect()]
+    baseline = spark.createDataFrame(
+        base_rows, "group_key string, bucket int, count long")
+    res = run_full_validation(
+        df, Suite(id_column="doc_id", columns={"doc_id": [NotNull()]}),
+        AggregateChecks(unique_key=None, drift_baseline=baseline,
+                        drift_edges=edges, drift_column="n_chars",
+                        drift_by="lang"))
+    codes = {r["constraint_id"] for r in res.agg_violations.collect()}
+    assert any(c.startswith("drift.") for c in codes)
+
+
+def test_uniqueness_salt_does_not_clobber_user_salt_column(spark):
+    """A user key column literally named 'salt' must not be overwritten by
+    the internal salting (it fragmented real keys across 64 random
+    buckets and returned a false clean — round-4 review)."""
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y")], "user_id long, salt string")
+    r = agg.uniqueness_check(df, key=["user_id", "salt"])
+    assert not r.screened_clean
+    assert r.violations.count() == 1  # the (1,'x') duplicate
