@@ -28,7 +28,18 @@ from pathlib import Path
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _cpus() -> int:
+    """SPARK_GRAFT_CPUS shared with session.py, where '*' (all cores) is a
+    legal value — int('*') crashed bench before any work (round-4 review)."""
+    raw = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if raw == "*":
+        return os.cpu_count() or 32
+    return int(raw)
+
+
+CPUS = _cpus()
 SEQ_ROWS = int(os.environ.get("SPARK_GRAFT_SEQ_ROWS", "1000000"))
 SEQ_PARQUET = os.environ.get(
     "SPARK_GRAFT_SEQ_PARQUET", f"/tmp/schemasaurus_bench/sequences_{SEQ_ROWS}"
@@ -81,22 +92,23 @@ def ensure_sequences(spark, n_rows: int, n_partitions: int) -> str:
     return path
 
 
-def run_sequences_bench(spark, path: str, prebuilt=None) -> dict:
+def run_sequences_bench(spark, path: str) -> dict:
     """Time the EXECUTION of the full-suite validation job (scan → one
     projection → partial-agg verdicts). Plan compilation (DSL → Catalyst →
     codegen) is one-time driver work — the reference's own compile-once
-    design (README.md:566-646) — and is reported separately."""
+    design (README.md:566-646) — and is reported separately as
+    plan_build_s in the output JSON. A fresh plan is built per call
+    (re-collecting one Dataset instance skips completed shuffle stages)."""
     from schemasaurus_spark.validate import validate
 
     t_compile0 = time.time()
-    if prebuilt is None:
-        df = spark.read.parquet(path)
-        res = validate(df, full_sequences_suite())
-        prebuilt = res.verdicts()
+    df = spark.read.parquet(path)
+    res = validate(df, full_sequences_suite())
+    verdicts = res.verdicts()
     compile_s = time.time() - t_compile0
 
     t0 = time.time()
-    verd = prebuilt.collect()
+    verd = verdicts.collect()
     wall = time.time() - t0
     n_rows = sum(r["n_rows"] for r in verd)
     return {
@@ -105,7 +117,6 @@ def run_sequences_bench(spark, path: str, prebuilt=None) -> dict:
         "plan_build_s": round(compile_s, 3),
         "sequences_per_sec": round(n_rows / wall, 1),
         "n_violations": int(sum(r["n_violations"] for r in verd)),
-        "_prebuilt": prebuilt,
     }
 
 
@@ -147,7 +158,6 @@ def main() -> None:
     seq = None
     for _ in range(attempts):
         s = run_sequences_bench(spark, seq_path)  # fresh plan each attempt
-        s.pop("_prebuilt", None)
         if seq is None or s["wall_s"] < seq["wall_s"]:
             seq = s
     timings["sequences_full_suite"] = seq["wall_s"]
@@ -163,6 +173,7 @@ def main() -> None:
         "sequences_rows": seq["rows"],
         "sequences_per_sec": seq["sequences_per_sec"],
         "sequences_violations": seq["n_violations"],
+        "sequences_plan_build_s": seq["plan_build_s"],
         "attempts_per_query": attempts,
     }
     print(json.dumps(out))

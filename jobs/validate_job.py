@@ -85,6 +85,18 @@ def main() -> int:
                          "the baseline checkpoint)")
     args = ap.parse_args()
 
+    # usage-error gate (exit 2): incompatible/ineffective flag combinations
+    # must not masquerade as clean runs or data failures (round-4 review)
+    if args.normalize and not args.schema_json:
+        print("error: --normalize requires --schema-json (it applies the "
+              "document's defaults/casts/pruning)", file=sys.stderr)
+        return 2
+    if args.incremental and args.snapshot:
+        print("error: --incremental and --snapshot are incompatible — "
+              "incremental mode walks every snapshot not yet in lineage",
+              file=sys.stderr)
+        return 2
+
     # On a cluster, spark-submit provides the session; get_spark only fills
     # in local-mode defaults when run standalone.
     from schemasaurus_spark.session import get_spark
@@ -122,8 +134,22 @@ def main() -> int:
         from schemasaurus_spark.streaming.incremental import (
             IncrementalState, validate_new_snapshots)
 
-        runs = validate_new_snapshots(spark, store, suite, cp,
-                                      IncrementalState())
+        # PERSIST the incremental cursor: a fresh IncrementalState every
+        # invocation re-walked every historical snapshot (file-keyed
+        # lineage made it correct but O(snapshots) driver work per run —
+        # round-4 review)
+        inc_path = os.path.join(args.state, "incremental.json")
+        last = None
+        if os.path.exists(inc_path):
+            with open(inc_path) as f:
+                last = json.load(f).get("last_validated_snapshot")
+        state = IncrementalState(last_validated_snapshot=last)
+        runs = validate_new_snapshots(spark, store, suite, cp, state)
+        tmp = inc_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_validated_snapshot":
+                       state.last_validated_snapshot}, f)
+        os.replace(tmp, inc_path)
         if not runs:
             print(json.dumps({"snapshots_validated": 0, "pass": True}))
             return 0
@@ -160,13 +186,28 @@ def main() -> int:
         edges = [float(x) for x in args.drift_edges.split(",")]
         drift_by = None if args.drift_by in ("", "none") else args.drift_by
         bs = BaselineStore(args.state)
-        hist_fn = agg.array_histogram if args.drift_array else agg.histogram
-        cur_hist = hist_fn(df, args.drift_column, edges, by=drift_by)
         loaded = bs.load(spark, args.drift_column)
         if loaded is None:
-            bs.save(cur_hist, args.drift_column, edges)
+            # bootstrap: freeze the histogram AND how it was built —
+            # comparing later runs under a different grouping/form would
+            # silently flag every group as drifted (round-4 review)
+            hist_fn = (agg.array_histogram if args.drift_array
+                       else agg.histogram)
+            cur_hist = hist_fn(df, args.drift_column, edges, by=drift_by)
+            bs.save(cur_hist, args.drift_column, edges,
+                    config={"drift_by": drift_by,
+                            "is_array": bool(args.drift_array)})
             report["drift"] = "baseline_bootstrapped"
         else:
+            frozen = bs.config(args.drift_column)
+            if frozen and (frozen.get("drift_by") != drift_by
+                           or frozen.get("is_array")
+                           != bool(args.drift_array)):
+                print(f"error: drift baseline for '{args.drift_column}' "
+                      f"was built with {frozen}; rerun with the same "
+                      f"--drift-by/--drift-array or re-baseline under a "
+                      f"fresh --state", file=sys.stderr)
+                return 2
             base_hist, base_edges = loaded
             results = agg.drift_check(df, base_hist, args.drift_column,
                                       base_edges, by=drift_by,
@@ -183,4 +224,13 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except SystemExit:
+        raise
+    except Exception:  # noqa: BLE001 — exit-code contract: 1 is reserved
+        # for "violations found"; a crash must not read as a data failure
+        import traceback
+
+        traceback.print_exc()
+        sys.exit(2)

@@ -93,6 +93,11 @@ def corrupt_pattern(df: DataFrame, every: int = 20) -> DataFrame:
 
 def corrupt_range(df: DataFrame, every: int = 20) -> DataFrame:
     """V-range-lo / V-range-hi → `minimum` / `maximum` (v4validator.js:294-302)."""
+
+    # round-4 review note: rows marked by BOTH the lo (salt 103) and hi
+    # (salt 104) predicates (~1/every^2 of rows) take only the lo branch
+    # of the when-chain — a count derived from the hi predicate alone
+    # overcounts by exactly those rows; assert membership, not equality.
     lo = _mark(every, 103)
     hi = _mark(every, 104)
     return df.withColumn(
@@ -143,7 +148,14 @@ def corrupt_elem_range(df: DataFrame, every: int = 20) -> DataFrame:
 
 def corrupt_intra_dup(df: DataFrame, every: int = 20) -> DataFrame:
     """V-intra-dup → `uniqueItems` (v4validator.js:233-246): force tokens[1]
-    to repeat tokens[0]."""
+    to repeat tokens[0].
+
+    CONTRACT CAVEAT (round-4 review): clean generated token arrays ALSO
+    collide naturally at high rates (birthday bound over VOCAB=50257:
+    ~9% at n_tok=100, near-certain at n_tok~1800), so the marked-row
+    predicate identifies a SUBSET of uniqueItems violations, never the
+    full expected set. Tests over uniqueItems-enabled suites must assert
+    membership ("every marked row violates"), not equality of counts."""
     m = _mark(every, 111) & (F.size("tokens") >= 2)
     dup = F.concat(
         F.slice("tokens", 1, 1),

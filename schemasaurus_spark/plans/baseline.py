@@ -31,7 +31,8 @@ class BaselineStore:
     def exists(self, column: str) -> bool:
         return (self._dir(column) / "edges.json").exists()
 
-    def save(self, hist: DataFrame, column: str, edges: list[float]) -> None:
+    def save(self, hist: DataFrame, column: str, edges: list[float],
+             config: dict | None = None) -> None:
         """Freeze the current histogram + its edges. Histogram is groups ×
         buckets rows — sketch-sized at any input scale.
 
@@ -58,8 +59,13 @@ class BaselineStore:
         hist.coalesce(1).write.mode("overwrite").parquet(
             str(d / f"hist-{version}"))
         tmp = d / "edges.json.tmp"
+        # `config` freezes HOW the histogram was built (group key, scalar
+        # vs array form): comparing against a baseline built under a
+        # different grouping silently flags every group as drifted
+        # (round-4 review) — callers check config(column) and refuse
         tmp.write_text(json.dumps({"column": column, "edges": list(edges),
-                                   "hist": f"hist-{version}"}))
+                                   "hist": f"hist-{version}",
+                                   "config": config or {}}))
         tmp.replace(d / "edges.json")  # atomic commit, written LAST
         # best-effort cleanup of superseded versions (crash-safe: an
         # uncommitted or stale hist-* dir is simply never referenced).
@@ -81,3 +87,10 @@ class BaselineStore:
         meta = json.loads((d / "edges.json").read_text())
         hist_dir = meta.get("hist", "hist")  # pre-versioning baselines
         return spark.read.parquet(str(d / hist_dir)), meta["edges"]
+
+    def config(self, column: str) -> dict:
+        """The frozen build config ({} for pre-config baselines)."""
+        d = self._dir(column)
+        if not self.exists(column):
+            return {}
+        return json.loads((d / "edges.json").read_text()).get("config", {})

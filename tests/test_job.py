@@ -113,3 +113,56 @@ def test_job_token_id_array_drift(spark, tmp_path):
     assert rc2 == 0 and rep2["pass"], rep2
     assert isinstance(rep2["drift"], list) and rep2["drift"]
     assert all(g["pass"] for g in rep2["drift"])  # same generator, no drift
+
+
+def test_job_drift_config_mismatch_is_usage_error(spark, tmp_path):
+    """A baseline frozen under one --drift-by must refuse comparison under
+    another (exit 2), not silently flag every group as drifted."""
+    from schemasaurus_spark import datagen
+    from schemasaurus_spark.sources.storage import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    store.append(datagen.finalize(datagen.gen_sequences(spark, 200, 2)))
+    state = str(tmp_path / "state")
+    rep1, rc1 = _run_job("--table", str(tmp_path / "tbl"), "--state", state,
+                         "--aggregate", "--drift-by", "none")
+    assert rc1 == 0 and rep1["drift"] == "baseline_bootstrapped"
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "validate_job.py"),
+         "--table", str(tmp_path / "tbl"), "--state", state,
+         "--aggregate", "--drift-by", "source"],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+        env=dict(os.environ, SPARK_GRAFT_CPUS="4"))
+    assert out.returncode == 2
+    assert "drift baseline" in out.stderr
+
+
+def test_job_usage_errors_exit_2(spark, tmp_path):
+    for extra in (["--normalize"],
+                  ["--incremental", "--snapshot", "s00000"]):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "jobs", "validate_job.py"),
+             "--table", str(tmp_path / "t"), "--state", str(tmp_path / "s"),
+             *extra],
+            capture_output=True, text=True, timeout=120, cwd=REPO)
+        assert out.returncode == 2, (extra, out.stderr[-300:])
+
+
+def test_job_incremental_cursor_persists(spark, tmp_path):
+    """The incremental cursor survives across invocations, so a no-change
+    rerun does not re-walk every historical snapshot."""
+    import json as _json
+    from schemasaurus_spark import datagen
+    from schemasaurus_spark.sources.storage import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    snap = store.append(datagen.finalize(datagen.gen_sequences(spark, 100, 2)))
+    state = str(tmp_path / "state")
+    _run_job("--table", str(tmp_path / "tbl"), "--state", state,
+             "--incremental")
+    cursor = _json.load(open(os.path.join(state, "incremental.json")))
+    assert cursor["last_validated_snapshot"] == snap.id
+    rep2, rc2 = _run_job("--table", str(tmp_path / "tbl"), "--state", state,
+                         "--incremental")
+    assert rc2 == 0 and rep2 == {"snapshots_validated": 0, "pass": True}
