@@ -469,11 +469,28 @@ class Dependency(Constraint):
 # --------------------------------------------------------------------- suite
 
 
+def _code_bytes(code) -> bytes:
+    """Stable byte serialization of a code object: co_code + co_names +
+    each const, RECURSING into nested code objects (a lambda/genexp inside
+    a Conform callable). repr() of a code object embeds a per-process
+    memory address ('<code object ... at 0x7f...>'), which broke
+    cross-process fingerprint stability — resume depends on it."""
+    parts = [code.co_code, repr(code.co_names).encode()]
+    for c in code.co_consts:
+        if hasattr(c, "co_code"):  # nested code object
+            parts.append(b"<code:" + c.co_name.encode() + b":"
+                         + _code_bytes(c) + b">")
+        else:
+            parts.append(repr(c).encode())
+    return b"\x00".join(parts)
+
+
 def _callable_digests(obj, _seen: set | None = None) -> list:
     """Bytecode digests of every callable reachable from a Suite/Constraint
     graph (Conform expr/pandas_fn, extension hooks): qualname +
-    sha256(co_code + co_consts + co_names). Deterministic across processes
-    (no addresses), sensitive to body edits."""
+    sha256(co_code + co_consts + co_names, nested code objects recursed).
+    Deterministic across processes (no addresses), sensitive to body
+    edits."""
     import hashlib
 
     _seen = _seen if _seen is not None else set()
@@ -485,10 +502,7 @@ def _callable_digests(obj, _seen: set | None = None) -> list:
         code = getattr(obj, "__code__", None)
         qual = getattr(obj, "__qualname__", repr(type(obj)))
         if code is not None:
-            h = hashlib.sha256(
-                code.co_code
-                + repr(code.co_consts).encode()
-                + repr(code.co_names).encode()).hexdigest()[:12]
+            h = hashlib.sha256(_code_bytes(code)).hexdigest()[:12]
             out.append(f"<fn:{qual}:{h}>")
         else:
             out.append(f"<fn:{qual}>")

@@ -277,7 +277,8 @@ def ann_ivf_topk_from_index(spark, index_path: str, centroids,
 
     cents = np.asarray(centroids, dtype=np.float64)
     q = np.asarray(query_vec, dtype=np.float64)
-    probe = np.argsort(((cents - q) ** 2).sum(1))[:n_probe].tolist()
+    probe = np.argsort(((cents - q) ** 2).sum(1),
+                       kind="stable")[:n_probe].tolist()
     idx = spark.read.parquet(index_path).where(F.col("cluster").isin(probe))
     qlit = F.lit([float(v) for v in query_vec]).cast("array<double>")
     score = F.round(cosine(F.col("v"), qlit), round_to)
@@ -299,7 +300,8 @@ def ann_ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
         centroids = ivf_train_centroids(df, vec_col=vec_col)
     cents = np.asarray(centroids, dtype=np.float64)
     q = np.asarray(query_vec, dtype=np.float64)
-    probe = np.argsort(((cents - q) ** 2).sum(1))[:n_probe].tolist()
+    probe = np.argsort(((cents - q) ** 2).sum(1),
+                       kind="stable")[:n_probe].tolist()
 
     assigned = ivf_assign(df, cents, vec_col, id_col)
     candidates = (

@@ -1453,7 +1453,10 @@ def q_tdigest_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("n_chars", F.lit(0.95)).alias("q95")).collect()
 
     def close(a, b):
-        return a is not None and abs(a - b) <= max(0.1 * abs(b), 2.0)
+        # b is None when a group's n_chars are all NULL — exact percentile
+        # returns NULL and abs(a - b) would TypeError on the driver.
+        return (a is not None and b is not None
+                and abs(a - b) <= max(0.1 * abs(b), 2.0))
 
     rows = []
     for r in exact:

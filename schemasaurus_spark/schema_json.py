@@ -74,6 +74,32 @@ def _definitions_ref_name(ref: str) -> Optional[str]:
     return None
 
 
+# %-escapes decodeURI leaves INTACT (JS spec: ; / ? : @ & = + $ , #).
+_URI_RESERVED_ESCAPES = __import__("re").compile(
+    r"%(23|24|26|2[Bb]|2[Cc]|2[Ff]|3[Aa]|3[Bb]|3[Dd]|3[Ff]|40)")
+
+
+def _decode_uri(s: str) -> str:
+    """JS ``decodeURI`` semantics: percent-decode (UTF-8 aware) but leave
+    reserved-character escapes encoded. Implemented by shielding reserved
+    escapes behind sentinels, running the stdlib decoder, then restoring."""
+    from urllib.parse import unquote
+
+    if "%" not in s:
+        return s
+    keep: list[str] = []
+
+    def _protect(m):
+        keep.append(m.group(0))
+        return f"\x00\x01{len(keep) - 1}\x01\x00"
+
+    shielded = _URI_RESERVED_ESCAPES.sub(_protect, s)
+    out = unquote(shielded)
+    for i, orig in enumerate(keep):
+        out = out.replace(f"\x00\x01{i}\x01\x00", orig)
+    return out
+
+
 def resolve_json_pointer(root: dict, ref: str, loader=None):
     """Resolve any JSON-pointer ``$ref`` — the reference's ``resolveRef``
     (``/root/reference/src/int/references.js:7-27``): URI-decode, split on
@@ -86,10 +112,14 @@ def resolve_json_pointer(root: dict, ref: str, loader=None):
     reference's ``defaultLoader`` (references.js:3-5). A bare '#'-less ref
     is treated as remote too. Refs inside the resolved remote target keep
     resolving against the ORIGINAL document — the reference's ``step``
-    keeps ``this.schemaRoot`` unchanged after a remote resolve."""
-    from urllib.parse import unquote
+    keeps ``this.schemaRoot`` unchanged after a remote resolve.
 
-    rem, sep, loc = unquote(ref).partition("#")
+    URI-decoding follows JS ``decodeURI`` (what references.js:12 calls),
+    NOT ``decodeURIComponent``: escapes of RESERVED characters
+    (``# $ & + , / : ; = ? @``) stay encoded, so ``a%23b`` remains a
+    single fragment-safe name and ``%2F`` inside a pointer segment does
+    not split it into two segments."""
+    rem, sep, loc = _decode_uri(ref).partition("#")
     if rem or not sep:
         if loader is None:
             raise SchemaTranslationError(

@@ -100,3 +100,70 @@ def test_walker_descends_combinators_and_refs():
     assert "enum" in md                            # not branch
     assert "maxLength" in md                       # ref target
     assert "anyOf[0]" in md and "ref:short[0]" in md
+
+
+# --- round-5 review fixes -------------------------------------------------
+
+
+_FP_SNIPPET = """
+from schemasaurus_spark import dsl
+
+def _expr(c):
+    items = [1, 2, 3]
+    ok = (lambda x: x >= min(v for v in items))  # nested lambda + genexp
+    return ok(c)
+
+s = dsl.Suite(columns={"c": [dsl.Conform(expr=_expr)]}, name="fp_stability")
+print(s.fingerprint())
+"""
+
+
+def test_fingerprint_cross_process_with_nested_lambda():
+    """Suite.fingerprint must be identical across interpreter processes
+    even when a Conform callable embeds NESTED code objects (a lambda and
+    a genexp live in co_consts): repr() of a code object carries a
+    per-process address, which previously made every driver restart
+    recompute a fresh suite_hash and re-validate the whole snapshot."""
+    import subprocess
+    import sys
+
+    runs = [
+        subprocess.run([sys.executable, "-c", _FP_SNIPPET],
+                       capture_output=True, text=True, check=True,
+                       timeout=120).stdout.strip()
+        for _ in range(2)
+    ]
+    assert runs[0] and runs[0] == runs[1]
+
+
+def test_json_pointer_decodes_like_decodeURI():
+    """references.js:12 uses decodeURI, which leaves RESERVED escapes
+    (%23='#', %2F='/') encoded — so 'a%23b' is one segment naming the
+    literal key 'a%23b', and %2F must not split a segment in two. Only
+    non-reserved escapes (%20) decode."""
+    from schemasaurus_spark.schema_json import resolve_json_pointer
+
+    root = {"definitions": {"a%23b": {"t": 1}, "a%2Fb": {"t": 2},
+                            "a b": {"t": 3}}}
+    assert resolve_json_pointer(root, "#/definitions/a%23b") == {"t": 1}
+    assert resolve_json_pointer(root, "#/definitions/a%2Fb") == {"t": 2}
+    assert resolve_json_pointer(root, "#/definitions/a%20b") == {"t": 3}
+
+
+def test_tdigest_accuracy_survives_all_null_group(spark, tmp_path):
+    """A lang whose n_chars are ALL NULL makes exact percentile return
+    None; close() must record False/skip rather than TypeError-ing the
+    whole bench run."""
+    from schemasaurus_spark.queries import q_tdigest_accuracy
+
+    rows = [(i, "t" * (50 + i), "xx", "s0", None) for i in range(40)]
+    rows += [(100 + i, "u" * (60 + i), "en", "s1", 60 + i)
+             for i in range(40)]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = q_tdigest_accuracy(spark, str(tmp_path)).collect()
+    got = {(r["lang"], r["q"]): r["within_tol"] for r in out}
+    assert got[("en", "p50")] is True
+    assert got[("xx", "p50")] is False  # all-NULL group: not close, no crash
