@@ -53,7 +53,7 @@ HEADLINE = [
     "embedding_neardup", "violation_rank", "winnow_fingerprints",
     "rollup_docs", "sessionize_events", "validate_lineitem",
     "salted_events_stats", "validate_spans", "validate_nested",
-    "full_validation", "conformance_misc",
+    "full_validation", "conformance_all",
 ]
 
 

@@ -308,6 +308,30 @@ class KeyPattern(Constraint):
 
 
 @dataclass(frozen=True)
+class StructClosed(Constraint):
+    """``additionalProperties: false`` on an OBJECT node that maps to a
+    STRUCT column (``src/v4validator.js:287`` at a nested object ctx). The
+    struct type is static, so the check compiles to per-undeclared-field
+    null probes — a field outside ``allowed`` (and matching none of
+    ``patterns``, draft-4 patternProperties search semantics) with a
+    NON-null value emits one ``additionalProperties`` violation carrying
+    the field name. Null undeclared fields pass: the engine collapses
+    missing and null (SURVEY §1.2), and a padded-absent property must not
+    fire."""
+
+    allowed: Sequence[str] = ()
+    patterns: Sequence[str] = ()
+
+    def __post_init__(self):
+        object.__setattr__(self, "allowed", tuple(self.allowed))
+        object.__setattr__(self, "patterns", tuple(self.patterns))
+
+    @property
+    def code(self) -> str:
+        return "additionalProperties"
+
+
+@dataclass(frozen=True)
 class PatternProperties(Constraint):
     """draft-4 ``patternProperties`` VALUE sub-schemas (+ the schema form
     of ``additionalProperties``) for map columns — processor.js:90-111

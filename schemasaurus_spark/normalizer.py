@@ -129,13 +129,64 @@ def _cast(col: Column, dtype, target: str) -> Column:
             return col != 0  # JS truthiness for numbers
         return _parse_bool(col)
     if target.startswith("array"):
-        if isinstance(dtype, T.ArrayType):
-            return col
         elem = target[len("array<"):-1] if "<" in target else "string"
+        if isinstance(dtype, T.ArrayType):
+            # the reference walker fires [type] on EVERY array element
+            # (normalizer.js:25-56 via src/int/processor.js:31-64 descent):
+            # an already-array column casts per element — ["1","2"] with
+            # array<integer> becomes [1,2], non-numeric elements null
+            # (round-4 VERDICT missing #1), it does NOT pass through
+            return F.transform(col, _elem_caster(dtype.elementType, elem))
+        if elem in _NORMALIZER_SCALARS:
+            return F.array(_cast(col, dtype, elem))
         return F.array(col.cast(elem))
+    if target.startswith("map"):
+        # map<elem>: per-VALUE cast via transform_values (the walker
+        # descends into every map entry the same way it descends array
+        # elements; round-4 VERDICT missing #6 — patternProperties VALUE
+        # sub-schemas validate maps, so the normalizer must cast them too)
+        elem = target[len("map<"):-1] if "<" in target else "string"
+        if isinstance(dtype, T.MapType):
+            return F.transform_values(col,
+                                      _map_value_caster(dtype.valueType, elem))
+        return col.cast(f"map<string,{_elem_ddl(elem)}>")
     if target == "passthrough":
         return col
     raise ValueError(f"Unknown normalizer type '{target}'")
+
+
+_NORMALIZER_SCALARS = ("string", "integer", "number", "boolean")
+
+
+def _elem_ddl(elem: str) -> str:
+    """Spark DDL for a normalizer element-type name (non-names pass
+    through as DDL verbatim, e.g. 'long' — pre-round-5 spec compat)."""
+    return {"string": "string", "integer": "long", "number": "double",
+            "boolean": "boolean"}.get(elem, elem)
+
+
+def _elem_caster(elem_dtype, elem_target: str):
+    """Closure factory (NOT a default-arg lambda: F.transform treats
+    two-arg callables as (element, index) — CLAUDE.md round-1 gotcha)."""
+    if elem_target in _NORMALIZER_SCALARS:
+        def fire(e: Column) -> Column:
+            return _cast(e, elem_dtype, elem_target)
+        return fire
+
+    def ddl(e: Column) -> Column:
+        return e.cast(elem_target)
+    return ddl
+
+
+def _map_value_caster(value_dtype, elem_target: str):
+    if elem_target in _NORMALIZER_SCALARS:
+        def fire(k: Column, v: Column) -> Column:
+            return _cast(v, value_dtype, elem_target)
+        return fire
+
+    def ddl(k: Column, v: Column) -> Column:
+        return v.cast(elem_target)
+    return ddl
 
 
 def _resolve_path(schema, path: str):
@@ -155,7 +206,16 @@ def _leaf_expr(df_schema, path: str, cs: ColumnSpec) -> Column:
     exists, dtype = _resolve_path(df_schema, path)
     col = F.col(path) if exists else F.lit(None)
     if cs.has_default:
-        col = F.coalesce(col, F.lit(cs.default))
+        if isinstance(cs.default, dict):
+            # map-typed default: build a map literal (F.lit rejects dicts)
+            entries = [x for kv in cs.default.items()
+                       for x in (F.lit(kv[0]), F.lit(kv[1]))]
+            dflt = F.create_map(*entries) if entries else F.expr("map()")
+            if exists and isinstance(dtype, T.MapType):
+                dflt = dflt.cast(dtype)  # align entry types for coalesce
+            col = F.coalesce(col, dflt)
+        else:
+            col = F.coalesce(col, F.lit(cs.default))
     if cs.type == "passthrough" and exists:
         # keep the column's OWN type — the when/otherwise wrapper below
         # types its null branch, and "passthrough" has no target type to
@@ -231,6 +291,9 @@ def _typed_null(target: str) -> Column:
         "string": "string", "integer": "long", "number": "double",
         "boolean": "boolean", "passthrough": "string",
     }.get(target)
-    if t is None and target.startswith("array"):
-        t = target if "<" in target else "array<string>"
+    if t is None and target.startswith(("array", "map")):
+        inner = target[target.index("<") + 1:-1] if "<" in target else "string"
+        ddl = _elem_ddl(inner)
+        t = (f"array<{ddl}>" if target.startswith("array")
+             else f"map<string,{ddl}>")
     return F.lit(None).cast(t or "string")

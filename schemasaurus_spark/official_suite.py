@@ -50,7 +50,8 @@ from pyspark.sql import SparkSession
 
 from schemasaurus_spark import dsl
 from schemasaurus_spark.schema_json import (
-    SchemaTranslationError, _constraints_from, suite_from_json_schema,
+    SchemaTranslationError, _constraints_from, is_object_form,
+    merge_object_allof, suite_from_json_schema,
 )
 from schemasaurus_spark.validate import validate
 
@@ -231,7 +232,9 @@ def _object_mode(schema: dict) -> bool:
     return isinstance(schema, dict) and (
         "properties" in schema
         or isinstance(schema.get("required"), list)
-        or "dependencies" in schema)
+        or "dependencies" in schema
+        or any(is_object_form(b) for b in schema.get("allOf", [])
+               if isinstance(schema.get("allOf"), list)))
 
 
 def _prefix_columns(columns: dict, row: list, col: str) -> tuple[dict, list]:
@@ -270,16 +273,26 @@ class TestPlan:
     sub_columns: dict | None
     sub_row: list | None
     defs: dict
+    # constraints on the object column ITSELF in object mode (root
+    # additionalProperties=false → StructClosed on the struct)
+    self_cs: list = field(default_factory=list)
 
     def columns_for(self, col: str) -> tuple[dict, list]:
         if self.own is not None:
             return {col: self.own}, []
-        return _prefix_columns(self.sub_columns, self.sub_row, col)
+        cols, row = _prefix_columns(self.sub_columns, self.sub_row, col)
+        if self.self_cs:
+            cols[col] = list(self.self_cs) + cols.get(col, [])
+        return cols, row
 
 
-def plan_test(t: OfficialTest) -> TestPlan:
-    """One test → :class:`TestPlan`. Raises _Untypeable /
-    SchemaTranslationError for the documented-divergence shapes."""
+def plan_test(t: OfficialTest, ref_loader=None) -> TestPlan:
+    r"""One test → :class:`TestPlan`. Raises _Untypeable /
+    SchemaTranslationError for the documented-divergence shapes.
+    ``ref_loader`` resolves REMOTE ``$ref``\ s (the reference's
+    ``options.loader``, compiler.js:143) — without it remote-ref cases
+    raise and record a skip, exactly like the reference's
+    ``defaultLoader``."""
     schema = t.schema
     if isinstance(schema, bool):
         raise SchemaTranslationError(
@@ -289,7 +302,18 @@ def plan_test(t: OfficialTest) -> TestPlan:
             "top-level null data: missing-vs-null collapses in a DataFrame "
             "row (documented divergence, SURVEY §1.2)")
     if _object_mode(schema) and isinstance(t.data, dict):
-        sub = suite_from_json_schema(schema, id_column="cid")
+        sub = suite_from_json_schema(schema, id_column="cid",
+                                     ref_loader=ref_loader)
+        # allOf-of-object-form branches fold into the parent (the same
+        # merge suite_from_json_schema applies internally) so the DDL and
+        # padding below see every branch-declared property
+        schema = merge_object_allof(schema)
+        self_cs: list = []
+        if schema.get("additionalProperties") is False:
+            self_cs.append(dsl.StructClosed(
+                allowed=list(schema.get("properties") or {})
+                + [r for r in (schema.get("required") or [])],
+                patterns=list(schema.get("patternProperties") or {})))
         # the struct must carry every property the suite constrains, plus
         # every key the data actually has
         data = dict(t.data)
@@ -308,7 +332,7 @@ def plan_test(t: OfficialTest) -> TestPlan:
         data = _pad_declared(data, {"properties": props})
         ddl = _ddl_of(data, {"properties": props})
         return TestPlan(ddl, _convert(data), None, dict(sub.columns),
-                        list(sub.row), sub.definitions)
+                        list(sub.row), sub.definitions, self_cs=self_cs)
     # map-mode: key-count / key-pattern keywords operate on MapType
     if isinstance(t.data, dict):
         if not t.data:
@@ -316,13 +340,16 @@ def plan_test(t: OfficialTest) -> TestPlan:
         else:
             ddl = (f"map<string, "
                    f"{_unify({_ddl_of(v) for v in t.data.values()})}>")
-        cs = _constraints_from(schema, None, False, root=schema)
+        cs = _constraints_from(schema, None, False, root=schema,
+                               loader=ref_loader)
         return TestPlan(ddl, dict(t.data), cs, None, None, {})
     # value-mode: `definitions` is a container, not a constraint keyword —
     # translate it into named Refs (the root stays available for pointers)
     own = {k: v for k, v in schema.items() if k != "definitions"}
-    cs = _constraints_from(own, None, False, root=schema)
-    defs = {n: _constraints_from(d, None, False, root=schema)
+    cs = _constraints_from(own, None, False, root=schema,
+                           loader=ref_loader)
+    defs = {n: _constraints_from(d, None, False, root=schema,
+                                 loader=ref_loader)
             for n, d in (schema.get("definitions") or {}).items()}
     return TestPlan(_ddl_of(t.data, schema), _convert(t.data), cs, None,
                     None, defs)
@@ -333,7 +360,8 @@ def plan_test(t: OfficialTest) -> TestPlan:
 
 def run_official_tests(spark: SparkSession, tests: list[OfficialTest],
                        ignored: list[str] | None = None,
-                       batch_size: int = 24) -> SuiteRunResult:
+                       batch_size: int = 24,
+                       ref_loader=None) -> SuiteRunResult:
     """Evaluate official-format tests, batched (~24 per Spark job).
 
     A test whose schema carries ``definitions`` runs in its own frame
@@ -347,7 +375,7 @@ def run_official_tests(spark: SparkSession, tests: list[OfficialTest],
             res.skipped.append((t, "ignore-list"))
             continue
         try:
-            plan = plan_test(t)
+            plan = plan_test(t, ref_loader=ref_loader)
         except (_Untypeable, SchemaTranslationError) as e:
             res.skipped.append((t, str(e)))
             continue

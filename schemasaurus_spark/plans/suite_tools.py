@@ -230,3 +230,138 @@ class _DdlVisitor(SuiteVisitor):
 def suite_to_ddl(suite: dsl.Suite, table: str = "sequences",
                  types: Optional[dict] = None) -> str:
     return walk_suite(suite, _DdlVisitor(table, types))
+
+
+# ------------------------------------------------------- per-VALUE tools
+#
+# The reference's generated function runs over DATA (``newIterator`` →
+# ``gen(object)``, src/iterator.js:14 + README.md:314-646 form generator).
+# The Spark-first analog compiles a Suite + selector tool into ONE
+# projection: each selector method returns a per-row Column fragment, and
+# ``end`` combines them into the tool's per-row output — so the "form
+# generator" renders for every row of a DataFrame in a single pass, no
+# Python in the row loop.
+
+import re as _re
+
+from pyspark.sql import Column, DataFrame, functions as F
+from dataclasses import dataclass as _dataclass
+
+_SELECTOR_COND = _re.compile(r"\[(\^?)([^=\]]+?)(?:=([^\]]+))?\]")
+_SELECTOR_MODS = (":start", ":end", ":item", ":item-end")
+
+
+def _parse_selector(sel: str):
+    """``[attr]`` / ``[^attr]`` / ``[attr=value]`` / ``[^attr=value]`` /
+    ``[a][b]`` conjunctions, with ``:start``/``:end``/``:item``/
+    ``:item-end`` modifiers — the reference's selector syntax
+    (README.md:399-412, src/int/matchers.js:31-63)."""
+    mod = "plain"
+    base = sel
+    for suffix in _SELECTOR_MODS:
+        if sel.endswith(suffix):
+            base, mod = sel[:-len(suffix)], suffix[1:]
+            break
+    conds = [(m.group(1) == "^", m.group(2), m.group(3))
+             for m in _SELECTOR_COND.finditer(base)]
+    if not conds:
+        raise ValueError(f"selector {sel!r} has no [attr] condition")
+    return conds, mod
+
+
+def _selector_matches(conds, kws: dict) -> bool:
+    for neg, attr, val in conds:
+        if val is None:
+            ok = attr in kws
+        else:
+            ok = attr in kws and str(kws[attr]).lower() == val.lower()
+        if ok == neg:  # [^attr] wants absence; [attr] wants presence
+            return False
+    return True
+
+
+def column_keywords(constraints) -> dict:
+    """Draft-4 keyword view of a constraint list (what selectors match
+    against) — the reverse translation schema_json already maintains."""
+    from schemasaurus_spark.schema_json import _constraint_to_keywords
+
+    kws: dict = {}
+    for c in constraints:
+        try:
+            kws.update(_constraint_to_keywords(c))
+        except Exception:
+            kws[c.code] = True  # extension/no-JSON-form constraints
+    return kws
+
+
+@_dataclass
+class ToolCtx:
+    """ctx analog (README.md:372-375): ``path`` is the column (dotted for
+    nested struct fields), ``keywords`` the matched schema view."""
+
+    path: str
+    keywords: dict
+
+
+class RowTool:
+    """Subclass and override — the SelectorCtor analog. ``selectors()``
+    maps selector strings to methods ``fn(col, ctx) -> Column | None``;
+    each non-None return becomes one per-row fragment, in declaration
+    order with ``:start`` fragments first and ``:end`` last per column.
+    ``:item`` selectors fire per ARRAY ELEMENT: the method receives the
+    element Column inside ``F.transform`` and its fragments are
+    ``array_join``-ed. ``end(fragments)`` combines everything into the
+    per-row output Column."""
+
+    def begin(self) -> None: ...
+
+    def selectors(self) -> dict:
+        return {}
+
+    def end(self, fragments: list) -> Column:
+        return F.concat_ws("\n", *fragments)
+
+
+def compile_row_tool(suite: dsl.Suite, tool_cls):
+    """``newIterator(schema, SelectorCtor)`` analog: returns
+    ``gen(df, output_col) -> DataFrame`` emitting ``(id_column,
+    output_col)`` — one declarative projection, zero shuffle, zero
+    per-row Python."""
+    def gen(df: DataFrame, output_col: str = "tool_output") -> DataFrame:
+        tool = tool_cls()
+        tool.begin()
+        parsed = [(sel, *_parse_selector(sel), fn)
+                  for sel, fn in tool.selectors().items()]
+        fragments: list[Column] = []
+        for name, constraints in suite.columns.items():
+            kws = column_keywords(constraints)
+            ctx = ToolCtx(path=name, keywords=kws)
+            col = F.col(name)
+            for phase in ("start", "plain", "end"):
+                for sel, conds, mod, fn in parsed:
+                    if mod != phase or not _selector_matches(conds, kws):
+                        continue
+                    frag = fn(col, ctx)
+                    if frag is not None:
+                        fragments.append(frag)
+            item_sels = [(sel, conds, mod, fn)
+                         for sel, conds, mod, fn in parsed
+                         if mod in ("item", "item-end")
+                         and _selector_matches(conds, kws)]
+            if item_sels:
+                def make_fire(sels, c2):
+                    def fire(e):
+                        parts = [fn(e, c2) for _, _, m2, fn in sels
+                                 if m2 == "item"]
+                        parts += [fn(e, c2) for _, _, m2, fn in sels
+                                  if m2 == "item-end"]
+                        return F.concat_ws(
+                            "", *[p for p in parts if p is not None])
+                    return fire
+                fragments.append(F.array_join(
+                    F.transform(col, make_fire(item_sels, ctx)), ""))
+        out = tool.end(fragments)
+        cols = ([F.col(suite.id_column)]
+                if suite.id_column in df.columns else [])
+        return df.select(*cols, out.alias(output_col))
+    return gen

@@ -16,6 +16,8 @@ Numeric-parity rules used throughout:
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -951,6 +953,17 @@ def q_normalize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # meta.b missing/NULL → default; emitted as a scalar field because
         # struct rendering differs across engines
         F.struct(F.when(F.col("doc_id") % 3 != 0, F.col("source")).alias("b")).alias("meta"),
+        # round-5: element-wise cast INSIDE an existing array
+        # (normalizer.js element descent) and map VALUE casts + dict
+        # default — emitted as scalars (array/map rendering differs
+        # across engines)
+        F.array(F.col("n_chars").cast("string"), F.lit("x7"),
+                F.col("doc_id").cast("string")).alias("tags"),
+        F.when(F.col("doc_id") % 10 != 0,
+               F.map_from_arrays(
+                   F.array(F.lit("a"), F.lit("b")),
+                   F.array(F.col("n_chars").cast("string"),
+                           F.lit("12.9kg")))).alias("attrs"),
         F.lit("junk").alias("undeclared"),
     )
     spec = NormalizerSpec([
@@ -959,10 +972,17 @@ def q_normalize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         col_spec("flag", "boolean"),
         col_spec("lang", "string", default="unknown"),
         col_spec("meta.b", "string", default="none"),
+        col_spec("tags", "array<integer>"),
+        col_spec("attrs", "map<integer>", default={"a": "0"}),
     ])
     return normalize(staged, spec).select(
         "doc_id", "n_chars", "flag", "lang",
-        F.col("meta.b").alias("meta_b"))
+        F.col("meta.b").alias("meta_b"),
+        F.col("tags")[0].alias("tag0"),
+        F.col("tags")[1].alias("tag1"),
+        F.col("tags")[2].alias("tag2"),
+        F.col("attrs")["a"].alias("attr_a"),
+        F.col("attrs")["b"].alias("attr_b"))
 
 
 SQL_NORMALIZE_ROUNDTRIP = """
@@ -970,7 +990,13 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(n_chars AS BIGINT) AS n_chars,
        n_chars % 2 = 0 AS flag,
        CASE WHEN lang IS NULL OR lang = 'zh' THEN 'unknown' ELSE lang END AS lang,
-       CASE WHEN doc_id % 3 <> 0 THEN source ELSE 'none' END AS meta_b
+       CASE WHEN doc_id % 3 <> 0 THEN source ELSE 'none' END AS meta_b,
+       CAST(n_chars AS BIGINT) AS tag0,
+       CAST(NULL AS BIGINT) AS tag1,
+       doc_id AS tag2,
+       CASE WHEN doc_id % 10 = 0 THEN 0
+            ELSE CAST(n_chars AS BIGINT) END AS attr_a,
+       CASE WHEN doc_id % 10 = 0 THEN NULL ELSE 12 END AS attr_b
 FROM documents
 """
 
@@ -1479,34 +1505,116 @@ CROSS JOIN (VALUES ('p50'), ('p95')) AS t(q)
 """
 
 
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload feature extraction (stub decoder) — Arrow batch
-    plumbing; rows-only check."""
-    from schemasaurus_spark.operators import multimodal as mm
-
-    media = mm.attach_fake_media(_t(spark, sf_dir, "documents"))
-    return mm.extract_features(media).select("id", "n_bytes", "sha1")
-
-
-def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL container decode: deterministic BMP/WAV payloads built in the
-    Arrow kernel, header-parsed back with pure struct/numpy — the decoded
-    fields are exact functions of doc_id, so this one IS oracle-checked."""
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container decode AND feature extraction in one graded entry
+    (round-4 VERDICT #3: grade multimodal_features). Deterministic BMP/WAV
+    payloads are built in the Arrow kernel, then (a) header-parsed back
+    with pure struct/numpy (kind/width/height/sample_rate/n_samples) and
+    (b) run through the extract_features mapInPandas kernel; the graded
+    feature columns are the ones arithmetically derivable from doc_id:
+    n_bytes = exact container size (54 + padded-row-bytes × height for
+    BMP, 44 + 2·n_samples for WAV), rel_w/rel_h = feat[0]/feat[1]
+    (width/1024 is EXACT in float32 for w ≤ 16 — no rounding, powers of
+    two tie at any decimal width), duration_sec = feat[7] rounded to 6 dp
+    (tie-free across the whole (sr, n_samples) grid — brute-force
+    verified). The sha1/full-feat surface stays pinned by
+    tests/test_multimodal.py."""
     from schemasaurus_spark.operators import multimodal as mm
 
     media = mm.attach_real_media(_t(spark, sf_dir, "documents"))
-    return mm.extract_media_info(media)
+    info = mm.extract_media_info(media)
+    feats = mm.extract_features(media).select("id", "n_bytes", "feat")
+    is_bmp = F.col("kind") == "bmp"
+    return info.join(feats, "id").select(
+        "id", "kind", "width", "height", "sample_rate", "n_samples",
+        "n_bytes",
+        F.when(is_bmp, F.col("feat")[0].cast("double")).alias("rel_w"),
+        F.when(is_bmp, F.col("feat")[1].cast("double")).alias("rel_h"),
+        F.when(~is_bmp,
+               F.round(F.col("feat")[7].cast("double"), 6))
+         .alias("duration_sec"),
+    )
 
 
-SQL_MULTIMODAL_DECODE = """
-SELECT doc_id AS id,
-       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS kind,
-       CASE WHEN doc_id % 2 = 0 THEN CAST(4 + doc_id % 13 AS INT) END AS width,
-       CASE WHEN doc_id % 2 = 0 THEN CAST(4 + doc_id % 7 AS INT) END AS height,
-       CASE WHEN doc_id % 2 = 1 THEN CAST(8000 + (doc_id % 5) * 1000 AS INT) END AS sample_rate,
-       CASE WHEN doc_id % 2 = 1 THEN CAST(100 + doc_id % 50 AS INT) END AS n_samples
-FROM documents
+SQL_MULTIMODAL = """
+WITH m AS (
+  SELECT doc_id AS id,
+         doc_id % 2 = 0 AS is_bmp,
+         CAST(4 + doc_id % 13 AS INT) AS w,
+         CAST(4 + doc_id % 7 AS INT) AS h,
+         CAST(8000 + (doc_id % 5) * 1000 AS INT) AS sr,
+         CAST(100 + doc_id % 50 AS INT) AS ns
+  FROM documents)
+SELECT id,
+       CASE WHEN is_bmp THEN 'bmp' ELSE 'wav' END AS kind,
+       CASE WHEN is_bmp THEN w END AS width,
+       CASE WHEN is_bmp THEN h END AS height,
+       CASE WHEN NOT is_bmp THEN sr END AS sample_rate,
+       CASE WHEN NOT is_bmp THEN ns END AS n_samples,
+       CASE WHEN is_bmp
+            THEN 54 + CAST(floor((w * 3 + 3) / 4) * 4 AS BIGINT) * h
+            ELSE 44 + 2 * CAST(ns AS BIGINT) END AS n_bytes,
+       CASE WHEN is_bmp THEN CAST(w AS DOUBLE) / 1024 END AS rel_w,
+       CASE WHEN is_bmp THEN CAST(h AS DOUBLE) / 1024 END AS rel_h,
+       CASE WHEN NOT is_bmp
+            THEN ROUND(CAST(ns AS DOUBLE) / sr, 6) END AS duration_sec
+FROM m
 """
+
+
+OFFICIAL_CORPUS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "data", "official_draft4")
+
+
+def q_official_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vendored official JSON-Schema-Test-Suite corpus (313 native-
+    format draft-4 tests) through the engine's real translation + batched
+    execution path (official_suite.py; reference analog
+    test/official_suite_spec.js:9-51), emitting one row per GRADED test.
+    Skips (reference ignore-list + documented divergences) are offline-
+    determinable — is_ignored + plan_test raise without Spark — so the
+    DuckDB oracle enumerates exactly the graded tests, each expected
+    ``passed=true``. The corpus is fixed, so this is independent of
+    sf_dir."""
+    from schemasaurus_spark.official_suite import (
+        load_official_suite, run_official_tests)
+
+    tests = load_official_suite(OFFICIAL_CORPUS_DIR)
+    res = run_official_tests(spark, tests)
+    rows = [(t.file, t.case, t.test, True) for t in res.passed]
+    rows += [(t.file, t.case, t.test, False) for t, _ in res.failed]
+    return spark.createDataFrame(
+        rows, "file string, case_desc string, test_desc string, "
+              "passed boolean")
+
+
+def _official_suite_oracle_sql() -> str:
+    """Static VALUES oracle over the graded subset (built once at import
+    from the corpus files — pure Python, no Spark)."""
+    from schemasaurus_spark.official_suite import (
+        REFERENCE_IGNORED, _Untypeable, is_ignored, load_official_suite,
+        plan_test)
+    from schemasaurus_spark.schema_json import SchemaTranslationError
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = []
+    for t in load_official_suite(OFFICIAL_CORPUS_DIR):
+        if is_ignored(t, REFERENCE_IGNORED):
+            continue
+        try:
+            plan_test(t)
+        except (_Untypeable, SchemaTranslationError):
+            continue
+        rows.append(f"({q(t.file)}, {q(t.case)}, {q(t.test)}, TRUE)")
+    return ("SELECT file, case_desc, test_desc, passed FROM (VALUES\n"
+            + ",\n".join(rows)
+            + "\n) AS t(file, case_desc, test_desc, passed)")
+
+
+SQL_OFFICIAL_SUITE = _official_suite_oracle_sql()
 
 
 # -------------------------------------------------------------- registry
@@ -1559,10 +1667,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_events_stats": q_salted_events_stats,
     "docs_except": q_docs_except,
     "ann_ivf": q_ann_ivf,
-    "tdigest_ntok": q_tdigest_ntok,
     "tdigest_accuracy": q_tdigest_accuracy,
-    "multimodal_features": q_multimodal_features,
-    "multimodal_decode": q_multimodal_decode,
+    "multimodal": q_multimodal,
+    "official_suite": q_official_suite,
+    # q_tdigest_ntok (raw sketch, approximate by design) stays pytest-only:
+    # the driver grades exactly 50 registry entries (round-4 VERDICT #1)
+    # and its accuracy is already oracle-bounded by tdigest_accuracy.
 }
 
 from schemasaurus_spark.conformance import (  # noqa: E402
@@ -1619,9 +1729,8 @@ ORACLES: dict[str, str] = {
     "docs_except": SQL_DOCS_EXCEPT,
     "ann_ivf": SQL_ANN_IVF,
     "tdigest_accuracy": SQL_TDIGEST_ACCURACY,
-    # tdigest_ntok / multimodal_features: approximate or binary plumbing —
-    # intentionally no SQL oracle (driver records rows-only)
-    "multimodal_decode": SQL_MULTIMODAL_DECODE,
+    "multimodal": SQL_MULTIMODAL,
+    "official_suite": SQL_OFFICIAL_SUITE,
 }
 
 ORACLES.update(CONFORMANCE_ORACLES)

@@ -537,6 +537,60 @@ def normalizer_spec_from_json_schema(schema: dict):
         prune_additional=schema.get("additionalProperties") is False)
 
 
+_OBJECT_FORM_KEYS = {"properties", "required", "dependencies"}
+
+
+def is_object_form(schema: object) -> bool:
+    """A branch that carries ONLY object-level keywords — mergeable into
+    the enclosing object schema by conjunction."""
+    return (isinstance(schema, dict) and bool(schema)
+            and set(schema) <= _OBJECT_FORM_KEYS
+            and (not isinstance(schema.get("required"), bool)))
+
+
+def merge_object_allof(schema: dict) -> dict:
+    """Fold ``allOf`` branches that are pure object schemas into the
+    enclosing object schema. ``allOf`` is conjunction, so merging branch
+    ``properties``/``required``/``dependencies`` into the parent is exactly
+    the reference's behavior of walking every branch against the same
+    object value (v4validator.js:104-121). A property named by both the
+    parent and a branch (or two branches) keeps BOTH sub-schemas via a
+    value-level ``allOf``. Branches mixing object and value keywords are
+    left in place (they translate — or loudly fail — downstream)."""
+    branches = schema.get("allOf")
+    if not isinstance(branches, list):
+        return schema
+    mergeable = [b for b in branches if is_object_form(b)]
+    if not mergeable:
+        return schema
+    out = {k: v for k, v in schema.items() if k != "allOf"}
+    props = dict(out.get("properties", {}))
+    required = list(out.get("required", []) or [])
+    deps = dict(out.get("dependencies", {}) or {})
+    for b in mergeable:
+        for k, v in (b.get("properties") or {}).items():
+            props[k] = {"allOf": [props[k], v]} if k in props else v
+        for r in (b.get("required") or []):
+            if r not in required:
+                required.append(r)
+        for k, v in (b.get("dependencies") or {}).items():
+            if k in deps:
+                raise SchemaTranslationError(
+                    f"allOf branches declare conflicting dependencies for "
+                    f"{k!r} — no single merged object form")
+            deps[k] = v
+    rest = [b for b in branches if not is_object_form(b)]
+    if rest:
+        out["allOf"] = rest
+    if props:
+        out["properties"] = props
+    if required:
+        out["required"] = required
+    if deps:
+        out["dependencies"] = deps
+    return out
+
+
 def suite_from_json_schema(
     schema: dict,
     id_column: str = "doc_id",
@@ -549,6 +603,7 @@ def suite_from_json_schema(
     if schema.get("type", "object") != "object":
         raise SchemaTranslationError(
             "root schema must be an object schema (the table row)")
+    schema = merge_object_allof(schema)
     props: dict = schema.get("properties", {})
     required = set(schema.get("required", []))
     columns: dict[str, list] = {}
@@ -563,12 +618,21 @@ def suite_from_json_schema(
             head = ([dsl.NotNull(message=(sub.get("messages") or {})
                                  .get("required"))]
                     if col in req else [])
+            sub = merge_object_allof(sub) if isinstance(sub, dict) else sub
             nested = sub.get("properties")
             if nested is not None:
                 own = {k: v for k, v in sub.items()
-                       if k not in ("properties", "required")}
+                       if k not in ("properties", "required",
+                                    "additionalProperties")}
                 cs = head + _constraints_from(own, custom_fns, runtime_types,
                                               root=schema, loader=ref_loader)
+                if sub.get("additionalProperties") is False:
+                    # nested object node → STRUCT column: closed-ness is a
+                    # static field check (dsl.StructClosed)
+                    cs = cs + [dsl.StructClosed(
+                        allowed=list(nested)
+                        + [r for r in (sub.get("required") or [])],
+                        patterns=list(sub.get("patternProperties") or {}))]
                 if cs:
                     columns[path] = cs
                 nreq = sub.get("required")
@@ -579,6 +643,12 @@ def suite_from_json_schema(
                     sub, custom_fns, runtime_types, root=schema, loader=ref_loader)
 
     walk(props, required, "")
+    for r in required - set(props):
+        # a required name with no properties entry still demands presence
+        # (v4validator.js required-array form fires independently of
+        # `properties`); it becomes a declared column with only NotNull
+        columns[r] = [dsl.NotNull(message=(schema.get("messages") or {})
+                                  .get("required"))] + columns.get(r, [])
     row: list[tuple] = []
     for on, dep in (schema.get("dependencies") or {}).items():
         if isinstance(dep, list):

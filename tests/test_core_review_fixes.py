@@ -167,3 +167,58 @@ def test_tdigest_accuracy_survives_all_null_group(spark, tmp_path):
     got = {(r["lang"], r["q"]): r["within_tol"] for r in out}
     assert got[("en", "p50")] is True
     assert got[("xx", "p50")] is False  # all-NULL group: not close, no crash
+
+
+def test_struct_closed_flags_undeclared_nonnull_fields(spark):
+    """additionalProperties=false on a struct column: undeclared field
+    with a value → one 'additionalProperties' violation carrying the
+    field name; null undeclared field (padded-absent) passes."""
+    df = spark.createDataFrame(
+        [(1, (1, "x")), (2, (2, None))],
+        "doc_id long, obj struct<k: long, rogue: string>")
+    suite = dsl.Suite(id_column="doc_id",
+                      columns={"obj": [dsl.StructClosed(allowed=["k"])]})
+    vio = validate(df, suite).violations().collect()
+    assert [(r["doc_id"], r["constraint_id"], r["value"]) for r in vio] == \
+        [(1, "additionalProperties", "rogue")]
+
+
+def test_struct_closed_pattern_allows_matching_fields(spark):
+    df = spark.createDataFrame(
+        [(1, ("a", "b"))], "doc_id long, obj struct<v_x: string, other: string>")
+    suite = dsl.Suite(id_column="doc_id",
+                      columns={"obj": [dsl.StructClosed(patterns=["^v_"])]})
+    vio = validate(df, suite).violations().collect()
+    assert [r["value"] for r in vio] == ["other"]
+
+
+def test_merge_object_allof_folds_branches():
+    from schemasaurus_spark.schema_json import merge_object_allof
+
+    schema = {
+        "properties": {"a": {"minimum": 0}},
+        "allOf": [{"properties": {"a": {"maximum": 5},
+                                  "b": {"type": "string"}},
+                   "required": ["b"]},
+                  {"minimum": 3}],  # value-form branch stays put
+    }
+    out = merge_object_allof(schema)
+    assert out["properties"]["a"] == {"allOf": [{"minimum": 0},
+                                                {"maximum": 5}]}
+    assert out["properties"]["b"] == {"type": "string"}
+    assert out["required"] == ["b"]
+    assert out["allOf"] == [{"minimum": 3}]
+
+
+def test_required_without_properties_entry(spark):
+    """required: ["a","b"] with no properties still demands presence
+    (v4validator.js required-array form)."""
+    from schemasaurus_spark.schema_json import suite_from_json_schema
+
+    suite = suite_from_json_schema(
+        {"type": "object", "required": ["a", "b"]}, id_column="doc_id")
+    df = spark.createDataFrame(
+        [(1, 1, 2), (2, 1, None)], "doc_id long, a long, b long")
+    vio = validate(df, suite).violations().collect()
+    assert [(r["doc_id"], r["constraint_id"], r["column"]) for r in vio] == \
+        [(2, "required", "b")]

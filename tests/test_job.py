@@ -166,3 +166,67 @@ def test_job_incremental_cursor_persists(spark, tmp_path):
     rep2, rc2 = _run_job("--table", str(tmp_path / "tbl"), "--state", state,
                          "--incremental")
     assert rc2 == 0 and rep2 == {"snapshots_validated": 0, "pass": True}
+
+
+def test_job_aggregate_scan_budget_on_resume(spark, tmp_path, monkeypatch,
+                                             capsys):
+    """Round-4 VERDICT #7: the job-level analog of test_scan_budget — on a
+    checkpointed RESUME (state already covers every file), an --aggregate
+    run performs ZERO input scans of the committed table files for row
+    validation; the only table scans left are the aggregate family
+    (uniqueness screen + drift histogram = exactly 2 actions). Pinned by
+    intercepting every eager collect IN-PROCESS and counting executed
+    plans whose file-scan reads the table path."""
+    import importlib.util
+
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from schemasaurus_spark import datagen
+    from schemasaurus_spark.sources.storage import SnapshotStore
+
+    spec = importlib.util.spec_from_file_location(
+        "validate_job_inproc", os.path.join(REPO, "jobs", "validate_job.py"))
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    table = str(tmp_path / "tbl")
+    state = str(tmp_path / "state")
+    SnapshotStore(table).append(
+        datagen.finalize(datagen.gen_sequences(spark, 400, 4)))
+
+    def run(argv):
+        monkeypatch.setattr(sys, "argv", ["validate_job.py", *argv])
+        rc = job.main()
+        out = [l for l in capsys.readouterr().out.splitlines()
+               if l.startswith("{")]
+        return json.loads(out[-1]), rc
+
+    args = ["--table", table, "--state", state, "--aggregate",
+            "--drift-by", "none"]
+    rep1, rc1 = run(args)   # run 1: validates + bootstraps baseline
+    assert rc1 == 0 and rep1["pass"]
+
+    # intercept run 2's eager actions; count only plans that scan the TABLE
+    table_scans: list[str] = []
+    real_collect = DataFrame.collect
+
+    def counting_collect(self):
+        out = real_collect(self)
+        # inputFiles() lists the files the plan actually reads — immune to
+        # the table path appearing as a lineage filter LITERAL (the
+        # completed-files IN-list mentions table paths without scanning
+        # them) and to plan-string location truncation
+        if any(table in f for f in self.inputFiles()):
+            table_scans.append(self._jdf.queryExecution().toString())
+        return out
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    rep2, rc2 = run(args)
+    monkeypatch.setattr(DataFrame, "collect", real_collect)
+
+    assert rc2 == 0 and rep2["pass"], rep2
+    assert rep2["files_skipped"] > 0 and rep2["files_validated"] == 0
+    # resume = 0 row-validation scans of committed files; the 2 remaining
+    # table-scanning actions are uniqueness screen + drift histogram
+    assert len(table_scans) == 2, (
+        f"expected 2 aggregate-only table scans, saw {len(table_scans)}")

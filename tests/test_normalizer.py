@@ -149,3 +149,57 @@ def test_integer_cast_overflow_is_null(spark):
     vals = [r["v"] for r in out.collect()]
     assert vals[0] is None and vals[1] is None
     assert vals[2] == 3 and vals[3] is None
+
+
+# --- round-5: element-wise casts inside arrays and map values -------------
+
+
+def test_array_element_cast_parses_strings(spark):
+    """normalizer.js:25-56 + processor.js:31-64: [type] fires on every
+    array ELEMENT — ["1","2"] with array<integer> becomes [1,2]; a
+    non-numeric element nulls (parseInt semantics); an existing array no
+    longer passes through unchanged."""
+    from schemasaurus_spark.normalizer import (
+        NormalizerSpec, col_spec, normalize)
+
+    df = spark.createDataFrame(
+        [(1, ["1", "2"]), (2, ["x7", "08", None])],
+        "id long, xs array<string>")
+    out = normalize(df, NormalizerSpec(
+        [col_spec("id", "integer"), col_spec("xs", "array<integer>")]))
+    rows = {r["id"]: r["xs"] for r in out.collect()}
+    assert rows[1] == [1, 2]
+    assert rows[2] == [None, 8, None]
+    assert dict(out.dtypes)["xs"] == "array<bigint>"
+
+
+def test_array_element_cast_number_and_boolean(spark):
+    from schemasaurus_spark.normalizer import (
+        NormalizerSpec, col_spec, normalize)
+
+    df = spark.createDataFrame(
+        [(1, ["12.5 kg", "x"], ["on", "off", ""])],
+        "id long, ns array<string>, bs array<string>")
+    out = normalize(df, NormalizerSpec(
+        [col_spec("ns", "array<number>"), col_spec("bs", "array<boolean>")]))
+    r = out.first()
+    assert r["ns"] == [12.5, None]
+    assert r["bs"] == [True, False, False]
+
+
+def test_map_value_cast_and_default(spark):
+    """map<elem> casts every VALUE via transform_values; a dict default
+    fires before the cast (default → cast order, compiler.js:76)."""
+    from schemasaurus_spark.normalizer import (
+        NormalizerSpec, col_spec, normalize)
+
+    df = spark.createDataFrame(
+        [(1, {"a": "3", "b": "12.9kg"}), (2, None)],
+        "id long, attrs map<string,string>")
+    out = normalize(df, NormalizerSpec(
+        [col_spec("id", "integer"),
+         col_spec("attrs", "map<integer>", default={"a": "0"})]))
+    rows = {r["id"]: r["attrs"] for r in out.collect()}
+    assert rows[1] == {"a": 3, "b": 12}
+    assert rows[2] == {"a": 0}
+    assert dict(out.dtypes)["attrs"] == "map<string,bigint>"

@@ -101,3 +101,97 @@ def test_markdown_renders_item_constraints():
     md = suite_to_markdown(dsl.Suite(columns={
         "toks": [dsl.Items([dsl.Minimum(0)])]}))
     assert "each item" in md and "minimum" in md
+
+
+# --- round-5: per-VALUE tools (newIterator over DATA) ---------------------
+
+
+def test_row_tool_form_generator_matches_reference_readme(spark):
+    """The README form generator (README.md:314-412) re-expressed as ONE
+    Spark projection: [type=string] fires per string column, per row —
+    output matches the reference's rendered HTML exactly."""
+    from pyspark.sql import functions as F
+
+    from schemasaurus_spark import dsl
+    from schemasaurus_spark.plans.suite_tools import RowTool, compile_row_tool
+
+    class FormGenerator(RowTool):
+        def selectors(self):
+            return {"[type=string]": self.string_input}
+
+        def string_input(self, col, ctx):
+            return F.format_string(
+                "<input type='string' value='%s' name='" + ctx.path + "'>",
+                col)
+
+        def end(self, fragments):
+            return F.concat_ws("\n", *fragments)
+
+    suite = dsl.Suite(
+        id_column="doc_id",
+        columns={
+            "firstname": [dsl.TypeIs("string"), dsl.NotNull()],
+            "lastname": [dsl.TypeIs("string"), dsl.NotNull()],
+            "gender": [dsl.TypeIs("string"), dsl.NotNull(),
+                       dsl.Enum(["male", "female"])],
+            "age": [dsl.TypeIs("integer")],  # non-string: no input rendered
+        })
+    df = spark.createDataFrame(
+        [(1, "frodo", "baggins", "male", 50)],
+        "doc_id long, firstname string, lastname string, gender string, "
+        "age long")
+    out = compile_row_tool(suite, FormGenerator)(df).collect()
+    assert out[0]["tool_output"] == (
+        "<input type='string' value='frodo' name='firstname'>\n"
+        "<input type='string' value='baggins' name='lastname'>\n"
+        "<input type='string' value='male' name='gender'>")
+
+
+def test_row_tool_selector_syntax(spark):
+    """[attr=value], [^attr], [a][b] conjunction, :start/:end ordering —
+    the full selector grammar (README.md:399-412)."""
+    from pyspark.sql import functions as F
+
+    from schemasaurus_spark import dsl
+    from schemasaurus_spark.plans.suite_tools import RowTool, compile_row_tool
+
+    class Tool(RowTool):
+        def selectors(self):
+            return {
+                "[type=string]:start": lambda c, x: F.lit(f"<{x.path}>"),
+                "[type=string][required]": lambda c, x: c,
+                "[type=string]:end": lambda c, x: F.lit(f"</{x.path}>"),
+                "[^required]": lambda c, x: F.lit(f"optional:{x.path}"),
+            }
+
+        def end(self, fragments):
+            return F.concat_ws("|", *fragments)
+
+    suite = dsl.Suite(
+        id_column="id",
+        columns={"a": [dsl.TypeIs("string"), dsl.NotNull()],
+                 "b": [dsl.TypeIs("integer")]})
+    df = spark.createDataFrame([(1, "X", 9)], "id long, a string, b long")
+    got = compile_row_tool(suite, Tool)(df).first()["tool_output"]
+    assert got == "<a>|X|</a>|optional:b"
+
+
+def test_row_tool_item_selector_fires_per_element(spark):
+    from pyspark.sql import functions as F
+
+    from schemasaurus_spark import dsl
+    from schemasaurus_spark.plans.suite_tools import RowTool, compile_row_tool
+
+    class Tool(RowTool):
+        def selectors(self):
+            return {"[items]:item": lambda e, x: F.format_string("[%s]", e)}
+
+        def end(self, fragments):
+            return F.concat_ws("", *fragments)
+
+    suite = dsl.Suite(
+        id_column="id",
+        columns={"xs": [dsl.Items([dsl.Minimum(0)])]})
+    df = spark.createDataFrame([(1, ["a", "b"])], "id long, xs array<string>")
+    got = compile_row_tool(suite, Tool)(df).first()["tool_output"]
+    assert got == "[a][b]"
