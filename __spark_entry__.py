@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
-from schemasaurus_spark.queries import ORACLES, QUERIES  # noqa: E402
+from schemasaurus_spark.queries import QUERIES, build_oracles  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -37,4 +37,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return dict(build_oracles())

@@ -822,7 +822,15 @@ class ConstraintCompiler:
         static (the struct type), so each undeclared field compiles to one
         null-probe fragment — no shuffle, no runtime key scan
         (v4validator.js:287 at an object ctx). A field passes if it is in
-        ``allowed`` or SEARCH-matches any draft-4 patternProperties regex."""
+        ``allowed`` or SEARCH-matches any draft-4 patternProperties regex.
+
+        Type guard (the dispatch applies this only to StructType): draft-4
+        ``additionalProperties`` constrains OBJECTS only, so non-struct
+        columns pass — the same silent type-guard every scalar keyword
+        uses (maxLength on ints, minimum on strings). ``dt is None``
+        (value-validator mode) also skips: there is no static field list
+        to check; MapType closedness is KeyPattern/PatternProperties'
+        job."""
         import re as _re
 
         dt = _dtype(self.schema, col_name)

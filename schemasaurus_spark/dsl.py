@@ -493,19 +493,29 @@ class Dependency(Constraint):
 # --------------------------------------------------------------------- suite
 
 
+def _const_bytes(c) -> bytes:
+    """Stable serialization of one co_consts entry. Two address/order
+    hazards hide in consts: nested CODE objects repr with a per-process
+    memory address, and set/frozenset literals (``x in {'a','b'}``) repr
+    in PYTHONHASHSEED-randomized iteration order — both made the same
+    suite hash differently across interpreters."""
+    if hasattr(c, "co_code"):  # nested code object
+        return b"<code:" + c.co_name.encode() + b":" + _code_bytes(c) + b">"
+    if isinstance(c, (set, frozenset)):
+        return (b"<set:"
+                + b",".join(sorted(_const_bytes(x) for x in c)) + b">")
+    if isinstance(c, tuple):
+        return b"<tuple:" + b",".join(_const_bytes(x) for x in c) + b">"
+    return repr(c).encode()
+
+
 def _code_bytes(code) -> bytes:
     """Stable byte serialization of a code object: co_code + co_names +
-    each const, RECURSING into nested code objects (a lambda/genexp inside
-    a Conform callable). repr() of a code object embeds a per-process
-    memory address ('<code object ... at 0x7f...>'), which broke
-    cross-process fingerprint stability — resume depends on it."""
+    each const via :func:`_const_bytes` (nested code objects recursed,
+    set literals order-normalized) — cross-process stable, resume depends
+    on it."""
     parts = [code.co_code, repr(code.co_names).encode()]
-    for c in code.co_consts:
-        if hasattr(c, "co_code"):  # nested code object
-            parts.append(b"<code:" + c.co_name.encode() + b":"
-                         + _code_bytes(c) + b">")
-        else:
-            parts.append(repr(c).encode())
+    parts.extend(_const_bytes(c) for c in code.co_consts)
     return b"\x00".join(parts)
 
 

@@ -51,7 +51,7 @@ from pyspark.sql import SparkSession
 from schemasaurus_spark import dsl
 from schemasaurus_spark.schema_json import (
     SchemaTranslationError, _constraints_from, is_object_form,
-    merge_object_allof, suite_from_json_schema,
+    merge_object_allof, struct_closed_from, suite_from_json_schema,
 )
 from schemasaurus_spark.validate import validate
 
@@ -229,12 +229,14 @@ def _pad_declared(value, hint: Optional[dict]):
 
 
 def _object_mode(schema: dict) -> bool:
-    return isinstance(schema, dict) and (
-        "properties" in schema
-        or isinstance(schema.get("required"), list)
-        or "dependencies" in schema
-        or any(is_object_form(b) for b in schema.get("allOf", [])
-               if isinstance(schema.get("allOf"), list)))
+    if not isinstance(schema, dict):
+        return False
+    all_of = schema.get("allOf")
+    return ("properties" in schema
+            or isinstance(schema.get("required"), list)
+            or "dependencies" in schema
+            or (isinstance(all_of, list)
+                and any(is_object_form(b) for b in all_of)))
 
 
 def _prefix_columns(columns: dict, row: list, col: str) -> tuple[dict, list]:
@@ -310,10 +312,7 @@ def plan_test(t: OfficialTest, ref_loader=None) -> TestPlan:
         schema = merge_object_allof(schema)
         self_cs: list = []
         if schema.get("additionalProperties") is False:
-            self_cs.append(dsl.StructClosed(
-                allowed=list(schema.get("properties") or {})
-                + [r for r in (schema.get("required") or [])],
-                patterns=list(schema.get("patternProperties") or {})))
+            self_cs.append(struct_closed_from(schema))
         # the struct must carry every property the suite constrains, plus
         # every key the data actually has
         data = dict(t.data)

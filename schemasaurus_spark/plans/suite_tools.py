@@ -283,13 +283,14 @@ def _selector_matches(conds, kws: dict) -> bool:
 def column_keywords(constraints) -> dict:
     """Draft-4 keyword view of a constraint list (what selectors match
     against) — the reverse translation schema_json already maintains."""
-    from schemasaurus_spark.schema_json import _constraint_to_keywords
+    from schemasaurus_spark.schema_json import (
+        SchemaTranslationError, _constraint_to_keywords)
 
     kws: dict = {}
     for c in constraints:
         try:
             kws.update(_constraint_to_keywords(c))
-        except Exception:
+        except SchemaTranslationError:
             kws[c.code] = True  # extension/no-JSON-form constraints
     return kws
 
@@ -337,13 +338,19 @@ def compile_row_tool(suite: dsl.Suite, tool_cls):
             kws = column_keywords(constraints)
             ctx = ToolCtx(path=name, keywords=kws)
             col = F.col(name)
-            for phase in ("start", "plain", "end"):
+            def fire_phase(phase):
                 for sel, conds, mod, fn in parsed:
                     if mod != phase or not _selector_matches(conds, kws):
                         continue
                     frag = fn(col, ctx)
                     if frag is not None:
                         fragments.append(frag)
+
+            fire_phase("start")
+            fire_phase("plain")
+            # :item fragments land BETWEEN :start and :end — the
+            # reference's fieldset example closes its wrapper AFTER the
+            # items (README.md:437-458)
             item_sels = [(sel, conds, mod, fn)
                          for sel, conds, mod, fn in parsed
                          if mod in ("item", "item-end")
@@ -360,6 +367,7 @@ def compile_row_tool(suite: dsl.Suite, tool_cls):
                     return fire
                 fragments.append(F.array_join(
                     F.transform(col, make_fire(item_sels, ctx)), ""))
+            fire_phase("end")
         out = tool.end(fragments)
         cols = ([F.col(suite.id_column)]
                 if suite.id_column in df.columns else [])

@@ -382,6 +382,14 @@ def _constraint_to_keywords(c: dsl.Constraint) -> dict:
         return {"minProperties": c.value, **m}
     if isinstance(c, dsl.MaxProperties):
         return {"maxProperties": c.value, **m}
+    if isinstance(c, dsl.StructClosed):
+        # `allowed` is derived from the sibling `properties` (which the
+        # enclosing object schema already carries) — only the policy and
+        # the pattern allowlist need a JSON form
+        d = {"additionalProperties": False}
+        if c.patterns:
+            d["patternProperties"] = {p: {} for p in c.patterns}
+        return {**d, **m}
     if isinstance(c, dsl.KeyPattern):
         return {"patternProperties": {p: {} for p in c.patterns}, **m}
     if isinstance(c, dsl.PatternProperties):
@@ -591,6 +599,15 @@ def merge_object_allof(schema: dict) -> dict:
     return out
 
 
+def struct_closed_from(schema: dict) -> dsl.StructClosed:
+    """additionalProperties=false policy of an OBJECT schema node as a
+    StructClosed: draft-4 exempts only properties / patternProperties
+    matches (v4validator.js:287) — `required` names declare nothing."""
+    return dsl.StructClosed(
+        allowed=list(schema.get("properties") or {}),
+        patterns=list(schema.get("patternProperties") or {}))
+
+
 def suite_from_json_schema(
     schema: dict,
     id_column: str = "doc_id",
@@ -629,10 +646,7 @@ def suite_from_json_schema(
                 if sub.get("additionalProperties") is False:
                     # nested object node → STRUCT column: closed-ness is a
                     # static field check (dsl.StructClosed)
-                    cs = cs + [dsl.StructClosed(
-                        allowed=list(nested)
-                        + [r for r in (sub.get("required") or [])],
-                        patterns=list(sub.get("patternProperties") or {}))]
+                    cs = cs + [struct_closed_from(sub)]
                 if cs:
                     columns[path] = cs
                 nreq = sub.get("required")

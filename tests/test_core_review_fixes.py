@@ -222,3 +222,65 @@ def test_required_without_properties_entry(spark):
     vio = validate(df, suite).violations().collect()
     assert [(r["doc_id"], r["constraint_id"], r["column"]) for r in vio] == \
         [(2, "required", "b")]
+
+
+_FP_SET_SNIPPET = """
+from schemasaurus_spark import dsl
+
+def _expr(c):
+    ok = (lambda x: x in {'alpha', 'beta', 'gamma', 'delta'})
+    return ok(c)
+
+print(dsl.Suite(columns={"c": [dsl.Conform(expr=_expr)]},
+                name="fp_set").fingerprint())
+"""
+
+
+def test_fingerprint_stable_across_hash_seeds():
+    """set/frozenset co_consts repr in PYTHONHASHSEED-randomized order —
+    _const_bytes must sort them or every driver restart re-fingerprints
+    (round-5 review finding #1)."""
+    import os
+    import subprocess
+    import sys
+
+    outs = []
+    for seed in ("1", "2"):
+        env = dict(os.environ, PYTHONHASHSEED=seed)
+        outs.append(subprocess.run(
+            [sys.executable, "-c", _FP_SET_SNIPPET], capture_output=True,
+            text=True, check=True, timeout=120, env=env).stdout.strip())
+    assert outs[0] and outs[0] == outs[1]
+
+
+def test_struct_closed_roundtrips_to_json():
+    """suite_to_json_schema must re-emit additionalProperties:false for a
+    nested closed object instead of raising (round-5 review finding #2)."""
+    from schemasaurus_spark.schema_json import (
+        suite_from_json_schema, suite_to_json_schema)
+
+    doc = {"type": "object",
+           "properties": {"obj": {"type": "object",
+                                  "properties": {"k": {"type": "integer"}},
+                                  "additionalProperties": False}}}
+    suite = suite_from_json_schema(doc)
+    back = suite_to_json_schema(suite)
+    assert back["properties"]["obj"]["additionalProperties"] is False
+
+
+def test_struct_closed_required_names_are_not_exempt(spark):
+    """draft-4: additionalProperties exempts ONLY properties /
+    patternProperties matches; a `required` name outside `properties` is
+    still an additional property (round-5 review finding #4)."""
+    from schemasaurus_spark.schema_json import suite_from_json_schema
+
+    doc = {"type": "object", "properties": {"k": {"type": "integer"}},
+           "required": ["extra"], "additionalProperties": False}
+    from schemasaurus_spark.official_suite import (
+        OfficialTest, run_official_tests)
+
+    t = OfficialTest("inline", "required is not an exemption",
+                     "required-but-undeclared key is additional",
+                     doc, {"k": 1, "extra": 5}, False)
+    res = run_official_tests(spark, [t])
+    assert not res.failed and not res.skipped and len(res.passed) == 1

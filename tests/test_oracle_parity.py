@@ -9,7 +9,9 @@ import os
 import duckdb
 import pytest
 
-from schemasaurus_spark.queries import ORACLES, QUERIES
+from schemasaurus_spark.queries import QUERIES, build_oracles
+
+ORACLES = build_oracles()
 
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

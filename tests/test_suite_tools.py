@@ -195,3 +195,30 @@ def test_row_tool_item_selector_fires_per_element(spark):
     df = spark.createDataFrame([(1, ["a", "b"])], "id long, xs array<string>")
     got = compile_row_tool(suite, Tool)(df).first()["tool_output"]
     assert got == "[a][b]"
+
+
+def test_row_tool_items_render_inside_start_end_wrapper(spark):
+    """The reference's fieldset example (README.md:437-458): :start opens
+    the wrapper, :item renders each element, :end closes it — items must
+    land BETWEEN the wrapper fragments (round-5 review finding #3)."""
+    from pyspark.sql import functions as F
+
+    from schemasaurus_spark import dsl
+    from schemasaurus_spark.plans.suite_tools import RowTool, compile_row_tool
+
+    class Tool(RowTool):
+        def selectors(self):
+            return {
+                "[items]:start": lambda c, x: F.lit("<fieldset>"),
+                "[items]:item": lambda e, x: F.format_string("<i>%s</i>", e),
+                "[items]:end": lambda c, x: F.lit("</fieldset>"),
+            }
+
+        def end(self, fragments):
+            return F.concat_ws("", *fragments)
+
+    suite = dsl.Suite(id_column="id",
+                      columns={"xs": [dsl.Items([dsl.Minimum(0)])]})
+    df = spark.createDataFrame([(1, ["a", "b"])], "id long, xs array<string>")
+    got = compile_row_tool(suite, Tool)(df).first()["tool_output"]
+    assert got == "<fieldset><i>a</i><i>b</i></fieldset>"
