@@ -1,0 +1,101 @@
+"""Sampling / data-mixture operators (operators/sampling.py): exactness,
+determinism (hash-ordered, resumable), budget semantics, and the salted
+skew path's bounded error."""
+
+import pyspark.sql.functions as F
+
+from schemasaurus_spark import datagen
+from schemasaurus_spark.operators.sampling import (
+    reservoir_per_key, sample_by_fraction, stratified_sample_exact,
+    token_budget_mixture)
+
+
+def _docs(spark, n=600):
+    return datagen.finalize(datagen.gen_sequences(spark, n, 8))
+
+
+def test_sample_by_fraction_is_zero_shuffle(spark):
+    df = _docs(spark)
+    out = sample_by_fraction(df, "source", {"web": 0.5, "books": 0.1})
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    assert "exchange" not in plan  # Bernoulli: streams through the scan
+    got = {r["source"] for r in out.select("source").distinct().collect()}
+    assert got <= {"web", "books"}  # unlisted groups drop to fraction 0
+
+
+def test_stratified_exact_counts_and_determinism(spark):
+    df = _docs(spark)
+    totals = {r["source"]: r["count"]
+              for r in df.groupBy("source").count().collect()}
+    fr = {"web": 0.25, "books": 0.5}
+    out = stratified_sample_exact(df, "source", fr)
+    got = {r["source"]: r["count"]
+           for r in out.groupBy("source").count().collect()}
+    import math
+    assert got == {s: math.ceil(totals[s] * f) for s, f in fr.items()}
+    # deterministic: same seed -> same rows
+    ids1 = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  stratified_sample_exact(df, "source", fr)
+                  .select("doc_id").collect())
+    assert ids1 == ids2
+    # different seed -> (almost surely) different rows
+    ids3 = sorted(r["doc_id"] for r in
+                  stratified_sample_exact(df, "source", fr, seed=99)
+                  .select("doc_id").collect())
+    assert ids1 != ids3
+
+
+def test_reservoir_per_key_exactly_k(spark):
+    df = _docs(spark)
+    out = reservoir_per_key(df, "source", k=7)
+    sizes = {r["source"]: r["count"]
+             for r in out.groupBy("source").count().collect()}
+    totals = {r["source"]: r["count"]
+              for r in df.groupBy("source").count().collect()}
+    assert sizes == {s: min(7, n) for s, n in totals.items()}
+
+
+def test_token_budget_mixture_caps_each_group(spark):
+    df = _docs(spark)
+    budgets = {"web": 3000.0, "books": 1500.0}
+    out = token_budget_mixture(df, "source", budgets)
+    spent = {r["source"]: r["tok"] for r in
+             out.groupBy("source").agg(F.sum("n_tok").alias("tok")).collect()}
+    assert set(spent) <= set(budgets)
+    for s, tok in spent.items():
+        assert tok <= budgets[s]
+    # greedy: adding the NEXT hash-ordered row would overflow the budget
+    # (checked implicitly: spent is within one max-weight of the budget)
+    max_tok = df.agg(F.max("n_tok")).first()[0]
+    for s, tok in spent.items():
+        assert tok > budgets[s] - max_tok
+
+
+def test_token_budget_mixture_salted_bounded_error(spark):
+    """salt=N splits each group into N capped sub-partitions: total spend
+    stays <= budget and within N*max_weight below it — the documented
+    skew-path error bound."""
+    df = _docs(spark)
+    budgets = {"web": 4000.0}
+    n_salt = 4
+    out = token_budget_mixture(df, "source", budgets, salt=n_salt)
+    spent = out.agg(F.sum("n_tok")).first()[0]
+    max_tok = df.where(F.col("source") == "web").agg(F.max("n_tok")).first()[0]
+    assert spent <= budgets["web"]
+    assert spent > budgets["web"] - n_salt * max_tok
+    # deterministic under the same seed/salt
+    ids1 = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  token_budget_mixture(df, "source", budgets, salt=n_salt)
+                  .select("doc_id").collect())
+    assert ids1 == ids2
+
+
+def test_mixture_single_window_plan_shape(spark):
+    """Unsalted mixture = ONE shuffle (the window partition), nothing
+    driver-side."""
+    df = _docs(spark)
+    out = token_budget_mixture(df, "source", {"web": 1000.0})
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    assert plan.count("exchange") <= 1
