@@ -20,6 +20,9 @@ Scale shapes (100 TB rules):
   ``salt=`` knob on ``token_budget_mixture`` splits each group into N
   sub-partitions and divides the budget evenly across them — bounded
   rounding error (≤ N·max_weight), no single-task bottleneck.
+* Determinism requires a UNIQUE ``id_col``: hash-tied duplicate ids get
+  arbitrary relative order (run these AFTER the engine's uniqueness
+  check, which exists precisely to catch such rows).
 
 No driver-side data, no Python row loops — pyspark.sql expressions only.
 """
@@ -51,13 +54,20 @@ def stratified_sample_exact(df: DataFrame, by: str, fractions: dict,
     chosen by deterministic hash order. Two passes over the group
     dimension (a count agg + one window shuffle); rows of groups absent
     from ``fractions`` are dropped."""
-    counts = df.groupBy(by).count()
     frac_map = F.create_map(
         *[x for kv in fractions.items()
           for x in (F.lit(kv[0]), F.lit(float(kv[1])))])
+    # drop unlisted groups BEFORE the window so they never pay the
+    # shuffle/sort (review finding: 70% of a web-heavy corpus shuffled
+    # only to be discarded)
+    df = df.where(frac_map[F.col(by)].isNotNull())
+    counts = df.groupBy(by).count()
     want = counts.select(
         F.col(by),
-        F.ceil(F.col("count") * frac_map[F.col(by)]).alias("__want"))
+        # round-before-ceil: 100 * 0.07 = 7.000000000000001 in doubles,
+        # and a bare ceil would overshoot the documented exact count
+        F.ceil(F.round(F.col("count") * frac_map[F.col(by)], 9))
+         .alias("__want"))
     w = Window.partitionBy(by).orderBy(_hash_order(id_col, seed), id_col)
     return (df.withColumn("__rn", F.row_number().over(w))
               .join(F.broadcast(want), by)
@@ -89,11 +99,23 @@ def token_budget_mixture(df: DataFrame, by: str, budgets: dict,
     ``salt=N`` is the skew path: each group splits into N hash
     sub-partitions, each capped at budget/N. Selection stays
     deterministic; the realized budget is within N·max(weight) of the
-    target, and no group serializes into a single window task."""
+    target, and no group serializes into a single window task.
+    ``salt <= 1`` falls back to the unsalted path (salt=0 would
+    otherwise NULL every partition id and divide the budget by zero).
+
+    Rows with NULL or negative ``weight_col`` are EXCLUDED before
+    capping: a NULL weight rides the previous running sum (free rows
+    past any budget) and a negative one makes the cumulative sum
+    non-monotone (non-prefix selection) — dirty weights go to the
+    validator, not the mixture."""
     bmap = F.create_map(
         *[x for kv in budgets.items()
           for x in (F.lit(kv[0]), F.lit(float(kv[1])))])
-    df = df.where(bmap[F.col(by)].isNotNull())
+    df = df.where(bmap[F.col(by)].isNotNull()
+                  & F.col(weight_col).isNotNull()
+                  & (F.col(weight_col) >= 0))
+    if salt is not None and salt <= 1:
+        salt = None
     if salt is None:
         w = Window.partitionBy(by).orderBy(_hash_order(id_col, seed), id_col)
         budget = bmap[F.col(by)]

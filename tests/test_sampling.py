@@ -99,3 +99,41 @@ def test_mixture_single_window_plan_shape(spark):
     out = token_budget_mixture(df, "source", {"web": 1000.0})
     plan = out._jdf.queryExecution().executedPlan().toString().lower()
     assert plan.count("exchange") <= 1
+
+
+def test_stratified_exact_no_float_overshoot(spark):
+    """100 rows at fraction 0.07 → exactly 7, not 8 (100*0.07 rounds to
+    7.000000000000001 in doubles; round-before-ceil)."""
+    rows = [(f"a-{i:08d}", "web") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    out = stratified_sample_exact(df, "source", {"web": 0.07})
+    assert out.count() == 7
+
+
+def test_stratified_exact_prefilters_unlisted_groups(spark):
+    df = _docs(spark)
+    out = stratified_sample_exact(df, "source", {"books": 0.5})
+    assert {r["source"] for r in out.select("source").distinct().collect()} \
+        == {"books"}
+
+
+def test_token_budget_mixture_excludes_dirty_weights(spark):
+    """NULL and negative weights must not ride the budget (review
+    finding: NULL rows were free, negatives made selection non-prefix)."""
+    rows = [(f"d-{i:04d}", "web", 100) for i in range(20)]
+    rows += [("d-null", "web", None), ("d-neg", "web", -500)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, n_tok int")
+    out = token_budget_mixture(df, "source", {"web": 500.0})
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert "d-null" not in got and "d-neg" not in got
+    assert len(got) == 5  # 5 * 100 == the whole budget
+
+
+def test_token_budget_mixture_salt_zero_falls_back(spark):
+    """salt=0 previously NULLed every partition id and divided the budget
+    by zero (uncapped output); it now falls back to the unsalted path."""
+    df = _docs(spark)
+    a = token_budget_mixture(df, "source", {"web": 2000.0}, salt=0)
+    b = token_budget_mixture(df, "source", {"web": 2000.0})
+    assert sorted(r["doc_id"] for r in a.select("doc_id").collect()) == \
+        sorted(r["doc_id"] for r in b.select("doc_id").collect())
