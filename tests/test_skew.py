@@ -17,14 +17,22 @@ def test_aqe_splits_skewed_join(spark):
         "spark.sql.adaptive.advisoryPartitionSizeInBytes",
         "spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.adaptive.forceOptimizeSkewedJoin",
+        "spark.sql.shuffle.partitions",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
     ]}
     try:
-        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
-        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
         conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
         # downstream agg would add a shuffle after the split; at 100 TB that
         # trade is right, so force it (the knob the engine documents)
         conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        # the shared test session runs 4 shuffle partitions — at 4, the
+        # 70%-web partition is only ~2-3x the median and the factor-5 skew
+        # check sits on the boundary (flaked under full-suite runs); 32
+        # partitions + factor 2 put it decisively over
+        conf.set("spark.sql.shuffle.partitions", "32")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
         left = datagen.finalize(datagen.gen_sequences(spark, 20_000, 8)).select(
             "doc_id", "source", "n_tok")
         right = datagen.finalize(datagen.gen_sequences(spark, 5_000, 4)).select(

@@ -33,10 +33,15 @@ def _suite():
     })
 
 
-def _run_until(q, pred, timeout_s=60):
+def _run_until(q, pred, timeout_s=240):
+    """Poll the SINK, never call q.processAllAvailable(): on a rate
+    source, pAA blocks until processing catches up with production — on
+    a host-throttled VM that never happens, and the deadline around it
+    never fires (the round-2 gotcha, re-learned round 5 when a CPU-starved
+    sandbox wedged the suite for 80 minutes). The background micro-batch
+    loop fills the sink on its own; we only watch."""
     t0 = time.time()
     while time.time() - t0 < timeout_s:
-        q.processAllAvailable()
         if pred():
             return True
         time.sleep(0.5)
