@@ -103,17 +103,24 @@ def token_budget_mixture(df: DataFrame, by: str, budgets: dict,
     ``salt <= 1`` falls back to the unsalted path (salt=0 would
     otherwise NULL every partition id and divide the budget by zero).
 
-    Rows with NULL or negative ``weight_col`` are EXCLUDED before
-    capping: a NULL weight rides the previous running sum (free rows
-    past any budget) and a negative one makes the cumulative sum
-    non-monotone (non-prefix selection) — dirty weights go to the
-    validator, not the mixture."""
+    Rows with NULL, negative, NaN, or +Infinity ``weight_col`` are
+    EXCLUDED before capping: a NULL weight rides the previous running sum
+    (free rows past any budget), a negative one makes the cumulative sum
+    non-monotone (non-prefix selection), and NaN/Inf poison the running
+    sum for every hash-later row (Spark orders NaN above all numbers, so
+    ``>= 0`` alone admits it) — dirty weights go to the validator, not
+    the mixture."""
+    from pyspark.sql import types as T
+
     bmap = F.create_map(
         *[x for kv in budgets.items()
           for x in (F.lit(kv[0]), F.lit(float(kv[1])))])
-    df = df.where(bmap[F.col(by)].isNotNull()
-                  & F.col(weight_col).isNotNull()
-                  & (F.col(weight_col) >= 0))
+    wcol = F.col(weight_col)
+    clean = wcol.isNotNull() & (wcol >= 0)
+    if isinstance(df.schema[weight_col].dataType,
+                  (T.FloatType, T.DoubleType)):
+        clean = clean & ~F.isnan(wcol) & (wcol < F.lit(float("inf")))
+    df = df.where(bmap[F.col(by)].isNotNull() & clean)
     if salt is not None and salt <= 1:
         salt = None
     if salt is None:

@@ -57,33 +57,37 @@ def test_reservoir_per_key_exactly_k(spark):
 
 
 def test_token_budget_mixture_caps_each_group(spark):
-    df = _docs(spark)
+    # weights capped at 100 so the greedy bound (budget - max_weight)
+    # BINDS for every group (the raw fixture's 1800-token docs made the
+    # books bound negative/vacuous — round-5 review)
+    df = _docs(spark).withColumn("n_tok", F.pmod("n_tok", F.lit(100)) + 1)
     budgets = {"web": 3000.0, "books": 1500.0}
     out = token_budget_mixture(df, "source", budgets)
     spent = {r["source"]: r["tok"] for r in
              out.groupBy("source").agg(F.sum("n_tok").alias("tok")).collect()}
     assert set(spent) <= set(budgets)
+    max_tok = 100
     for s, tok in spent.items():
         assert tok <= budgets[s]
-    # greedy: adding the NEXT hash-ordered row would overflow the budget
-    # (checked implicitly: spent is within one max-weight of the budget)
-    max_tok = df.agg(F.max("n_tok")).first()[0]
-    for s, tok in spent.items():
+        # greedy: adding the NEXT hash-ordered row would overflow
         assert tok > budgets[s] - max_tok
 
 
 def test_token_budget_mixture_salted_bounded_error(spark):
     """salt=N splits each group into N capped sub-partitions: total spend
-    stays <= budget and within N*max_weight below it — the documented
-    skew-path error bound."""
-    df = _docs(spark)
+    stays <= budget and within N*max_weight below it. Weights are CAPPED
+    at 50 against a 4000-budget so the lower bound (4000 - 4*50 = 3800)
+    actually BINDS — the natural fixture's max n_tok made it negative and
+    the assertion vacuous (round-5 review)."""
+    df = _docs(spark, n=2000).withColumn(
+        "n_tok", F.pmod("n_tok", F.lit(50)) + 1)
     budgets = {"web": 4000.0}
     n_salt = 4
     out = token_budget_mixture(df, "source", budgets, salt=n_salt)
     spent = out.agg(F.sum("n_tok")).first()[0]
-    max_tok = df.where(F.col("source") == "web").agg(F.max("n_tok")).first()[0]
+    max_tok = 50
     assert spent <= budgets["web"]
-    assert spent > budgets["web"] - n_salt * max_tok
+    assert spent > budgets["web"] - n_salt * max_tok  # binding: > 3800
     # deterministic under the same seed/salt
     ids1 = sorted(r["doc_id"] for r in out.select("doc_id").collect())
     ids2 = sorted(r["doc_id"] for r in
@@ -137,3 +141,18 @@ def test_token_budget_mixture_salt_zero_falls_back(spark):
     b = token_budget_mixture(df, "source", {"web": 2000.0})
     assert sorted(r["doc_id"] for r in a.select("doc_id").collect()) == \
         sorted(r["doc_id"] for r in b.select("doc_id").collect())
+
+
+def test_token_budget_mixture_excludes_nan_and_inf(spark):
+    """NaN passes `>= 0` (Spark orders NaN above all numbers) and poisons
+    the running sum for every hash-later row; +Inf likewise — both must be
+    excluded up front (round-5 review, live-repro'd: a NaN row silently
+    dropped 6 in-budget rows)."""
+    rows = [(f"d-{i:04d}", "web", 100.0) for i in range(20)]
+    rows += [("d-nan", "web", float("nan")), ("d-inf", "web", float("inf"))]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, n_tok double")
+    out = token_budget_mixture(df, "source", {"web": 2000.0})
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert "d-nan" not in got and "d-inf" not in got
+    assert len(got) == 20  # every clean row fits the budget

@@ -42,8 +42,12 @@ def _run_until(q, pred, timeout_s=240):
     loop fills the sink on its own; we only watch."""
     t0 = time.time()
     while time.time() - t0 < timeout_s:
+        if q.exception() is not None:
+            raise q.exception()  # surface the REAL failure, don't time out
         if pred():
             return True
+        if not q.isActive:
+            return pred()  # terminated cleanly: one final sink read
         time.sleep(0.5)
     return False
 
@@ -170,7 +174,7 @@ def test_violations_sink_exactly_once_restart(spark, tmp_path):
     q2 = start()  # restart from the same checkpoint
     try:
         ok = _run_until(
-            q2, lambda: spark.read.parquet(out).count() >= 3, timeout_s=60)
+            q2, lambda: spark.read.parquet(out).count() >= 3, timeout_s=240)
         assert ok
         df = spark.read.parquet(out)
         # doc_ids violate once per rate-source row: uniqueness of doc_id
