@@ -48,7 +48,8 @@ SEQ_PARQUET = os.environ.get(
 HEADLINE = [
     "validate_documents", "verdict_by_source", "stats_documents",
     "unique_user_events", "hist_nchars", "token_count", "text_quality",
-    "dedup_exact", "minhash_lsh", "jaccard_pairs", "ann_topk", "tpch_q1",
+    "dedup_exact", "decontaminate", "minhash_lsh", "jaccard_pairs",
+    "ann_topk", "tpch_q1",
     "events_daily", "events_json", "simhash", "normalize_roundtrip",
     "embedding_neardup", "violation_rank", "winnow_fingerprints",
     "rollup_docs", "sessionize_events", "validate_lineitem",

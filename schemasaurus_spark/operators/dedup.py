@@ -309,3 +309,85 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     for c in bit_cols[1:]:
         sh = sh + c
     return staged.select(F.col(id_col), sh.cast("bigint").alias("simhash"))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 8) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing ANY n-word-gram
+    with a benchmark corpus — the n-gram-overlap scrub LLM training
+    pipelines run against eval sets (the GPT-3 appendix-C / PaLM 8-gram
+    rule). Returns (id, n_hits) where n_hits = number of DISTINCT
+    benchmark n-grams the doc contains; clean docs emit nothing.
+
+    Scale shape: the benchmark side is eval-suite-sized, so its distinct
+    hashed n-grams form a compact set that is BROADCAST. The corpus side
+    explodes to one row per distinct in-doc n-gram, but scan → explode →
+    broadcast-hash-join pipeline in ONE stage — the exploded rows are
+    filtered before any exchange, and the only shuffle is the groupBy over
+    join HITS (O(contaminated grams), ~0 for a clean corpus). Matching is
+    case-insensitive (both sides shingle lower(text)); n-grams are hashed
+    to substr(md5, 1, 16) under the module's portable-oracle contract (at
+    production scale swap xxhash64). Docs shorter than n words contribute
+    their whole text as one gram (shingles() clamps), so short benchmark
+    items still match verbatim copies.
+    """
+    def grams(c: Column) -> Column:
+        return F.array_distinct(F.transform(
+            shingles(F.lower(c), k=n),
+            lambda s: F.substring(F.md5(s), 1, 16)))
+
+    bench = (benchmark
+             .select(F.explode(grams(F.col(text_col))).alias("g"))
+             .distinct())
+    corpus = docs.select(
+        F.col(id_col), F.explode(grams(F.col(text_col))).alias("g"))
+    # array_distinct above makes per-doc grams unique, so count(*) ==
+    # count(distinct g) without a distinct aggregate.
+    return (corpus.join(F.broadcast(bench), "g")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+
+
+def line_dedup(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
+    """Line-level exact dedup (the CCNet/RefinedWeb pass): every line keeps
+    only its GLOBAL first occurrence — ordered by (doc id, line position) —
+    and each doc is reassembled from its surviving lines in original order.
+    Boilerplate lines (headers, cookie banners) repeated across documents
+    collapse to their first sighting. Returns (id, text, n_lines,
+    n_kept); docs whose every line was seen earlier come back with
+    empty text and n_kept = 0.
+
+    Scale shape: two shuffles by construction, both on line-sized rows —
+    one exchange by line-hash for the first-occurrence window (row_number
+    over a 16-byte key; skew only if one literal line dominates the corpus,
+    in which case min-aggregating (id, pos) per hash first would salt it),
+    one exchange by doc id for reassembly. Never all-pairs, no driver
+    materialization. Line identity is md5(trim(line)) — leading/trailing
+    whitespace doesn't split groups, case DOES (boilerplate is
+    case-stable; lowering here would merge legit prose).
+    """
+    from pyspark.sql.window import Window
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("line_no", "line"),
+    ).withColumn("h", F.md5(F.trim(F.col("line"))))
+    rn = F.row_number().over(
+        Window.partitionBy("h").orderBy(F.col(id_col), F.col("line_no")))
+    kept = lines.withColumn("rn", rn)
+    per_doc = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("rn") == 1,
+                               F.struct("line_no", "line")))),
+                    lambda s: s["line"]),
+                sep).alias(text_col),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(F.when(F.col("rn") == 1, F.lit(1))).alias("n_kept"),
+        ))
+    return per_doc

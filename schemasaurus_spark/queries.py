@@ -411,32 +411,96 @@ SQL_DOCS_WITH_DUPS = """
 """
 
 
-def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dedup APPLY step: surviving doc ids after exact dedup (staged
-    duplicates ensure survivors < input — the keeper choice is graded)."""
-    return dedup.dedup_apply(_docs_with_dups(spark, sf_dir)).select("doc_id")
-
-
-SQL_DEDUP_APPLY = f"""
-WITH d AS ({SQL_DOCS_WITH_DUPS})
-SELECT doc_id FROM (
-  SELECT doc_id, text,
-         ROW_NUMBER() OVER (
-           PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
-           ORDER BY doc_id) AS rn
-  FROM d) WHERE rn = 1 OR text IS NULL
-"""
-
-
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.exact_duplicates(_docs_with_dups(spark, sf_dir))
+    """Exact-dedup GROUPS × APPLY survivors in one graded result (round-5
+    fold of the former dedup_exact + dedup_apply entries, freeing a
+    registry slot for `decontaminate` under the driver's 50-row gate): for
+    every duplicate group, n_surv counts that group's ids surviving
+    dedup.dedup_apply — grading the groupBy view AND the survivor
+    semi-join together (a correct APPLY keeps exactly the keeper, so
+    n_surv must be 1 everywhere; an APPLY that kept extras or dropped the
+    keeper shifts the count). dedup_apply's full survivor set stays
+    pinned row-for-row by tests/test_text_dedup.py."""
+    d = _docs_with_dups(spark, sf_dir)
+    groups = dedup.exact_duplicates(d)
+    fps = (d.select(F.col("doc_id"),
+                    text.content_fingerprint(F.col("text")).alias("fp"))
+           .where(F.col("fp").isNotNull()))
+    surv = dedup.dedup_apply(d).select("doc_id")
+    n_surv = (fps.join(surv, "doc_id")
+              .groupBy("fp").agg(F.count(F.lit(1)).alias("n_surv")))
+    return (groups.join(n_surv, "fp", "left")
+            .select("fp", "n_docs", "keep_id",
+                    F.coalesce("n_surv", F.lit(0)).cast("bigint")
+                    .alias("n_surv")))
 
 
 SQL_DEDUP_EXACT = f"""
-WITH d AS ({SQL_DOCS_WITH_DUPS})
-SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
-       COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
-FROM d WHERE text IS NOT NULL GROUP BY 1 HAVING COUNT(*) > 1
+WITH d AS ({SQL_DOCS_WITH_DUPS}),
+fps AS (
+  SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+  FROM d WHERE text IS NOT NULL),
+groups AS (
+  SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+  FROM fps GROUP BY 1 HAVING COUNT(*) > 1),
+surv AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (
+             PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+             ORDER BY doc_id) AS rn
+    FROM d) WHERE rn = 1 OR text IS NULL),
+sc AS (
+  SELECT f.fp, COUNT(*) AS n_surv
+  FROM fps f JOIN surv s USING (doc_id) GROUP BY 1)
+SELECT g.fp, g.n_docs, g.keep_id, COALESCE(sc.n_surv, 0) AS n_surv
+FROM groups g LEFT JOIN sc USING (fp)
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the LLM-pipeline 8-gram-overlap scrub):
+    benchmark = every 10th ORIGINAL doc; training corpus = everything else
+    in the staged _docs_with_dups union. Each mangled copy (UPPERCASE +
+    ' !!!', id+10^6) shares its original's lower-cased 8-grams, so the
+    gate grades a guaranteed-non-vacuous contaminated set with exact
+    per-doc hit counts (grams touching the appended '!!!' token don't
+    match — the count itself is discriminating, not just membership)."""
+    d = _docs_with_dups(spark, sf_dir)
+    bench = (_t(spark, sf_dir, "documents")
+             .where(F.col("doc_id") % 10 == 0))
+    train = d.where((F.col("doc_id") % 10 != 0)
+                    | (F.col("doc_id") >= 1_000_000))
+    return dedup.decontaminate(train, bench)
+
+
+SQL_DECONTAMINATE = f"""
+WITH d AS ({SQL_DOCS_WITH_DUPS}),
+bw AS (
+  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     w -> w <> '') AS ws
+  FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL),
+bg AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(list_transform(
+             generate_series(1, GREATEST(len(ws) - 7, 1)),
+             i -> substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 16))) AS g
+    FROM bw)),
+tw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     w -> w <> '') AS ws
+  FROM d
+  WHERE (doc_id % 10 <> 0 OR doc_id >= 1000000) AND text IS NOT NULL),
+tg AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, GREATEST(len(ws) - 7, 1)),
+             i -> substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 16))) AS g
+    FROM tw))
+SELECT tg.doc_id, COUNT(*) AS n_hits
+FROM tg JOIN bg USING (g) GROUP BY 1
 """
 
 
@@ -1636,7 +1700,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "pii_signals": q_pii_signals,
     "dedup_exact": q_dedup_exact,
-    "dedup_apply": q_dedup_apply,
+    "decontaminate": q_decontaminate,
     "dedup_prefix_buckets": q_dedup_prefix_buckets,
     "minhash_lsh": q_minhash_lsh,
     "jaccard_pairs": q_jaccard_pairs,
@@ -1697,7 +1761,7 @@ ORACLES: dict[str, str] = {
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "pii_signals": SQL_PII_SIGNALS,
     "dedup_exact": SQL_DEDUP_EXACT,
-    "dedup_apply": SQL_DEDUP_APPLY,
+    "decontaminate": SQL_DECONTAMINATE,
     "dedup_prefix_buckets": SQL_DEDUP_PREFIX_BUCKETS,
     "minhash_lsh": SQL_MINHASH_LSH,
     "jaccard_pairs": SQL_JACCARD_PAIRS,

@@ -128,3 +128,109 @@ def test_unigram_logprob_empty_corpus(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     out = text.unigram_logprob(empty)
     assert out.count() == 0 and set(out.columns) == {"doc_id", "logprob"}
+
+
+# ---------------------------------------------------------------- round 5b
+
+
+def test_decontaminate_flags_overlap_and_counts(spark):
+    """A training doc embedding a benchmark 8-gram verbatim (case-mangled)
+    is flagged with the exact distinct-gram hit count; clean docs emit
+    nothing."""
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string")
+    train = spark.createDataFrame(
+        [
+            # uppercase copy + one trailing token: grams not touching the
+            # extra token match -> exactly 2 distinct 8-grams (positions
+            # 1..2 of a 9-token doc), position 2's gram includes 'iota'
+            # which is NOT in the benchmark -> only position 1 matches.
+            (1, "ALPHA BETA GAMMA DELTA EPSILON ZETA ETA THETA iota"),
+            (2, "totally unrelated words nine ten eleven twelve thirteen"),
+            (3, None),
+        ],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["n_hits"]
+           for r in dedup.decontaminate(train, bench).collect()}
+    assert got == {1: 1}
+
+
+def test_decontaminate_short_benchmark_item_matches_whole_text(spark):
+    """Benchmark items shorter than n words still catch verbatim copies:
+    shingles() clamps to one whole-text gram on both sides."""
+    bench = spark.createDataFrame([(1, "two words")], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(7, "two words"), (8, "two other")], "doc_id long, text string")
+    got = {r["doc_id"] for r in dedup.decontaminate(train, bench).collect()}
+    assert got == {7}
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark gram set must carry the broadcast hint (eval-suite
+    sized), keeping the exploded corpus side shuffle-free up to the join."""
+    bench = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    train = spark.createDataFrame([(2, "a b c")], "doc_id long, text string")
+    plan = (dedup.decontaminate(train, bench)
+            ._jdf.queryExecution().logical().toString())
+    assert ("ResolvedHint (strategy=broadcast)" in plan
+            or "UnresolvedHint broadcast" in plan)
+
+
+def _line_corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "unique one\nshared boilerplate\nunique two"),
+            (2, "shared boilerplate\nunique three"),
+            (3, "  shared boilerplate \nunique four"),  # whitespace-normalized dup
+            (4, "shared boilerplate"),                   # loses its only line
+        ],
+        "doc_id long, text string")
+
+
+def test_line_dedup_first_occurrence_and_reassembly(spark):
+    got = {r["doc_id"]: (r["text"], r["n_lines"], r["n_kept"])
+           for r in dedup.line_dedup(_line_corpus(spark)).collect()}
+    assert got[1] == ("unique one\nshared boilerplate\nunique two", 3, 3)
+    assert got[2] == ("unique three", 2, 1)
+    assert got[3] == ("unique four", 2, 1)
+    assert got[4] == ("", 1, 0)
+
+
+def test_line_dedup_matches_duckdb_oracle(spark):
+    """Inline DuckDB oracle (pytest-only: the graded registry is pinned at
+    the driver's 50-row gate) — same first-occurrence-by-(doc,pos)
+    semantics over the staged corpus."""
+    import duckdb
+
+    got = sorted(
+        (r["doc_id"], r["text"], r["n_lines"], r["n_kept"])
+        for r in dedup.line_dedup(_line_corpus(spark)).collect())
+    rows = [(1, "unique one\nshared boilerplate\nunique two"),
+            (2, "shared boilerplate\nunique three"),
+            (3, "  shared boilerplate \nunique four"),
+            (4, "shared boilerplate")]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    want = sorted(map(tuple, con.execute("""
+        WITH lines AS (
+          SELECT doc_id, line_no - 1 AS line_no, line
+          FROM (SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       generate_subscripts(string_split(text, chr(10)), 1)
+                         AS line_no
+                FROM docs)),
+        ranked AS (
+          SELECT doc_id, line_no, line,
+                 ROW_NUMBER() OVER (PARTITION BY md5(trim(line))
+                                    ORDER BY doc_id, line_no) AS rn
+          FROM lines)
+        SELECT doc_id,
+               COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+                                   ORDER BY line_no), '') AS text,
+               COUNT(*) AS n_lines,
+               COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_kept
+        FROM ranked GROUP BY doc_id
+    """).fetchall()))
+    assert got == want
