@@ -427,6 +427,9 @@ class ConstraintCompiler:
             if dt is None or isinstance(dt, T.MapType):
                 self._compile_pattern_properties(out, col_name, col, c,
                                                  null_guard)
+            elif isinstance(dt, T.StructType):
+                self._compile_pattern_properties_struct(out, col_name, col,
+                                                        c, null_guard)
 
         elif isinstance(c, dsl.StructClosed):
             if isinstance(dt, T.StructType):
@@ -967,7 +970,59 @@ class ConstraintCompiler:
         ok = F.lit(False)
         for r, _ in c.spec_items():
             ok = ok | key.rlike(r)
+        for name in c.allowed:
+            # declared `properties` names are never "additional" (draft-4,
+            # v4validator.js:287) — exempt them from the additional policy
+            ok = ok | (key == F.lit(name))
         return ok
+
+    def _compile_pattern_properties_struct(self, out, col_name, col,
+                                           c: dsl.PatternProperties,
+                                           null_guard):
+        """patternProperties value sub-schemas + the SCHEMA form of
+        additionalProperties for STRUCT columns (the map path's static-field
+        twin; before round 5b PatternProperties was silently dropped on
+        structs, so `{properties: …, additionalProperties: {type: …}}` over
+        object data never checked undeclared fields). The struct type is
+        static, so each field's matching sub-schemas compile to per-field
+        scalar probes — no runtime key scan, same strategy as StructClosed
+        (v4validator.js:287, processor.js:90-111). ``additional=False``
+        stays StructClosed's job (the translator emits one alongside)."""
+        import re as _re
+
+        dt = _dtype(self.schema, col_name)
+        allowed = set(c.allowed)
+        pats = [(_re.compile(r), subs) for r, subs in c.spec_items()]
+        for f_ in dt.fields:
+            fname = f_.name
+            fcol = col.getField(fname)
+            matched = [subs for p, subs in pats if p.search(fname)]
+            if not matched and fname not in allowed:
+                if isinstance(c.additional, (list, tuple)):
+                    matched = [list(c.additional)]
+            label = f"{col_name}.{fname}"
+            for subs in matched:
+                for sub in self._expand_element_refs(subs):
+                    pred, code, arg = self._element_predicate(sub,
+                                                              f_.dataType)
+                    if getattr(pred, "static_true", False):
+                        continue
+                    if isinstance(sub, dsl.NotNull):
+                        failed = fcol.isNull()
+                    else:
+                        # null field value skips value checks (the engine's
+                        # missing/null collapse — a padded-absent property
+                        # must not fire)
+                        failed = fcol.isNotNull() & ~F.coalesce(
+                            pred(fcol), F.lit(False))
+                    if null_guard:
+                        failed = col.isNotNull() & F.coalesce(failed,
+                                                              F.lit(False))
+                    msg = sub.message or self._msg(code, arg)
+                    out.fragments.append(_scalar_fragment(
+                        failed, code, label, fcol, arg, msg))
+                    ok = ~failed
+                    out.valid = ok if out.valid is None else out.valid & ok
 
     def _element_predicate(self, sub: dsl.Constraint, elem_type=None):
         """Map a scalar constraint onto array elements (lambda-variable form).

@@ -347,15 +347,24 @@ class PatternProperties(Constraint):
     Violations carry the sub-constraint's own code (reference error-model
     parity) with column label ``<col>[<key>]`` identifying the entry; null
     entry values skip value checks (element null convention), NotNull
-    flags them."""
+    flags them.
+
+    ``allowed``: declared ``properties`` names — draft-4 exempts them from
+    ``additional`` (v4validator.js:287: additionalProperties applies to
+    keys in neither ``properties`` nor any ``patternProperties`` match).
+    On STRUCT columns the field list is static, so matching sub-schemas
+    compile to per-field probes (the StructClosed strategy) instead of
+    map-entry scans."""
 
     specs: Sequence[tuple] = ()  # (regex, Sequence[Constraint])
     additional: object = None    # None | False | Sequence[Constraint]
+    allowed: Sequence[str] = ()  # declared properties, exempt from additional
 
     def __post_init__(self):
         object.__setattr__(
             self, "specs",
             tuple((r, tuple(cs)) for r, cs in self.specs))
+        object.__setattr__(self, "allowed", tuple(self.allowed))
         if self.additional is True:
             # the natural draft-4 spelling of "unmatched keys allowed"
             object.__setattr__(self, "additional", None)

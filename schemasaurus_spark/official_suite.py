@@ -51,7 +51,8 @@ from pyspark.sql import SparkSession
 from schemasaurus_spark import dsl
 from schemasaurus_spark.schema_json import (
     SchemaTranslationError, _constraints_from, is_object_form,
-    merge_object_allof, struct_closed_from, suite_from_json_schema,
+    merge_object_allof, pattern_properties_of, struct_closed_from,
+    suite_from_json_schema,
 )
 from schemasaurus_spark.validate import validate
 
@@ -313,6 +314,11 @@ def plan_test(t: OfficialTest, ref_loader=None) -> TestPlan:
         self_cs: list = []
         if schema.get("additionalProperties") is False:
             self_cs.append(struct_closed_from(schema))
+        # root patternProperties value sub-schemas / additionalProperties
+        # SCHEMA form constrain the test struct's undeclared fields
+        # (declared properties exempt via `allowed`; the False form stays
+        # StructClosed's job above) — round 5b
+        self_cs.extend(pattern_properties_of(schema, loader=ref_loader))
         # the struct must carry every property the suite constrains, plus
         # every key the data actually has
         data = dict(t.data)
@@ -345,6 +351,14 @@ def plan_test(t: OfficialTest, ref_loader=None) -> TestPlan:
     # value-mode: `definitions` is a container, not a constraint keyword —
     # translate it into named Refs (the root stays available for pointers)
     own = {k: v for k, v in schema.items() if k != "definitions"}
+    if "properties" in own and not isinstance(t.data, dict):
+        # draft-4: `properties` constrains OBJECT instances only — a
+        # scalar/array instance ignores it (v4validator's type guard, the
+        # same silent pass every scalar keyword gets on a mismatched
+        # type). Strip it so the official "ignores arrays / strings /
+        # other non-objects" tests grade instead of recording a
+        # translation skip (round 5b).
+        own.pop("properties")
     cs = _constraints_from(own, None, False, root=schema,
                            loader=ref_loader)
     defs = {n: _constraints_from(d, None, False, root=schema,

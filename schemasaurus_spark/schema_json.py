@@ -267,30 +267,8 @@ def _constraints_from(schema: dict, custom_fns: Optional[dict],
         out.append(dsl.MaxProperties(schema["maxProperties"],
                                      message=m("maxProperties")))
     if "patternProperties" in schema or "additionalProperties" in schema:
-        pp: dict = schema.get("patternProperties") or {}
-        addl = schema.get("additionalProperties")
-        # policy: value sub-schemas / an explicit additional policy use the
-        # full draft-4 semantics (unmatched keys allowed unless the schema
-        # says otherwise — including explicit `additionalProperties: true`);
-        # the bare keys-only form ({} value schemas, no additional keyword)
-        # keeps the legacy strict KeyPattern allowlist (conformance_map
-        # oracle-pinned)
-        if any(pp.values()) or addl is not None:
-            # value sub-schemas present (or an additional-keys policy):
-            # full patternProperties semantics over map entries
-            out.append(dsl.PatternProperties(
-                specs=[(r, _constraints_from(s, custom_fns, runtime_types,
-                                             root, stack, loader))
-                       for r, s in pp.items()],
-                additional=(False if addl is False else
-                            _constraints_from(addl, custom_fns,
-                                              runtime_types, root, stack, loader)
-                            if isinstance(addl, dict) else None),
-                message=m("additionalProperties")))
-        elif pp:
-            # keys-only form ({} value schemas): KeyPattern, as before
-            out.append(dsl.KeyPattern(list(pp),
-                                      message=m("additionalProperties")))
+        out.extend(pattern_properties_of(schema, custom_fns, runtime_types,
+                                         root, stack, loader))
     for kw, cls in (("allOf", dsl.AllOf), ("anyOf", dsl.AnyOf),
                     ("oneOf", dsl.OneOf)):
         if kw in schema:
@@ -599,6 +577,43 @@ def merge_object_allof(schema: dict) -> dict:
     return out
 
 
+def pattern_properties_of(schema: dict, custom_fns=None, runtime_types=False,
+                          root=None, stack=None, loader=None) -> list:
+    """The patternProperties / additionalProperties constraints of ONE
+    object node — shared by :func:`_constraints_from` (map/value nodes,
+    where ``properties`` never appears) and the object walkers
+    (:func:`suite_from_json_schema`'s nested descent and the official
+    harness root), which strip ``properties`` before generic keyword
+    translation but must still pass the declared names through as the
+    ``allowed`` exemption (draft-4: ``additionalProperties`` applies to
+    keys in neither ``properties`` nor any ``patternProperties`` match,
+    v4validator.js:287).
+
+    Policy (unchanged from round 3): value sub-schemas / an explicit
+    additional policy use full draft-4 semantics (unmatched keys allowed
+    unless the schema says otherwise — including explicit
+    ``additionalProperties: true``); the bare keys-only form ({} value
+    schemas, no additional keyword) keeps the legacy strict KeyPattern
+    allowlist (conformance_map oracle-pinned)."""
+    pp: dict = schema.get("patternProperties") or {}
+    addl = schema.get("additionalProperties")
+    msg = (schema.get("messages") or {}).get("additionalProperties")
+    if any(pp.values()) or addl is not None:
+        return [dsl.PatternProperties(
+            specs=[(r, _constraints_from(s, custom_fns, runtime_types,
+                                         root, stack, loader))
+                   for r, s in pp.items()],
+            additional=(False if addl is False else
+                        _constraints_from(addl, custom_fns,
+                                          runtime_types, root, stack, loader)
+                        if isinstance(addl, dict) else None),
+            allowed=list(schema.get("properties") or {}),
+            message=msg)]
+    if pp:
+        return [dsl.KeyPattern(list(pp), message=msg)]
+    return []
+
+
 def struct_closed_from(schema: dict) -> dsl.StructClosed:
     """additionalProperties=false policy of an OBJECT schema node as a
     StructClosed: draft-4 exempts only properties / patternProperties
@@ -640,9 +655,17 @@ def suite_from_json_schema(
             if nested is not None:
                 own = {k: v for k, v in sub.items()
                        if k not in ("properties", "required",
-                                    "additionalProperties")}
+                                    "additionalProperties",
+                                    "patternProperties")}
                 cs = head + _constraints_from(own, custom_fns, runtime_types,
                                               root=schema, loader=ref_loader)
+                # patternProperties value sub-schemas + the SCHEMA form of
+                # additionalProperties compile per static struct field —
+                # declared properties pass through as the allowed exemption
+                # (they were dropped entirely on struct nodes before 5b)
+                cs = cs + pattern_properties_of(
+                    sub, custom_fns, runtime_types, root=schema,
+                    loader=ref_loader)
                 if sub.get("additionalProperties") is False:
                     # nested object node → STRUCT column: closed-ness is a
                     # static field check (dsl.StructClosed)

@@ -506,3 +506,40 @@ def test_remote_ref_loader_hook(spark):
     # without a loader, remote refs still raise like defaultLoader
     with pytest.raises(SchemaTranslationError, match="remote"):
         suite_from_json_schema(schema, id_column="c")
+
+
+def test_struct_additional_properties_schema_form(spark):
+    """Round 5b: on a nested object node (STRUCT column), patternProperties
+    value sub-schemas and the SCHEMA form of additionalProperties compile
+    per static field — declared `properties` exempt from the additional
+    policy (v4validator.js:287). Before the fix the whole PatternProperties
+    constraint was silently dropped on struct dtypes."""
+    schema = {
+        "type": "object",
+        "properties": {
+            "obj": {
+                "type": "object",
+                "properties": {"declared": {}},
+                "patternProperties": {"^n_": {"type": "integer",
+                                              "minimum": 0}},
+                "additionalProperties": {"type": "string"},
+            },
+        },
+    }
+    s = suite_from_json_schema(schema, id_column="rid")
+    df = spark.createDataFrame(
+        [(1, ("x", -5, "ok", None)),     # n_bad violates minimum
+         (2, ("y", 3, None, 7))],        # extra=7 violates additional string
+        "rid long, obj struct<declared string, n_bad long, "
+        "extra1 string, extra2 long>")
+    # field names drive matching: rename extra1/extra2 per-row is not
+    # possible in one static schema, so stage both shapes as fields
+    got = {(r["rid"], r["column"], r["constraint_id"])
+           for r in validate(df, s).violations().collect()}
+    assert (1, "obj.n_bad", "minimum") in got
+    # element type probes carry the expected type name as the code (the
+    # same convention as the map-entry path)
+    assert (2, "obj.extra2", "string") in got
+    # declared field and null fields never fire the additional policy
+    assert not any(c.endswith(".declared") for _, c, _ in got)
+    assert not any(r == 2 and c == "obj.n_bad" for r, c, _ in got)
