@@ -777,21 +777,47 @@ class ConstraintCompiler:
                     failed, f"items.{i}.{code}", col_name, elem, arg, msg))
                 ok = ~failed
                 out.valid = ok if out.valid is None else out.valid & ok
-        if not c.additional:
+        if c.additional is not True:
             n_spec = len(c.specs)
             has_extra = F.size(col) > n_spec
             if null_guard:
                 has_extra = col.isNotNull() & has_extra
-            msg = c.message or self._msg("additionalItems")
             extras = F.slice(col, n_spec + 1,
                              F.greatest(F.size(col) - n_spec, F.lit(0)))
-            structs = F.transform(
-                extras,
-                lambda x: _vio_struct("additionalItems", col_name, x, None, msg))
-            out.fragments.append(
-                F.when(has_extra, structs).otherwise(_empty_violations()))
-            ok = ~has_extra
-            out.valid = ok if out.valid is None else out.valid & ok
+            if c.additional is False or c.additional == ():
+                # forbid form: one violation per extra element
+                msg = c.message or self._msg("additionalItems")
+                structs = F.transform(
+                    extras,
+                    lambda x: _vio_struct("additionalItems", col_name, x,
+                                          None, msg))
+                out.fragments.append(
+                    F.when(has_extra, structs).otherwise(_empty_violations()))
+                ok = ~has_extra
+                out.valid = ok if out.valid is None else out.valid & ok
+            else:
+                # draft-4 SCHEMA form: each extra element must satisfy the
+                # sub-schema — null-strict like spec'd positions
+                for sub in self._expand_element_refs(c.additional):
+                    pred, code, arg = self._element_predicate(sub, et)
+                    msg = sub.message or self._msg(code, arg)
+                    full_code = f"additionalItems.{code}"
+                    # null-strict, like spec'd positions: a null extra
+                    # fails the sub-schema check
+                    bad = F.filter(
+                        extras,
+                        lambda x: ~F.coalesce(pred(x), F.lit(False)))
+                    structs = F.transform(
+                        bad,
+                        lambda x: _vio_struct(full_code, col_name, x,
+                                              arg, msg))
+                    any_bad = has_extra & (F.size(bad) > 0)
+                    out.fragments.append(
+                        F.when(any_bad, structs)
+                         .otherwise(_empty_violations()))
+                    ok = ~F.coalesce(any_bad, F.lit(False))
+                    out.valid = (ok if out.valid is None
+                                 else out.valid & ok)
 
     def _compile_key_pattern(self, out, col_name, col, c: dsl.KeyPattern, m,
                              null_guard):
@@ -1189,14 +1215,27 @@ class ConstraintCompiler:
                 # no static_true skip: tuple positions stay null-strict
                 q, _, _ = self._element_predicate(s, inner_et)
                 spec_preds.append((i, q))
+        addl_preds = []
+        if isinstance(sub.additional, tuple):
+            for s in self._expand_element_refs(sub.additional):
+                q, _, _ = self._element_predicate(s, inner_et)
+                addl_preds.append(q)
+
+        n_spec = len(sub.specs)
 
         def pred(x):
             ok = F.lit(True)
             for i, q in spec_preds:
                 ok = ok & ((F.size(x) <= i)
                            | F.coalesce(q(F.get(x, i)), F.lit(False)))
-            if not sub.additional:
-                ok = ok & (F.size(x) <= len(sub.specs))
+            if sub.additional is False or sub.additional == ():
+                ok = ok & (F.size(x) <= n_spec)
+            for q in addl_preds:
+                extras = F.slice(x, n_spec + 1,
+                                 F.greatest(F.size(x) - n_spec, F.lit(0)))
+                ok = ok & F.forall(
+                    extras,
+                    lambda e: F.coalesce(q(e), F.lit(False)))
             return ok
         return pred
 

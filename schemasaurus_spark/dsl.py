@@ -261,12 +261,18 @@ class Items(Constraint):
 class TupleItems(Constraint):
     """Positional tuple form of ``items: [s1, s2, ...]`` + ``additionalItems``
     (``src/int/processor.js:54-61,113-124``; error `additionalItems`
-    v4validator.js:217): element i must satisfy specs[i]; with
-    ``additional=False``, one `additionalItems` violation per element beyond
-    the spec list."""
+    v4validator.js:217): element i must satisfy specs[i]. ``additional`` is
+    ``True`` (extras allowed), ``False`` (one `additionalItems` violation
+    per element beyond the spec list), or a sequence of Constraints — the
+    draft-4 SCHEMA form: each extra element must satisfy the sub-schema
+    (null-strict, like spec'd positions)."""
 
     specs: Sequence[Sequence[Constraint]] = ()
-    additional: bool = True
+    additional: object = True  # True | False | Sequence[Constraint]
+
+    def __post_init__(self):
+        if isinstance(self.additional, (list, tuple)):
+            object.__setattr__(self, "additional", tuple(self.additional))
 
     @property
     def code(self) -> str:

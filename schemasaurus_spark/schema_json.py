@@ -258,8 +258,13 @@ def _constraints_from(schema: dict, custom_fns: Optional[dict],
             specs = [_constraints_from(s, custom_fns, runtime_types,
                                        root, stack, loader)
                      for s in it]
-            out.append(dsl.TupleItems(
-                specs, additional=schema.get("additionalItems", True)))
+            addl_it = schema.get("additionalItems", True)
+            if isinstance(addl_it, dict):
+                # draft-4 SCHEMA form: extras each satisfy the sub-schema
+                addl_it = _constraints_from(addl_it, custom_fns,
+                                            runtime_types, root, stack,
+                                            loader)
+            out.append(dsl.TupleItems(specs, additional=addl_it))
     if "minProperties" in schema:
         out.append(dsl.MinProperties(schema["minProperties"],
                                      message=m("minProperties")))
@@ -353,9 +358,12 @@ def _constraint_to_keywords(c: dsl.Constraint) -> dict:
                 d["required"] = freq
         return {"items": d}
     if isinstance(c, dsl.TupleItems):
+        addl = c.additional
+        if isinstance(addl, tuple):  # schema form round-trips to a dict
+            addl = _merge([_constraint_to_keywords(x) for x in addl])
         return {"items": [_merge([_constraint_to_keywords(x) for x in spec])
                           for spec in c.specs],
-                "additionalItems": c.additional}
+                "additionalItems": addl}
     if isinstance(c, dsl.MinProperties):
         return {"minProperties": c.value, **m}
     if isinstance(c, dsl.MaxProperties):

@@ -247,3 +247,48 @@ def test_items_scalar_and_fields_combined(spark):
     rows = [(r["constraint_id"], r["value"])
             for r in validate(df, suite).violations().collect()]
     assert rows == [("items.v.maximum", "200")]
+
+
+def test_tuple_additional_schema_form(spark):
+    """Draft-4 SCHEMA form of additionalItems (round 5b): extras beyond
+    the positional specs each satisfy the sub-schema, null-strict like
+    spec'd positions; no extras -> never fires."""
+    df = spark.createDataFrame(
+        [(1, [1, 20, 30]), (2, [1, 5]), (3, [2]), (4, None), (5, [1, None])],
+        "id long, xs array<long>")
+    suite = dsl.Suite(id_column="id", columns={"xs": [
+        dsl.TupleItems([[dsl.TypeIs("integer")]],
+                       additional=[dsl.Minimum(10)])]})
+    got = sorted((r["id"], r["constraint_id"], r["value"])
+                 for r in validate(df, suite).violations().collect())
+    assert got == [(2, "additionalItems.minimum", "5"),
+                   (5, "additionalItems.minimum", None)]
+
+
+def test_tuple_additional_schema_form_nested(spark):
+    """The same schema form applies on NESTED tuple schemas (element
+    predicate: forall over the extras slice)."""
+    df = spark.createDataFrame(
+        [(1, [[1, 20], [2, 30]]), (2, [[1, 20], [2, 3]])],
+        "id long, m array<array<long>>")
+    suite = dsl.Suite(id_column="id", columns={"m": [dsl.Items([
+        dsl.TupleItems([[dsl.TypeIs("integer")]],
+                       additional=[dsl.Minimum(10)])])]})
+    bad = {r["id"] for r in validate(df, suite).violations().collect()}
+    assert bad == {2}
+
+
+def test_tuple_additional_schema_json_roundtrip(spark):
+    """additionalItems: {schema} translates from draft-4 JSON and keeps a
+    JSON form for the keyword fingerprint reverse-translation."""
+    from schemasaurus_spark.schema_json import suite_from_json_schema
+    schema = {"type": "object", "properties": {
+        "arr": {"type": "array",
+                "items": [{"type": "integer"}],
+                "additionalItems": {"minimum": 10}}}}
+    s = suite_from_json_schema(schema, id_column="rid")
+    df = spark.createDataFrame(
+        [(1, [1, 20]), (2, [1, 5])], "rid long, arr array<long>")
+    got = {(r["rid"], r["constraint_id"])
+           for r in validate(df, s).violations().collect()}
+    assert got == {(2, "additionalItems.minimum")}
