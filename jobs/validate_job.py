@@ -83,6 +83,12 @@ def main() -> int:
     ap.add_argument("--drift-edges", default="0,64,128,256,512,1024,2048",
                     help="comma-separated fixed bucket edges (frozen into "
                          "the baseline checkpoint)")
+    ap.add_argument("--quarantine", default=None, metavar="DIR",
+                    help="split sink: ONE extra scan writes valid rows "
+                         "under DIR/quarantined=false/ and failing rows "
+                         "(+ JSON violation report) under …=true/ via a "
+                         "partitioned write (overwrites DIR; the "
+                         "validation-tier gate of a training pipeline)")
     args = ap.parse_args()
 
     # usage-error gate (exit 2): incompatible/ineffective flag combinations
@@ -218,6 +224,14 @@ def main() -> int:
                 for r in results
             ]
             agg_pass &= all(r.passed for r in results)
+    if args.quarantine:
+        from schemasaurus_spark.validate import validate as _validate
+
+        qdf = store.read(spark, args.snapshot)
+        if pre_transform is not None:
+            qdf = pre_transform(qdf)
+        report["quarantine"] = _validate(qdf, suite).write_split(
+            args.quarantine, mode="overwrite")
     report["pass"] = bool(report["pass"] and agg_pass)
     print(json.dumps(report))
     return 0 if report["pass"] else 1

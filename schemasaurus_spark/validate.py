@@ -200,6 +200,64 @@ class ValidationResult:
     def invalid_rows(self) -> DataFrame:
         return self._row_filter(False)
 
+    def write_split(self, out_dir: str, mode: str = "error",
+                    flag_col: str = "quarantined",
+                    report_col: str = "violation_report",
+                    compression: str = "snappy") -> dict:
+        """Quarantine split sink: ONE scan writes valid rows under
+        ``{out_dir}/{flag_col}=false/`` and failing rows (with their
+        violation list as a JSON ``report_col``) under ``…=true/`` — the
+        validation-tier gate of a training pipeline (clean corpus flows
+        downstream, quarantine goes to triage).
+
+        Scale shape: the flag is computed IN the validation projection and
+        routed via ``partitionBy`` — no ``row_valid`` filter (the parquet
+        DataFilter-pushdown pathology needs no barrier because there is no
+        filter at all), no second scan, no shuffle; the dynamic-partition
+        writer's per-task sort is over one boolean. Contrast
+        ``valid_rows()``/``invalid_rows()``: TWO scans each re-evaluating
+        the constraint tree. Counts come from the written parquet FOOTERS
+        (pyarrow metadata.num_rows — zero data read, the lineage module's
+        manifest trick).
+
+        Static undeclared-column ``additionalProperties`` violations are
+        table-scoped, not row-scoped — they never quarantine rows; check
+        ``undeclared_columns()``/``verdicts()`` for them.
+
+        The flag is written as STRING ``"true"``/``"false"``: partition
+        directories only keep the rendered value, and Spark's
+        partition-type inference reads booleans back as strings anyway —
+        a string flag round-trips type-stably (filter with
+        ``col(flag_col) == "true"``).
+        """
+        clash = {flag_col, report_col} & set(self.validated.columns)
+        if clash - {VIOLATIONS_COL}:
+            raise ValueError(
+                f"output columns {sorted(clash)} already exist in the "
+                f"input — pass different flag_col/report_col")
+        q = F.size(F.col(VIOLATIONS_COL)) > 0
+        out = (self.validated
+               .withColumn(report_col,
+                           F.when(q, F.to_json(F.col(VIOLATIONS_COL))))
+               .withColumn(flag_col, q.cast("string"))
+               .drop(VIOLATIONS_COL))
+        (out.write.mode(mode)
+            .option("compression", compression)
+            .partitionBy(flag_col)
+            .parquet(out_dir))
+        counts = {"n_valid": 0, "n_quarantined": 0}
+        import glob as _glob
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        for side, key in ((f"{flag_col}=false", "n_valid"),
+                          (f"{flag_col}=true", "n_quarantined")):
+            for f in _glob.glob(_os.path.join(out_dir, side, "*.parquet")):
+                counts[key] += _pq.ParquetFile(f).metadata.num_rows
+        counts["out_dir"] = out_dir
+        return counts
+
     def is_valid(self) -> bool:
         """Table-level verdict (collects one aggregate row). Includes the
         static undeclared-column check — violations() reports those, so the
