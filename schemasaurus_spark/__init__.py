@@ -53,6 +53,7 @@ from schemasaurus_spark.validate import validate, ValidationResult, make_value_v
 from schemasaurus_spark.engine import AggregateChecks, run_full_validation
 from schemasaurus_spark.normalizer import NormalizerSpec, col_spec, normalize
 from schemasaurus_spark.schema_json import suite_from_json_schema, suite_to_json_schema
+from schemasaurus_spark.profiler import suggest_suite, SuggestResult
 
 __all__ = [
     "AllOf", "AnyOf", "Conform", "Dependency", "Enum",
@@ -62,6 +63,7 @@ __all__ = [
     "MultipleOf", "Not", "NotNull", "OneOf", "Pattern", "Ref", "Suite",
     "TupleItems", "TypeIs", "UniqueItems", "register_constraint",
     "compile_suite", "ValidationPlan", "validate", "ValidationResult", "make_value_validator",
+    "suggest_suite", "SuggestResult",
     "AggregateChecks", "run_full_validation",
     "NormalizerSpec", "col_spec", "normalize",
     "suite_from_json_schema", "suite_to_json_schema",
