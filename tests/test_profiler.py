@@ -114,3 +114,22 @@ def test_enum_exact_check_not_hll(spark):
     res3 = suggest_suite(df2, id_column="s", enum_max_distinct=40)
     got = [c for c in res3.suite.columns["t"] if isinstance(c, dsl.Enum)]
     assert got and len(got[0].values) == 40
+
+
+def test_suggested_suite_roundtrips_through_json_schema(spark, tmp_path):
+    """The draft suite is a first-class citizen of the schema surface:
+    suggest -> suite_to_json_schema -> suite_from_json_schema revalidates
+    the profiled table clean (the human-review loop stores drafts as
+    draft-4 documents)."""
+    from schemasaurus_spark import suite_from_json_schema, suite_to_json_schema
+
+    path = str(tmp_path / "seq3")
+    datagen.finalize(datagen.gen_sequences(spark, 300, 2)).write.parquet(path)
+    df = spark.read.parquet(path)
+    res = suggest_suite(df)
+    doc = suite_to_json_schema(res.suite)
+    back = suite_from_json_schema(doc, id_column=res.suite.id_column)
+    assert validate(df, back).is_valid()
+    # corruption still caught after the round-trip
+    bad = df.withColumn("source", F.lit("sp4m"))
+    assert not validate(bad, back).is_valid()
