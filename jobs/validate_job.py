@@ -83,6 +83,11 @@ def main() -> int:
     ap.add_argument("--drift-edges", default="0,64,128,256,512,1024,2048",
                     help="comma-separated fixed bucket edges (frozen into "
                          "the baseline checkpoint)")
+    ap.add_argument("--check-schema", action="store_true",
+                    help="walk the snapshot history and diff each "
+                         "snapshot's added-file schemas (footer-only, "
+                         "zero data scans); breaking changes under "
+                         "Iceberg promotion rules fail the run")
     ap.add_argument("--quarantine", default=None, metavar="DIR",
                     help="split sink: ONE extra scan writes valid rows "
                          "under DIR/quarantined=false/ and failing rows "
@@ -224,6 +229,18 @@ def main() -> int:
                 for r in results
             ]
             agg_pass &= all(r.passed for r in results)
+    if args.check_schema:
+        from schemasaurus_spark.plans.schema_evolution import (
+            snapshot_schema_changes)
+
+        walk = snapshot_schema_changes(store, spark)
+        report["schema_changes"] = [
+            {"from": f, "to": t,
+             "changes": [{"kind": c.kind, "column": c.column,
+                          "before": c.before, "after": c.after,
+                          "breaking": c.breaking} for c in cs]}
+            for f, t, cs in walk]
+        agg_pass &= not any(c.breaking for _, _, cs in walk for c in cs)
     if args.quarantine:
         from schemasaurus_spark.validate import validate as _validate
 
