@@ -631,3 +631,94 @@ def drift_violations(spark, results: list[DriftResult], psi_threshold: float,
         rows,
         "doc_id string, constraint_id string, column string, value string, arg string, message string",
     )
+
+
+# ------------------------------------------------- embedding drift
+
+
+@dataclass
+class EmbeddingDriftResult:
+    metric: str
+    group_key: str
+    cosine_dist: float
+    l2_shift: float
+    n: int
+    passed: bool
+
+
+def embedding_centroids(df: DataFrame, column: str,
+                        by: str | None = None) -> DataFrame:
+    """Per-group mean vector of an ``array<numeric>`` embedding column, in
+    long form ``(group_key, pos, mean, n)`` — the checkpointable baseline
+    for :func:`embedding_drift_check`.
+
+    Scale shape: ``posexplode`` → ``groupBy(group, pos)`` with ``avg`` —
+    hash aggregation does MAP-SIDE partial sums, so the exchange moves at
+    most tasks × groups × dim partial rows, never the exploded data; the
+    result is groups × dim rows (sketch-sized, like the histogram family).
+    NULL embeddings contribute nothing (posexplode of NULL emits no rows);
+    ragged vectors simply have lower ``n`` at their missing tail
+    positions."""
+    g = (F.col(by).alias("group_key") if by
+         else F.lit("*").alias("group_key"))
+    ex = df.select(g, F.posexplode(F.col(column)).alias("pos", "v"))
+    return (ex.groupBy("group_key", "pos")
+              .agg(F.avg("v").alias("mean"),
+                   F.count(F.lit(1)).alias("n")))
+
+
+def _centroid_map(rows) -> dict:
+    m: dict = {}
+    for r in rows:
+        m.setdefault(r["group_key"], {})[r["pos"]] = (r["mean"], r["n"])
+    return m
+
+
+def embedding_drift_check(df: DataFrame, baseline_centroids: DataFrame,
+                          column: str, by: str | None = None,
+                          cosine_threshold: float = 0.02,
+                          l2_threshold: float | None = None
+                          ) -> list[EmbeddingDriftResult]:
+    """Centroid drift of an embedding column vs a checkpointed baseline:
+    per group, cosine distance and L2 shift between the current mean
+    vector and the baseline's. The scalar/token-id drift family (PSI/KS)
+    cannot see a rotation or translation in embedding space that keeps
+    marginal histograms similar — the centroid catches translation
+    directly and is the standard first-order monitor for "did the
+    embedding model or the upstream corpus change".
+
+    Only groups × dim centroid rows are ever collected. A group missing
+    from either side fails (same contract as PSI against an empty
+    baseline bucket: novel/vanished groups ARE drift). Zero-norm pairs:
+    both zero → distance 0; one zero → distance 1."""
+    import math
+
+    cur = _centroid_map(embedding_centroids(df, column, by=by).collect())
+    base = _centroid_map(baseline_centroids.collect())
+    results = []
+    for gk in sorted(set(cur) | set(base), key=lambda g: (g is None, str(g))):
+        a, b = cur.get(gk), base.get(gk)
+        if a is None or b is None:
+            results.append(EmbeddingDriftResult(
+                column, gk, 1.0, float("inf"),
+                0 if a is None else max(x[1] for x in a.values()), False))
+            continue
+        dim = max(max(a), max(b)) + 1
+        va = [a.get(i, (0.0, 0))[0] for i in range(dim)]
+        vb = [b.get(i, (0.0, 0))[0] for i in range(dim)]
+        dot = sum(x * y for x, y in zip(va, vb))
+        na = math.sqrt(sum(x * x for x in va))
+        nb = math.sqrt(sum(x * x for x in vb))
+        if na == 0.0 and nb == 0.0:
+            cos_d = 0.0
+        elif na == 0.0 or nb == 0.0:
+            cos_d = 1.0
+        else:
+            cos_d = max(0.0, 1.0 - dot / (na * nb))
+        l2 = math.sqrt(sum((x - y) ** 2 for x, y in zip(va, vb)))
+        ok = cos_d <= cosine_threshold
+        if l2_threshold is not None:
+            ok = ok and l2 <= l2_threshold
+        results.append(EmbeddingDriftResult(
+            column, gk, cos_d, l2, max(x[1] for x in a.values()), ok))
+    return results
