@@ -83,6 +83,12 @@ def main() -> int:
     ap.add_argument("--drift-edges", default="0,64,128,256,512,1024,2048",
                     help="comma-separated fixed bucket edges (frozen into "
                          "the baseline checkpoint)")
+    ap.add_argument("--embedding-column", default=None, metavar="COL",
+                    help="with --aggregate: centroid drift of this "
+                         "array<numeric> embedding column vs a "
+                         "checkpointed baseline (cosine + L2; bootstrap "
+                         "on first run, same BaselineStore commit "
+                         "protocol as the histogram path)")
     ap.add_argument("--check-schema", action="store_true",
                     help="walk the snapshot history and diff each "
                          "snapshot's added-file schemas (footer-only, "
@@ -101,6 +107,10 @@ def main() -> int:
     if args.normalize and not args.schema_json:
         print("error: --normalize requires --schema-json (it applies the "
               "document's defaults/casts/pruning)", file=sys.stderr)
+        return 2
+    if args.embedding_column and not args.aggregate:
+        print("error: --embedding-column requires --aggregate (it is an "
+              "aggregate drift check)", file=sys.stderr)
         return 2
     if args.incremental and args.snapshot:
         print("error: --incremental and --snapshot are incompatible — "
@@ -229,6 +239,31 @@ def main() -> int:
                 for r in results
             ]
             agg_pass &= all(r.passed for r in results)
+        if args.embedding_column:
+            ecol = args.embedding_column
+            key = f"{ecol}__centroid"
+            eloaded = bs.load(spark, key)
+            if eloaded is None:
+                bs.save(agg.embedding_centroids(df, ecol, by=drift_by),
+                        key, [], config={"kind": "embedding_centroid",
+                                         "drift_by": drift_by})
+                report["embedding_drift"] = "baseline_bootstrapped"
+            else:
+                efrozen = bs.config(key)
+                if efrozen and efrozen.get("drift_by") != drift_by:
+                    print(f"error: embedding baseline for '{ecol}' was "
+                          f"built with {efrozen}; rerun with the same "
+                          f"--drift-by or re-baseline under a fresh "
+                          f"--state", file=sys.stderr)
+                    return 2
+                eres = agg.embedding_drift_check(
+                    df, eloaded[0], ecol, by=drift_by)
+                report["embedding_drift"] = [
+                    {"group": r.group_key,
+                     "cosine_dist": round(r.cosine_dist, 6),
+                     "l2_shift": round(r.l2_shift, 6), "pass": r.passed}
+                    for r in eres]
+                agg_pass &= all(r.passed for r in eres)
     if args.check_schema:
         from schemasaurus_spark.plans.schema_evolution import (
             snapshot_schema_changes)

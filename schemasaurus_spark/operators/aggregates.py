@@ -677,7 +677,8 @@ def _centroid_map(rows) -> dict:
 def embedding_drift_check(df: DataFrame, baseline_centroids: DataFrame,
                           column: str, by: str | None = None,
                           cosine_threshold: float = 0.02,
-                          l2_threshold: float | None = None
+                          l2_threshold: float | None = None,
+                          current_centroids: DataFrame | None = None
                           ) -> list[EmbeddingDriftResult]:
     """Centroid drift of an embedding column vs a checkpointed baseline:
     per group, cosine distance and L2 shift between the current mean
@@ -693,7 +694,9 @@ def embedding_drift_check(df: DataFrame, baseline_centroids: DataFrame,
     both zero → distance 0; one zero → distance 1."""
     import math
 
-    cur = _centroid_map(embedding_centroids(df, column, by=by).collect())
+    if current_centroids is None:
+        current_centroids = embedding_centroids(df, column, by=by)
+    cur = _centroid_map(current_centroids.collect())
     base = _centroid_map(baseline_centroids.collect())
     results = []
     for gk in sorted(set(cur) | set(base), key=lambda g: (g is None, str(g))):

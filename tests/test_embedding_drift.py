@@ -71,3 +71,50 @@ def test_null_embeddings_ignored_and_zero_norm(spark):
     zb = embedding_centroids(z, "embedding", by="source")
     zres = embedding_drift_check(z, zb, "embedding", by="source")
     assert zres[0].passed and zres[0].cosine_dist == 0.0
+
+
+def test_job_embedding_drift_bootstrap_then_compare(spark, tmp_path):
+    """--embedding-column on the packaged job: run 1 bootstraps the
+    centroid baseline (BaselineStore commit protocol), run 2 compares —
+    same data passes; a shifted third run fails with exit 1."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from schemasaurus_spark.sources.storage import SnapshotStore
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    store.append(_emb(spark).withColumn("n_tok", F.lit(3)))
+    doc = {"type": "object",
+           "properties": {"doc_id": {"type": "string"}},
+           "required": ["doc_id"]}
+    doc_path = str(tmp_path / "schema.json")
+    with open(doc_path, "w") as f:
+        json.dump(doc, f)
+
+    def run(extra=()):
+        env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "jobs", "validate_job.py"),
+             "--table", str(tmp_path / "tbl"), "--state",
+             str(tmp_path / "state"), "--schema-json", doc_path,
+             "--aggregate", "--drift-by", "source",
+             "--embedding-column", "embedding", *extra],
+            capture_output=True, text=True, timeout=600, cwd=repo, env=env)
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        assert lines, f"no JSON:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+        return json.loads(lines[-1]), out.returncode
+
+    rep1, rc1 = run()
+    assert rc1 == 0 and rep1["embedding_drift"] == "baseline_bootstrapped"
+    rep2, rc2 = run()
+    assert rc2 == 0 and rep2["pass"], rep2
+    assert all(g["pass"] for g in rep2["embedding_drift"])
+
+    # shift the corpus: append translated vectors, centroid moves
+    store.append(_emb(spark, shift=4.0, n=400).withColumn("n_tok", F.lit(3)))
+    rep3, rc3 = run()
+    assert rc3 == 1 and not rep3["pass"], rep3
+    assert any(not g["pass"] for g in rep3["embedding_drift"])
