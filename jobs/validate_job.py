@@ -89,6 +89,12 @@ def main() -> int:
                          "checkpointed baseline (cosine + L2; bootstrap "
                          "on first run, same BaselineStore commit "
                          "protocol as the histogram path)")
+    ap.add_argument("--trend", action="store_true",
+                    help="compare per-constraint violation RATES between "
+                         "the last two validated increments (lineage/"
+                         "metrics tables only, zero input scans); a "
+                         "spike (>=10x) or novel constraint fails the "
+                         "run")
     ap.add_argument("--check-schema", action="store_true",
                     help="walk the snapshot history and diff each "
                          "snapshot's added-file schemas (footer-only, "
@@ -264,6 +270,17 @@ def main() -> int:
                      "l2_shift": round(r.l2_shift, 6), "pass": r.passed}
                     for r in eres]
                 agg_pass &= all(r.passed for r in eres)
+    if args.trend:
+        from schemasaurus_spark.plans.lineage import metrics_trend
+
+        alerts = metrics_trend(cp, spark)
+        report["trend"] = [
+            {"constraint_id": a.constraint_id, "column": a.column,
+             "kind": a.kind, "prev_rate": round(a.prev_rate, 8),
+             "cur_rate": round(a.cur_rate, 8), "prev_n": a.prev_n,
+             "cur_n": a.cur_n}
+            for a in alerts]
+        agg_pass &= not alerts
     if args.check_schema:
         from schemasaurus_spark.plans.schema_evolution import (
             snapshot_schema_changes)

@@ -313,3 +313,66 @@ class ValidationCheckpoint:
             n_rows + int(prev_agg["r"] or 0),
             n_vio + int(prev_agg["v"] or 0),
         )
+
+
+# ------------------------------------------------ run-over-run trend
+
+
+@dataclass
+class TrendAlert:
+    constraint_id: str
+    column: str
+    kind: str            # "spike" | "novel"
+    prev_rate: float
+    cur_rate: float
+    prev_n: int
+    cur_n: int
+
+
+def metrics_trend(cp: "ValidationCheckpoint", spark: SparkSession,
+                  factor: float = 10.0,
+                  min_count: int = 10) -> list[TrendAlert]:
+    """Run-over-run violation-RATE trend between the last two validated
+    snapshot increments: a constraint whose per-row violation rate jumped
+    ≥ ``factor``× ("spike"), or that newly appeared ("novel"), is the
+    ops signal "upstream broke something since the last run" — distinct
+    from drift (distribution moved) and from absolute thresholds (a
+    constraint can stay under its ceiling while exploding 50×).
+
+    Rates are per-INCREMENT: lineage records each file's rows under the
+    snapshot where it was first validated, and the metrics table is
+    derived from the same increment, so numerator and denominator line
+    up even when later snapshots carry earlier files forward. Everything
+    here reads the lineage/metrics tables (sketch-sized) — zero input
+    scans. ``min_count`` suppresses small-sample noise (3 violations
+    where there was 1 is not a signal)."""
+    lin = (cp.lineage(spark).groupBy("snapshot_id")
+             .agg(F.sum("n_rows").alias("rows")).collect())
+    per_snap = {r["snapshot_id"]: r["rows"] for r in lin}
+    snaps = sorted(s for s in per_snap if per_snap[s])  # sNNNNN: ordinal
+    if len(snaps) < 2:
+        return []
+    prev_s, cur_s = snaps[-2], snaps[-1]
+    met = (cp.metrics(spark)
+             .where(F.col("snapshot_id").isin([prev_s, cur_s]))
+             .groupBy("snapshot_id", "constraint_id", "column")
+             .agg(F.sum("n_violations").alias("n")).collect())
+    prev: dict = {}
+    cur: dict = {}
+    for r in met:
+        tgt = prev if r["snapshot_id"] == prev_s else cur
+        tgt[(r["constraint_id"], r["column"])] = r["n"]
+    alerts = []
+    for key, n in sorted(cur.items()):
+        if n < min_count:
+            continue
+        cur_rate = n / per_snap[cur_s]
+        pn = prev.get(key, 0)
+        prev_rate = pn / per_snap[prev_s]
+        if pn == 0:
+            alerts.append(TrendAlert(key[0], key[1], "novel",
+                                     0.0, cur_rate, 0, n))
+        elif cur_rate >= factor * prev_rate:
+            alerts.append(TrendAlert(key[0], key[1], "spike",
+                                     prev_rate, cur_rate, pn, n))
+    return alerts
