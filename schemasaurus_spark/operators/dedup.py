@@ -391,3 +391,96 @@ def line_dedup(df: DataFrame, text_col: str = "text",
             F.count(F.when(F.col("rn") == 1, F.lit(1))).alias("n_kept"),
         ))
     return per_doc
+
+
+class IncrementalDedup:
+    """Cross-snapshot exact dedup against a PERSISTENT fingerprint index —
+    the production shape of exact dedup at 100 TB: each new increment is
+    checked against everything ever seen WITHOUT recomputing over the full
+    corpus (contrast :func:`exact_dedup`, which is one-shot over one frame).
+
+    The index is itself a :class:`~schemasaurus_spark.sources.storage.
+    SnapshotStore` of ``(fp, doc_id)`` rows — one row per UNIQUE document
+    ever ingested, holding the fingerprint's FIRST owner — so index
+    appends inherit the store's locked, crash-atomic commit protocol and
+    its manifest bookkeeping.
+
+    ``process(df)`` returns ``(survivors, duplicates)``:
+
+    * intra-increment duplicates: later rows (by ``id_col`` order) whose
+      fingerprint already appeared earlier in the SAME increment —
+      ``scope='intra'``, ``dup_of`` = the increment's first owner;
+    * cross-increment duplicates: rows whose fingerprint is already in
+      the index — ``scope='cross'``, ``dup_of`` = the historical owner;
+    * survivors: everything else; their fingerprints are appended to the
+      index (one atomic snapshot per ``process`` call).
+
+    Scale shape: fingerprints are ``md5(text)`` (16 bytes; swap xxhash64
+    at production scale); the only exchanges are (a) a groupBy(fp) with
+    ``min(id)`` — map-side combined — for intra-first-owner election and
+    (b) a fp-hash-partitioned join of the increment against the index.
+    The index is corpus-sized (one row per unique doc), so that join is a
+    genuine shuffle join by design — NEVER broadcast it; Spark's planner
+    won't either once the index outgrows the broadcast threshold. Rows
+    with NULL ``text_col`` fingerprint to NULL and never match anything
+    (SQL null-join semantics): they always survive and are NOT indexed.
+    Determinism: first-owner election orders by ``id_col`` (unique ids —
+    run after the uniqueness check), so reprocessing an identical
+    increment against the same index state reproduces the same split.
+    """
+
+    def __init__(self, state_dir: str):
+        import os
+
+        from schemasaurus_spark.sources.storage import SnapshotStore
+
+        self.store = SnapshotStore(os.path.join(state_dir, "dedup_index"))
+
+    def _index(self, spark):
+        try:
+            return self.store.read(spark)
+        except FileNotFoundError:
+            return spark.createDataFrame([], "fp string, doc_id string")
+
+    def process(self, df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id"):
+        spark = df.sparkSession
+        fp = F.md5(F.col(text_col))
+        with_fp = df.withColumn("__fp", fp)
+
+        # intra-increment first-owner election: min(id) per fp, map-side
+        # combined (never a window over the whole increment)
+        firsts = (with_fp.where(F.col("__fp").isNotNull())
+                  .groupBy("__fp")
+                  .agg(F.min(F.col(id_col)).alias("__first_id")))
+
+        index = self._index(spark).withColumnRenamed("fp", "__fp") \
+                                  .withColumnRenamed("doc_id", "__owner")
+        joined = (with_fp
+                  .join(firsts, "__fp", "left")
+                  .join(index, "__fp", "left"))
+
+        is_cross = F.col("__owner").isNotNull()
+        is_intra = (~is_cross
+                    & F.col("__fp").isNotNull()
+                    & (F.col(id_col) != F.col("__first_id")))
+        duplicates = (joined.where(is_cross | is_intra)
+                      .select(F.col(id_col),
+                              F.when(is_cross, F.col("__owner"))
+                               .otherwise(F.col("__first_id"))
+                               .alias("dup_of"),
+                              F.col("__fp").alias("fp"),
+                              F.when(is_cross, F.lit("cross"))
+                               .otherwise(F.lit("intra")).alias("scope")))
+        survivors = (joined.where(~(is_cross | is_intra))
+                     .drop("__fp", "__first_id", "__owner"))
+
+        # index grows by the increment's NEW unique fingerprints (their
+        # elected first owners), committed as one atomic store snapshot
+        new_fps = (firsts
+                   .join(index, "__fp", "left_anti")
+                   .select(F.col("__fp").alias("fp"),
+                           F.col("__first_id").alias("doc_id")))
+        if new_fps.take(1):
+            self.store.append(new_fps)
+        return survivors, duplicates

@@ -234,3 +234,45 @@ def test_line_dedup_matches_duckdb_oracle(spark):
         FROM ranked GROUP BY doc_id
     """).fetchall()))
     assert got == want
+
+
+def test_incremental_dedup_index(spark, tmp_path):
+    """Cross-snapshot exact dedup against the persistent fingerprint
+    index: intra dups collapse to the increment's first owner, cross dups
+    to the historical owner, the index grows only by NEW fingerprints,
+    and reprocessing an identical increment is deterministic."""
+    from schemasaurus_spark.operators.dedup import IncrementalDedup
+
+    idx = IncrementalDedup(str(tmp_path / "state"))
+
+    inc1 = spark.createDataFrame(
+        [("a1", "hello world"), ("a2", "unique one"),
+         ("a3", "hello world"), ("a4", None)],
+        "doc_id string, text string")
+    surv1, dup1 = idx.process(inc1)
+    d1 = {r["doc_id"]: (r["dup_of"], r["scope"]) for r in dup1.collect()}
+    assert d1 == {"a3": ("a1", "intra")}
+    # null text survives and is not indexed
+    assert {r["doc_id"] for r in surv1.collect()} == {"a1", "a2", "a4"}
+    assert idx.store.read(spark).count() == 2  # hello-world + unique-one
+
+    inc2 = spark.createDataFrame(
+        [("b1", "hello world"),      # cross dup of a1
+         ("b2", "brand new"),        # new
+         ("b3", "brand new"),        # intra dup of b2
+         ("b4", None)],              # null: survives again
+        "doc_id string, text string")
+    surv2, dup2 = idx.process(inc2)
+    d2 = {r["doc_id"]: (r["dup_of"], r["scope"]) for r in dup2.collect()}
+    assert d2 == {"b1": ("a1", "cross"), "b3": ("b2", "intra")}
+    assert {r["doc_id"] for r in surv2.collect()} == {"b2", "b4"}
+    ix = {(r["fp"], r["doc_id"]) for r in idx.store.read(spark).collect()}
+    assert len(ix) == 3 and {d for _, d in ix} == {"a1", "a2", "b2"}
+
+    # replaying increment 2 against the grown index: b2 is now CROSS
+    # (its fp belongs to the index) and nothing new is appended
+    _, dup3 = idx.process(inc2)
+    d3 = {r["doc_id"]: (r["dup_of"], r["scope"]) for r in dup3.collect()}
+    assert d3 == {"b1": ("a1", "cross"), "b2": ("b2", "cross"),
+                  "b3": ("b2", "cross")}
+    assert idx.store.read(spark).count() == 3
