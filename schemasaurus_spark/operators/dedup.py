@@ -442,10 +442,40 @@ class IncrementalDedup:
         except FileNotFoundError:
             return spark.createDataFrame([], "fp string, doc_id string")
 
+    _NORMALIZERS = {
+        "raw": lambda c: c,
+        # the CCNet-style canonical form: case-fold + collapse runs of
+        # whitespace + trim — what web-corpus exact dedup actually keys on
+        "ws_lower": lambda c: F.trim(
+            F.regexp_replace(F.lower(c), r"\s+", " ")),
+    }
+
     def process(self, df: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id"):
+                id_col: str = "doc_id", normalize: str = "raw"):
+        """``normalize``: ``'raw'`` (byte-exact) or ``'ws_lower'``
+        (case-fold + whitespace-collapse before fingerprinting). Pick ONE
+        per index — mixing normalizations against the same index silently
+        mismatches fingerprints, so the choice is recorded on first use
+        and enforced after."""
+        import json as _json
+
         spark = df.sparkSession
-        fp = F.md5(F.col(text_col))
+        if normalize not in self._NORMALIZERS:
+            raise ValueError(f"unknown normalize '{normalize}'; "
+                             f"one of {sorted(self._NORMALIZERS)}")
+        cfg = self.store.root / "normalize.json"
+        if cfg.exists():
+            frozen = _json.loads(cfg.read_text())["normalize"]
+            if frozen != normalize:
+                raise ValueError(
+                    f"index was built with normalize='{frozen}'; "
+                    f"got '{normalize}' — rebuild under a fresh state dir")
+        else:
+            cfg.parent.mkdir(parents=True, exist_ok=True)
+            tmp = cfg.with_suffix(".tmp")
+            tmp.write_text(_json.dumps({"normalize": normalize}))
+            tmp.replace(cfg)
+        fp = F.md5(self._NORMALIZERS[normalize](F.col(text_col)))
         with_fp = df.withColumn("__fp", fp)
 
         # intra-increment first-owner election: min(id) per fp, map-side

@@ -276,3 +276,26 @@ def test_incremental_dedup_index(spark, tmp_path):
     assert d3 == {"b1": ("a1", "cross"), "b2": ("b2", "cross"),
                   "b3": ("b2", "cross")}
     assert idx.store.read(spark).count() == 3
+
+
+def test_incremental_dedup_normalized_fingerprints(spark, tmp_path):
+    """normalize='ws_lower' keys on the canonical text form; the choice
+    is frozen on first use and mixing normalizations raises."""
+    import pytest
+
+    from schemasaurus_spark.operators.dedup import IncrementalDedup
+
+    idx = IncrementalDedup(str(tmp_path / "s"))
+    df = spark.createDataFrame(
+        [("a1", "Hello   World"), ("a2", "hello world"), ("a3", "other")],
+        "doc_id string, text string")
+    surv, dup = idx.process(df, normalize="ws_lower")
+    d = {r["doc_id"]: r["scope"] for r in dup.collect()}
+    assert d == {"a2": "intra"}
+    assert {r["doc_id"] for r in surv.collect()} == {"a1", "a3"}
+    with pytest.raises(ValueError, match="ws_lower"):
+        idx.process(df, normalize="raw")
+    # raw index elsewhere: the variants do NOT dedup
+    idx2 = IncrementalDedup(str(tmp_path / "s2"))
+    _, dup2 = idx2.process(df, normalize="raw")
+    assert dup2.count() == 0
