@@ -373,3 +373,67 @@ def compile_row_tool(suite: dsl.Suite, tool_cls):
                 if suite.id_column in df.columns else [])
         return df.select(*cols, out.alias(output_col))
     return gen
+
+
+# ------------------------------------------------------- suite diff
+
+
+@_dataclass(frozen=True)
+class SuiteChange:
+    kind: str        # column_added | column_removed | constraint_added |
+                     # constraint_removed | row_rule_added |
+                     # row_rule_removed | setting_changed
+    column: str      # "" for suite-level settings
+    detail: str
+
+
+def _constraint_key(c) -> str:
+    """Process-independent canonical form of one constraint: repr with
+    function addresses normalized + the bytecode digests Suite.fingerprint
+    uses — so editing a Conform lambda's BODY reads as a change even
+    though its repr doesn't (same two hazards, same remedies)."""
+    import re
+
+    canon = re.sub(r" at 0x[0-9a-f]+>", " at 0x0>", repr(c))
+    toks = "".join(sorted(dsl._callable_digests(c)))
+    return canon + ("|" + toks if toks else "")
+
+
+def suite_diff(a: dsl.Suite, b: dsl.Suite) -> list[SuiteChange]:
+    """Human-readable diff between two suite versions — the companion to
+    ``Suite.fingerprint``: a fingerprint mismatch tells resume to
+    re-validate, this tells the HUMAN what changed (reference analog: a
+    schema edit between runs of ``newValidator``). Compares id_column,
+    allow_undeclared_columns, per-column constraint multisets, and row
+    rules; a modified constraint appears as removed+added."""
+    from collections import Counter
+
+    out: list[SuiteChange] = []
+    if a.id_column != b.id_column:
+        out.append(SuiteChange("setting_changed", "",
+                               f"id_column: {a.id_column} -> {b.id_column}"))
+    if a.allow_undeclared_columns != b.allow_undeclared_columns:
+        out.append(SuiteChange(
+            "setting_changed", "",
+            f"allow_undeclared_columns: {a.allow_undeclared_columns} "
+            f"-> {b.allow_undeclared_columns}"))
+    for col in sorted(set(a.columns) - set(b.columns)):
+        out.append(SuiteChange("column_removed", col,
+                               f"{len(a.columns[col])} constraint(s)"))
+    for col in sorted(set(b.columns) - set(a.columns)):
+        out.append(SuiteChange("column_added", col,
+                               f"{len(b.columns[col])} constraint(s)"))
+    for col in sorted(set(a.columns) & set(b.columns)):
+        ca = Counter(_constraint_key(c) for c in a.columns[col])
+        cb = Counter(_constraint_key(c) for c in b.columns[col])
+        for key in sorted((ca - cb).elements()):
+            out.append(SuiteChange("constraint_removed", col, key))
+        for key in sorted((cb - ca).elements()):
+            out.append(SuiteChange("constraint_added", col, key))
+    ra = Counter(f"{label}: {_constraint_key(c)}" for label, c in a.row)
+    rb = Counter(f"{label}: {_constraint_key(c)}" for label, c in b.row)
+    for key in sorted((ra - rb).elements()):
+        out.append(SuiteChange("row_rule_removed", "", key))
+    for key in sorted((rb - ra).elements()):
+        out.append(SuiteChange("row_rule_added", "", key))
+    return out

@@ -222,3 +222,43 @@ def test_row_tool_items_render_inside_start_end_wrapper(spark):
     df = spark.createDataFrame([(1, ["a", "b"])], "id long, xs array<string>")
     got = compile_row_tool(suite, Tool)(df).first()["tool_output"]
     assert got == "<fieldset><i>a</i><i>b</i></fieldset>"
+
+
+def test_suite_diff_reports_changes(spark):
+    """suite_diff: the human companion to Suite.fingerprint — reports
+    what changed between suite versions, including a Conform lambda BODY
+    edit (bytecode digest, not repr)."""
+    import pyspark.sql.functions as F
+
+    from schemasaurus_spark import dsl
+    from schemasaurus_spark.plans.suite_tools import suite_diff
+
+    v1 = dsl.Suite(
+        id_column="doc_id",
+        columns={"n_tok": [dsl.NotNull(), dsl.Minimum(1)],
+                 "source": [dsl.Enum(["web", "books"])]},
+        row=[("tokens", dsl.Conform(
+            name="sz", expr=lambda c: F.size("tokens") == F.col("n_tok")))])
+    assert suite_diff(v1, v1) == []
+
+    v2 = dsl.Suite(
+        id_column="doc_id",
+        columns={"n_tok": [dsl.NotNull(), dsl.Minimum(1), dsl.Maximum(9)],
+                 "lang": [dsl.NotNull()]},
+        row=[("tokens", dsl.Conform(
+            name="sz", expr=lambda c: F.size("tokens") == F.col("n_tok")))])
+    kinds = [(c.kind, c.column) for c in suite_diff(v1, v2)]
+    assert ("column_removed", "source") in kinds
+    assert ("column_added", "lang") in kinds
+    assert ("constraint_added", "n_tok") in kinds
+    assert not any(k.startswith("row_rule") for k, _ in kinds)
+
+    # Conform BODY edit: same repr shape, different bytecode -> detected
+    v3 = dsl.Suite(
+        id_column="doc_id",
+        columns={"n_tok": [dsl.NotNull(), dsl.Minimum(1)],
+                 "source": [dsl.Enum(["web", "books"])]},
+        row=[("tokens", dsl.Conform(
+            name="sz", expr=lambda c: F.size("tokens") >= F.col("n_tok")))])
+    rk = {c.kind for c in suite_diff(v1, v3)}
+    assert rk == {"row_rule_removed", "row_rule_added"}
