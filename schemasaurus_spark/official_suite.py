@@ -136,6 +136,12 @@ def _ddl_of(value, hint: Optional[dict] = None) -> str:
     if isinstance(value, bool):
         return "boolean"
     if isinstance(value, int):
+        # bignums beyond int64 fold to IEEE doubles — the reference runs
+        # the optional/bignum.json cases through JS numbers (doubles), so
+        # double-typed evaluation IS its semantics (official_suite_spec.js
+        # loads the suite raw; JSON.parse yields doubles)
+        if not -(2 ** 63) <= value < 2 ** 63:
+            return "double"
         return "bigint"
     if isinstance(value, float):
         return "double"
@@ -198,12 +204,17 @@ def _convert(value):
         return tuple(_convert(v) for v in value.values()) or (None,)
     if isinstance(value, list):
         converted = [_convert(v) for v in value]
-        # int elements in a double-unified array need float()
-        if any(isinstance(v, float) for v in value):
+        # int elements in a double-unified array need float() (checked on
+        # CONVERTED values: a bignum int converts to float and pulls its
+        # int siblings up to double exactly like a native float would)
+        if any(isinstance(v, float) for v in converted):
             converted = [float(v) if isinstance(v, (int, float))
                          and not isinstance(v, bool) else v
                          for v in converted]
         return converted
+    if isinstance(value, int) and not isinstance(value, bool) \
+            and not -(2 ** 63) <= value < 2 ** 63:
+        return float(value)  # bignum → JS-double (see _ddl_of)
     return value
 
 

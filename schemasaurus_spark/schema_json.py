@@ -145,6 +145,17 @@ def resolve_json_pointer(root: dict, ref: str, loader=None):
     return node
 
 
+def _js_num(v):
+    """JSON numbers beyond int64 fold to IEEE doubles — JSON.parse (what
+    the reference feeds v4validator.js) has no bignum type, so a schema
+    bound like the official suite's ``maximum: 18446744073709551615``
+    compares as a double there; int64-range ints stay exact."""
+    if isinstance(v, int) and not isinstance(v, bool) \
+            and not -(2 ** 63) <= v < 2 ** 63:
+        return float(v)
+    return v
+
+
 def _constraints_from(schema: dict, custom_fns: Optional[dict],
                       runtime_types: bool, root: Optional[dict] = None,
                       stack: tuple = (), loader=None) -> list[dsl.Constraint]:
@@ -200,18 +211,21 @@ def _constraints_from(schema: dict, custom_fns: Optional[dict],
         out.append(dsl.Enum(list(schema["enum"]), message=m("enum")))
     if "minimum" in schema:
         if schema.get("exclusiveMinimum") is True:  # draft-4 boolean form
-            out.append(dsl.ExclusiveMinimum(schema["minimum"],
+            out.append(dsl.ExclusiveMinimum(_js_num(schema["minimum"]),
                                             message=m("minimum.exclusive")))
         else:
-            out.append(dsl.Minimum(schema["minimum"], message=m("minimum")))
+            out.append(dsl.Minimum(_js_num(schema["minimum"]),
+                                   message=m("minimum")))
     if "maximum" in schema:
         if schema.get("exclusiveMaximum") is True:
-            out.append(dsl.ExclusiveMaximum(schema["maximum"],
+            out.append(dsl.ExclusiveMaximum(_js_num(schema["maximum"]),
                                             message=m("maximum.exclusive")))
         else:
-            out.append(dsl.Maximum(schema["maximum"], message=m("maximum")))
+            out.append(dsl.Maximum(_js_num(schema["maximum"]),
+                                   message=m("maximum")))
     if "multipleOf" in schema:
-        out.append(dsl.MultipleOf(schema["multipleOf"], message=m("multipleOf")))
+        out.append(dsl.MultipleOf(_js_num(schema["multipleOf"]),
+                                  message=m("multipleOf")))
     if "minLength" in schema:
         out.append(dsl.MinLength(schema["minLength"], message=m("minLength")))
     if "maxLength" in schema:
