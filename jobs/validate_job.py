@@ -100,6 +100,13 @@ def main() -> int:
                          "snapshot's added-file schemas (footer-only, "
                          "zero data scans); breaking changes under "
                          "Iceberg promotion rules fail the run")
+    ap.add_argument("--lint", action="store_true",
+                    help="static pre-flight: lint the suite (contradiction "
+                         "/ satisfiability analysis) against the table "
+                         "schema BEFORE validating — zero data scans; "
+                         "error-severity findings abort with exit 2 "
+                         "(config error) instead of burning a full-table "
+                         "pass that rejects every row")
     ap.add_argument("--quarantine", default=None, metavar="DIR",
                     help="split sink: ONE extra scan writes valid rows "
                          "under DIR/quarantined=false/ and failing rows "
@@ -155,6 +162,20 @@ def main() -> int:
                 pre_hash=hashlib.sha256(repr(nspec).encode()).hexdigest()[:8])
     else:
         suite = SUITES[args.suite]()
+    if args.lint:
+        from schemasaurus_spark.plans.suite_tools import lint_suite
+
+        # schema only — a parquet footer read, no data scan
+        findings = lint_suite(suite, store.read(spark).schema)
+        for f in findings:
+            print(json.dumps({"lint": f.severity, "column": f.column,
+                              "code": f.code, "message": f.message}),
+                  file=sys.stderr)
+        if any(f.severity == "error" for f in findings):
+            print("error: suite lint found unsatisfiable constraints — "
+                  "refusing to scan (fix the suite or drop --lint)",
+                  file=sys.stderr)
+            return 2
     import time
     t0 = time.time()
     if args.incremental:

@@ -437,3 +437,347 @@ def suite_diff(a: dsl.Suite, b: dsl.Suite) -> list[SuiteChange]:
     for key in sorted((rb - ra).elements()):
         out.append(SuiteChange("row_rule_added", "", key))
     return out
+
+# ------------------------------------------------------- suite lint
+#
+# Static satisfiability / sanity analysis of a Suite BEFORE any data is
+# scanned — another tool built from the same schema walk (the reference's
+# newIterator precedent: new tools from the constraint tree,
+# src/iterator.js:14). A contradiction like `minimum: 10, maximum: 5`
+# compiles fine and then fails EVERY non-null row at full scan cost; at
+# 10^12 rows that is a wasted cluster pass over 100 TB, so the linter is
+# the pre-flight check a validation job runs at submit time (zero Spark,
+# zero scans — pure constraint-tree analysis).
+
+
+@_dataclass(frozen=True)
+class LintFinding:
+    severity: str   # error: every non-null value fails | warning | info
+    column: str     # dotted path; "[]" suffix = array-element scope
+    code: str
+    message: str
+
+
+_TYPE_SETS = {
+    "string": {"string"}, "boolean": {"boolean"}, "null": {"null"},
+    "array": {"array"}, "object": {"object"},
+    "integer": {"integer"}, "number": {"integer", "number"},
+}
+
+
+def _scope_types(constraints) -> Optional[set]:
+    """Intersection of every TypeIs in a conjunctive scope (None = no
+    type constraint). Empty set = contradiction."""
+    out = None
+    for c in constraints:
+        if isinstance(c, dsl.TypeIs):
+            ts = c.type if isinstance(c.type, (list, tuple)) else [c.type]
+            allowed = set()
+            for t in ts:
+                allowed |= _TYPE_SETS.get(t, {t})
+            out = allowed if out is None else out & allowed
+    return out
+
+
+def _enum_value_ok(v, lo, lo_ex, hi, hi_ex, types, min_len, max_len,
+                   patterns) -> bool:
+    """Would enum member `v` survive the scope's OTHER static checks?
+    (null members stay live: the null-guard skips every check.)"""
+    if v is None:
+        return True
+    if types is not None:
+        if isinstance(v, bool):
+            t = "boolean"
+        elif isinstance(v, int):
+            t = "integer"
+        elif isinstance(v, float):
+            t = "integer" if v == int(v) else "number"
+        elif isinstance(v, str):
+            t = "string"
+        elif isinstance(v, (list, tuple)):
+            t = "array"
+        elif isinstance(v, dict):
+            t = "object"
+        else:
+            t = "?"
+        widened = {t} | ({"number"} if t == "integer" else set())
+        if not widened & types:
+            return False
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        if lo is not None and (v < lo or (lo_ex and v == lo)):
+            return False
+        if hi is not None and (v > hi or (hi_ex and v == hi)):
+            return False
+    if isinstance(v, str):
+        if min_len is not None and len(v) < min_len:
+            return False
+        if max_len is not None and len(v) > max_len:
+            return False
+        for p in patterns:
+            try:
+                if not _re.search(p, v):
+                    return False
+            except _re.error:
+                pass  # reported separately as pattern-invalid
+    return True
+
+
+def _flatten_allof(constraints) -> list:
+    """Conjunctive view of a scope: AllOf branches merge into it (all
+    must hold), everything else stays as-is."""
+    out = []
+    for c in constraints:
+        if isinstance(c, dsl.AllOf):
+            for branch in c.branches:
+                out.extend(_flatten_allof(branch))
+        else:
+            out.append(c)
+    return out
+
+
+def _lint_scope(path: str, constraints, findings: list, severity: str,
+                known_columns: Optional[set] = None):
+    scope = _flatten_allof(constraints)
+
+    def add(code, msg, sev=None):
+        findings.append(LintFinding(sev or severity, path, code, msg))
+
+    # --- numeric bounds (conjunction: binding lower = max, upper = min)
+    lo = lo_ex = hi = hi_ex = None
+    for c in scope:
+        if isinstance(c, (dsl.Minimum, dsl.ExclusiveMinimum)):
+            ex = isinstance(c, dsl.ExclusiveMinimum)
+            if lo is None or c.value > lo or (c.value == lo and ex):
+                lo, lo_ex = c.value, ex
+        if isinstance(c, (dsl.Maximum, dsl.ExclusiveMaximum)):
+            ex = isinstance(c, dsl.ExclusiveMaximum)
+            if hi is None or c.value < hi or (c.value == hi and ex):
+                hi, hi_ex = c.value, ex
+    if lo is not None and hi is not None and (
+            lo > hi or (lo == hi and (lo_ex or hi_ex))):
+        add("bounds-unsatisfiable",
+            f"effective minimum {lo}{' (exclusive)' if lo_ex else ''} vs "
+            f"maximum {hi}{' (exclusive)' if hi_ex else ''}: no number "
+            f"satisfies both")
+
+    # --- count-style pairs
+    min_len = max_len = None
+    for lo_cls, hi_cls, code, what in (
+            (dsl.MinLength, dsl.MaxLength, "length-unsatisfiable", "length"),
+            (dsl.MinItems, dsl.MaxItems, "items-unsatisfiable", "item count"),
+            (dsl.MinProperties, dsl.MaxProperties,
+             "properties-unsatisfiable", "property count")):
+        mn = mx = None
+        for c in scope:
+            if isinstance(c, lo_cls):
+                mn = c.value if mn is None else max(mn, c.value)
+                if c.value < 0:
+                    add("negative-count",
+                        f"{c.code} {c.value} is negative (no-op at best)",
+                        "warning")
+            if isinstance(c, hi_cls):
+                mx = c.value if mx is None else min(mx, c.value)
+                if c.value < 0:
+                    add("negative-count",
+                        f"{c.code} {c.value} is negative: every non-null "
+                        f"value fails")
+        if mn is not None and mx is not None and mn > mx:
+            add(code, f"min {what} {mn} > max {what} {mx}")
+        if lo_cls is dsl.MinLength:
+            min_len, max_len = mn, mx
+
+    # --- type intersection
+    types = _scope_types(scope)
+    if types is not None and not types:
+        decls = [c.type for c in scope if isinstance(c, dsl.TypeIs)]
+        add("type-contradiction",
+            f"conjoined type constraints {decls} share no type")
+
+    # --- multipleOf / pattern validity
+    patterns = []
+    for c in scope:
+        if isinstance(c, dsl.MultipleOf) and c.value <= 0:
+            add("multipleOf-nonpositive",
+                f"multipleOf {c.value}: x % {c.value} is never a valid "
+                f"divisibility test")
+        if isinstance(c, dsl.Pattern):
+            patterns.append(c.regex)
+            try:
+                _re.compile(c.regex)
+            except _re.error as err:
+                add("pattern-invalid",
+                    f"regex {c.regex!r} does not compile ({err}); checked "
+                    f"with Python re — Java regex is close but verify "
+                    f"dialect-specific syntax")
+
+    # --- enum vs the rest of the scope
+    for c in scope:
+        if isinstance(c, dsl.Enum):
+            vals = list(c.values)
+            if not vals:
+                add("enum-empty", "enum with no values matches nothing")
+                continue
+            dead = [v for v in vals
+                    if not _enum_value_ok(v, lo, lo_ex, hi, hi_ex, types,
+                                          min_len, max_len, patterns)]
+            if len(dead) == len(vals):
+                add("enum-unsatisfiable",
+                    f"every enum value {vals!r} fails the scope's "
+                    f"type/bound/length/pattern constraints")
+            elif dead:
+                add("enum-dead-values",
+                    f"enum values {dead!r} can never validate (dead "
+                    f"entries)", "info")
+
+    # --- duplicates (identical constraint repeated — noise, not harm)
+    from collections import Counter as _Counter
+    for key, n in _Counter(_constraint_key(c) for c in scope).items():
+        if n > 1:
+            add("duplicate-constraint",
+                f"constraint repeated {n}x: {key[:120]}", "info")
+
+    # --- combinator branches
+    for c in scope:
+        if isinstance(c, (dsl.AnyOf, dsl.OneOf)):
+            if not c.branches:
+                add("combinator-empty",
+                    f"{c.code} with zero branches matches nothing")
+                continue
+            if isinstance(c, dsl.OneOf):
+                keys = _Counter(
+                    tuple(sorted(_constraint_key(x) for x in b))
+                    for b in c.branches)
+                if any(n > 1 for n in keys.values()):
+                    add("oneof-identical-branches",
+                        "oneOf has identical branches: any value matching "
+                        "one matches both, so it can never match exactly "
+                        "one", "warning")
+            for i, branch in enumerate(c.branches):
+                before = len(findings)
+                _lint_scope(path, branch, findings, severity, known_columns)
+                # a contradiction INSIDE an anyOf/oneOf branch doesn't
+                # doom the column — it makes the branch dead
+                for j in range(before, len(findings)):
+                    f = findings[j]
+                    if f.severity == "error":
+                        findings[j] = LintFinding(
+                            "warning", f.column, "dead-branch",
+                            f"{c.code} branch {i}: {f.code} — {f.message}")
+        if isinstance(c, dsl.Not):
+            if not len(c.branch):
+                add("not-unsatisfiable",
+                    "not{} (empty schema matches everything) fails every "
+                    "value")
+                continue
+            before = len(findings)
+            _lint_scope(path, c.branch, findings, severity, known_columns)
+            # not(unsatisfiable) always PASSES — the Not is a no-op
+            for j in range(before, len(findings)):
+                f = findings[j]
+                if f.severity == "error":
+                    findings[j] = LintFinding(
+                        "warning", f.column, "vacuous-not",
+                        f"not-branch is itself unsatisfiable ({f.code}), "
+                        f"so the not always passes: {f.message}")
+        if isinstance(c, dsl.Items):
+            _lint_scope(f"{path}[]", c.constraints, findings, severity,
+                        known_columns)
+            for fname, subs in (c.field_items() if c.fields else []):
+                _lint_scope(f"{path}[].{fname}", subs, findings, severity,
+                            known_columns)
+        if isinstance(c, dsl.TupleItems):
+            for i, spec in enumerate(c.specs):
+                _lint_scope(f"{path}[{i}]", spec, findings, severity,
+                            known_columns)
+        if isinstance(c, dsl.Dependency) and known_columns is not None:
+            for target in list(c.requires) + [t for t, _ in c.constraints]:
+                if target not in known_columns:
+                    add("dependency-unknown-column",
+                        f"dependency on {c.on!r} references undeclared "
+                        f"column {target!r}", "warning")
+
+
+def _draft_type_of_dtype(dt) -> Optional[str]:
+    from pyspark.sql import types as T
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "integer"
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return "number"
+    if isinstance(dt, T.ArrayType):
+        return "array"
+    if isinstance(dt, (T.StructType, T.MapType)):
+        return "object"
+    return None
+
+
+def lint_suite(suite: dsl.Suite, schema=None) -> list:
+    """Static pre-flight lint: returns :class:`LintFinding` rows, empty for
+    a healthy suite. ``severity="error"`` findings mean every non-null
+    value of that column fails — running the suite would burn a full-table
+    scan to reject everything (the check a 100 TB job wants BEFORE
+    spark-submit, not after).
+
+    ``schema`` (optional ``StructType`` or DataFrame) adds dtype
+    applicability checks: a statically-impossible TypeIs, string
+    constraints on numeric columns, array constraints on scalars, and
+    suite columns missing from the table.
+    """
+    findings: list[LintFinding] = []
+    known = set(suite.columns)
+    for path, constraints in suite.columns.items():
+        _lint_scope(path, constraints, findings, "error", known)
+    for label, c in suite.row:
+        _lint_scope(label, [c], findings, "error", known)
+
+    if schema is not None:
+        if hasattr(schema, "schema"):  # DataFrame passed
+            schema = schema.schema
+        from schemasaurus_spark.compiler import _dtype
+        for path, constraints in suite.columns.items():
+            dt = _dtype(schema, path)
+            if dt is None:
+                findings.append(LintFinding(
+                    "error", path, "missing-column",
+                    f"suite constrains {path!r} but the table schema has "
+                    f"no such column/path"))
+                continue
+            draft = _draft_type_of_dtype(dt)
+            scope = _flatten_allof(constraints)
+            types = _scope_types(scope)
+            if types is not None and draft is not None:
+                widened = {draft} | ({"number"} if draft == "integer"
+                                     else set())
+                # string columns stay runtime-probable (permissive ingest
+                # casts "42" to integer), so only non-string statics flag
+                if draft != "string" and not widened & types:
+                    findings.append(LintFinding(
+                        "error", path, "type-vs-dtype",
+                        f"declared type(s) {sorted(types)} can never match "
+                        f"physical dtype {dt.simpleString()}"))
+            for c in scope:
+                if isinstance(c, (dsl.MinLength, dsl.MaxLength,
+                                  dsl.Pattern, dsl.Format)) \
+                        and draft not in ("string", None):
+                    findings.append(LintFinding(
+                        "warning", path, "dtype-mismatch",
+                        f"{c.code} on {dt.simpleString()} column: value is "
+                        f"cast to string first — usually a suite bug"))
+                if isinstance(c, (dsl.MinItems, dsl.MaxItems,
+                                  dsl.UniqueItems, dsl.Items,
+                                  dsl.TupleItems)) and draft != "array":
+                    findings.append(LintFinding(
+                        "warning", path, "dtype-mismatch",
+                        f"{c.code} on non-array column "
+                        f"({dt.simpleString()})"))
+                if isinstance(c, (dsl.MinProperties, dsl.MaxProperties,
+                                  dsl.StructClosed, dsl.PatternProperties,
+                                  dsl.KeyPattern)) and draft != "object":
+                    findings.append(LintFinding(
+                        "warning", path, "dtype-mismatch",
+                        f"{c.code} on non-object column "
+                        f"({dt.simpleString()})"))
+    return findings

@@ -149,6 +149,43 @@ def test_job_usage_errors_exit_2(spark, tmp_path):
         assert out.returncode == 2, (extra, out.stderr[-300:])
 
 
+def test_job_lint_gate(spark, tmp_path):
+    """--lint: an unsatisfiable suite aborts with exit 2 BEFORE any
+    validation scan; a clean suite rides through unchanged."""
+    from schemasaurus_spark import datagen
+    from schemasaurus_spark.sources.storage import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    store.append(datagen.finalize(datagen.gen_sequences(spark, 100, 1)))
+    state = str(tmp_path / "state")
+
+    bad = {"type": "object", "properties": {
+        "doc_id": {"type": "string"},
+        "n_tok": {"type": "integer", "minimum": 100, "maximum": 5},
+    }}
+    bad_path = tmp_path / "bad_schema.json"
+    bad_path.write_text(json.dumps(bad))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "validate_job.py"),
+         "--table", str(tmp_path / "tbl"), "--state", state,
+         "--schema-json", str(bad_path), "--lint"],
+        capture_output=True, text=True, timeout=300, cwd=REPO)
+    assert out.returncode == 2, out.stderr[-500:]
+    assert "bounds-unsatisfiable" in out.stderr
+    # refusal happened pre-scan: no lineage was committed
+    assert not os.path.exists(os.path.join(state, "lineage"))
+
+    good = {"type": "object", "properties": {
+        "doc_id": {"type": "string", "minLength": 1},
+        "n_tok": {"type": "integer", "minimum": 0},
+    }}
+    good_path = tmp_path / "good_schema.json"
+    good_path.write_text(json.dumps(good))
+    rep, rc = _run_job("--table", str(tmp_path / "tbl"), "--state", state,
+                       "--schema-json", str(good_path), "--lint")
+    assert rc == 0 and rep["pass"], rep
+
+
 def test_job_incremental_cursor_persists(spark, tmp_path):
     """The incremental cursor survives across invocations, so a no-change
     rerun does not re-walk every historical snapshot."""
