@@ -81,6 +81,33 @@ def violations_sink(stream_df: DataFrame, suite: Suite, out_dir: str,
             .start())
 
 
+def quarantine_sink(stream_df: DataFrame, suite: Suite, out_dir: str,
+                    checkpoint_dir: str, flag_col: str = "quarantined",
+                    report_col: str = "violation_report"):
+    """Streaming quarantine split: valid rows land under
+    ``{out_dir}/{flag_col}=false/``, failing rows (+ JSON violation
+    report) under ``…=true/`` — the streaming form of
+    ``ValidationResult.write_split`` (same ``split_frame`` projection, so
+    the routing semantics can never drift from the batch gate).
+
+    Scale shape: stateless projection → partitioned file sink. No filter
+    (no pushdown trap), no shuffle, no state; exactly-once via the
+    streaming commit log (restarts replay uncommitted batches
+    idempotently, like violations_sink). The partition flag is the same
+    type-stable string ``"true"``/``"false"``. Returns the
+    StreamingQuery handle."""
+    from schemasaurus_spark.validate import split_frame
+
+    plan = compile_suite(suite, stream_df.schema)
+    out = split_frame(plan.apply(stream_df), flag_col, report_col)
+    return (out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .partitionBy(flag_col)
+            .outputMode("append")
+            .start())
+
+
 def windowed_drift(stream_df: DataFrame, column: str, edges: list[float],
                    baseline_probs: list[float],
                    time_col: str = "ts", window: str = "10 seconds",

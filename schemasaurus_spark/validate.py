@@ -230,17 +230,7 @@ class ValidationResult:
         a string flag round-trips type-stably (filter with
         ``col(flag_col) == "true"``).
         """
-        clash = {flag_col, report_col} & set(self.validated.columns)
-        if clash - {VIOLATIONS_COL}:
-            raise ValueError(
-                f"output columns {sorted(clash)} already exist in the "
-                f"input — pass different flag_col/report_col")
-        q = F.size(F.col(VIOLATIONS_COL)) > 0
-        out = (self.validated
-               .withColumn(report_col,
-                           F.when(q, F.to_json(F.col(VIOLATIONS_COL))))
-               .withColumn(flag_col, q.cast("string"))
-               .drop(VIOLATIONS_COL))
+        out = split_frame(self.validated, flag_col, report_col)
         (out.write.mode(mode)
             .option("compression", compression)
             .partitionBy(flag_col)
@@ -268,6 +258,28 @@ class ValidationResult:
             F.sum(F.size(VIOLATIONS_COL)).alias("n")
         ).first()
         return (row["n"] or 0) == 0
+
+
+def split_frame(validated: DataFrame, flag_col: str = "quarantined",
+                report_col: str = "violation_report") -> DataFrame:
+    """The quarantine-split projection shared by the batch sink
+    (:meth:`ValidationResult.write_split`) and the streaming sink
+    (``streaming.stream.quarantine_sink``): flag + JSON violation report
+    computed IN the validation projection, violations column dropped —
+    ONE implementation so the two paths can never drift. The flag is a
+    STRING ``"true"``/``"false"`` for a type-stable partition round-trip
+    (write_split's docstring has the full rationale)."""
+    clash = {flag_col, report_col} & set(validated.columns)
+    if clash - {VIOLATIONS_COL}:
+        raise ValueError(
+            f"output columns {sorted(clash)} already exist in the "
+            f"input — pass different flag_col/report_col")
+    q = F.size(F.col(VIOLATIONS_COL)) > 0
+    return (validated
+            .withColumn(report_col,
+                        F.when(q, F.to_json(F.col(VIOLATIONS_COL))))
+            .withColumn(flag_col, q.cast("string"))
+            .drop(VIOLATIONS_COL))
 
 
 def validate(df: DataFrame, suite: Suite) -> ValidationResult:

@@ -186,6 +186,59 @@ def test_violations_sink_exactly_once_restart(spark, tmp_path):
         q2.stop()
 
 
+def test_quarantine_sink_routes_and_matches_batch(spark, tmp_path):
+    """Streaming quarantine split over a BOUNDED file source: routed
+    counts equal the batch write_split of the same input (shared
+    split_frame projection), quarantined rows carry the JSON report."""
+    import json
+
+    from schemasaurus_spark import datagen
+    from schemasaurus_spark.streaming.stream import quarantine_sink
+    from schemasaurus_spark.validate import validate
+
+    src = str(tmp_path / "src")
+    df = datagen.finalize(
+        datagen.corrupt_enum(datagen.gen_sequences(spark, 300, 3), every=50))
+    df.write.parquet(src)
+    suite = dsl.Suite(columns={
+        "doc_id": [dsl.NotNull()],
+        "source": [dsl.Enum(datagen.SOURCES)],
+    })
+
+    batch = validate(spark.read.parquet(src), suite).write_split(
+        str(tmp_path / "batch_out"))
+    assert batch["n_quarantined"] > 0  # non-vacuous: corruption landed
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .parquet(src))
+    def routed_count():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:   # sink dir not committed yet
+            return 0
+
+    q = quarantine_sink(stream, suite, out, ckpt)
+    try:
+        ok = _run_until(q, lambda: routed_count() >= 300, timeout_s=240)
+        assert ok, "streaming quarantine never caught up with the input"
+    finally:
+        q.stop()
+
+    routed = spark.read.parquet(out)
+    n_bad = routed.where(F.col("quarantined") == "true").count()
+    n_ok = routed.where(F.col("quarantined") == "false").count()
+    assert (n_ok, n_bad) == (batch["n_valid"], batch["n_quarantined"])
+    reports = (routed.where(F.col("quarantined") == "true")
+               .select("violation_report").collect())
+    assert all(r["violation_report"] for r in reports)
+    first = json.loads(reports[0]["violation_report"])
+    assert first and first[0]["constraint_id"] == "enum"
+    # clean rows carry no report
+    assert (routed.where(F.col("quarantined") == "false")
+            .where(F.col("violation_report").isNotNull()).count()) == 0
+
+
 def test_stateful_dedup_with_ttl_still_detects(spark):
     """TTL-armed state (ProcessingTimeTimeout): duplicates within the TTL
     window are still detected; the timeout path only bounds idle state."""
