@@ -32,7 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["sample_by_fraction", "stratified_sample_exact",
-           "reservoir_per_key", "token_budget_mixture"]
+           "reservoir_per_key", "token_budget_mixture",
+           "assign_splits", "shuffle_key", "shard_and_shuffle"]
 
 
 def sample_by_fraction(df: DataFrame, by: str, fractions: dict,
@@ -139,3 +140,108 @@ def token_budget_mixture(df: DataFrame, by: str, budgets: dict,
              .where(F.col("__cum") <= budget)
              .drop("__cum"))
     return out.drop("__salt") if salt is not None else out
+
+
+# ------------------------------------------- splits + deterministic shuffle
+#
+# Train/valid/test assignment and global shuffle order for a training
+# pipeline. Both are pure projections of the row's ID — ZERO shuffle, zero
+# state, and (critically) STABLE: rerunning the job, adding rows, or
+# changing cluster size never moves an existing doc between splits, which
+# is what prevents test-set leakage across dataset versions.
+
+
+def _portable_unit(id_col: str, seed: int):
+    """Deterministic uniform [0,1) from an id: first 15 hex digits of
+    md5(seed|id) → 60-bit int / 2^60. md5 (not xxhash64) so the SAME
+    assignment is reproducible in any engine — DuckDB/Python verify a
+    split file byte-for-byte (the dedup module's portable-hash rule)."""
+    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("double") / F.lit(
+        float(2 ** 60))
+
+
+def assign_splits(df: DataFrame, weights: dict | None = None,
+                  id_col: str = "doc_id", seed: int = 7,
+                  split_col: str = "split") -> DataFrame:
+    """Add a ``split_col`` assigning each row to one of ``weights``'
+    buckets (default ``{"train": .98, "valid": .01, "test": .01}``) by
+    hashing ``id_col`` into [0,1) and cutting at the cumulative weights
+    (normalized, declaration order). Properties a 100 TB pipeline needs:
+
+    * **projection-only** — no shuffle, no sampling pass, streams with
+      the scan;
+    * **stable** — a doc's split depends only on (seed, id): appending
+      new data or re-running never migrates existing docs across splits;
+    * **portable** — md5-derived, so an external auditor can recompute
+      membership without Spark.
+
+    Weights must be positive; they are normalized to sum 1. The final
+    bucket absorbs the hash's top edge (u == cumulative top) so the
+    assignment is total."""
+    if weights is None:
+        weights = {"train": 0.98, "valid": 0.01, "test": 0.01}
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    bad = {k: w for k, w in weights.items()
+           if not (isinstance(w, (int, float)) and w > 0 and w == w
+                   and w != float("inf"))}
+    if bad:
+        raise ValueError(f"split weights must be positive finite: {bad}")
+    total = float(sum(weights.values()))
+    u = _portable_unit(id_col, seed)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cond = u < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, out)
+
+
+def shuffle_key(df: DataFrame, id_col: str = "doc_id", seed: int = 7,
+                key_col: str = "shuffle_key",
+                portable: bool = False) -> DataFrame:
+    """Deterministic pseudo-random sort key per row: the global-shuffle
+    primitive (training wants documents in hash order, not ingest order —
+    source-clustered batches bias gradients). ``portable=False`` uses
+    ``xxhash64`` (JVM-cheap, the default at scale); ``portable=True``
+    uses the md5 derivation when membership must be recomputable outside
+    Spark. Ordering by the key IS the shuffle — no rand(), so resumable
+    and identical across reruns/cluster sizes."""
+    if portable:
+        key = (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{seed}|"),
+                           F.col(id_col).cast("string"))), 1, 15), 16, 10)
+            .cast("bigint"))
+    else:
+        key = F.xxhash64(F.col(id_col), F.lit(seed))
+    return df.withColumn(key_col, key)
+
+
+def shard_and_shuffle(df: DataFrame, n_shards: int,
+                      id_col: str = "doc_id", seed: int = 7,
+                      shard_col: str = "shard",
+                      key_col: str = "shuffle_key") -> DataFrame:
+    """Deterministic global shuffle materialization: assign each row a
+    shard (``pmod(key, n_shards)``) and order rows by the hash key within
+    each shard — reading shards in index order then rows in key order is
+    one fixed pseudo-random permutation of the corpus, independent of
+    cluster size or run count.
+
+    ONE hash-partition shuffle (the repartition); the within-partition
+    sort is local. Write with ``.write.partitionBy(shard_col)`` for a
+    layout where every training worker streams its own shard. Contrast
+    ``df.orderBy(rand())``: non-resumable, and a total sort is a range
+    shuffle PLUS a sampling pass."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    keyed = shuffle_key(df, id_col, seed, key_col)
+    keyed = keyed.withColumn(
+        shard_col, F.pmod(F.col(key_col), F.lit(n_shards)).cast("int"))
+    return (keyed.repartition(n_shards, F.col(shard_col))
+                 .sortWithinPartitions(shard_col, key_col, id_col))

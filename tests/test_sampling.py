@@ -156,3 +156,96 @@ def test_token_budget_mixture_excludes_nan_and_inf(spark):
     got = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert "d-nan" not in got and "d-inf" not in got
     assert len(got) == 20  # every clean row fits the budget
+
+
+# ---------------------------------------- splits + deterministic shuffle
+
+
+def test_assign_splits_total_stable_and_proportional(spark):
+    from schemasaurus_spark.operators.sampling import assign_splits
+
+    df = datagen.finalize(datagen.gen_sequences(spark, 2000, 8))
+    out = assign_splits(df, {"train": 0.8, "valid": 0.1, "test": 0.1})
+    counts = {r["split"]: r["count"]
+              for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 2000          # total assignment
+    assert set(counts) == {"train", "valid", "test"}
+    assert 1400 < counts["train"] < 1900         # ~1600 ± hash noise
+    # stability: re-derivation AND subset invariance (new data never
+    # migrates existing docs — the anti-leakage property)
+    again = {r["doc_id"]: r["split"]
+             for r in assign_splits(df, {"train": 0.8, "valid": 0.1,
+                                         "test": 0.1})
+             .select("doc_id", "split").collect()}
+    sub = assign_splits(df.limit(500), {"train": 0.8, "valid": 0.1,
+                                        "test": 0.1})
+    for r in sub.select("doc_id", "split").collect():
+        assert again[r["doc_id"]] == r["split"]
+
+
+def test_assign_splits_matches_duckdb(spark):
+    """Portable membership: DuckDB recomputes the EXACT same assignment
+    from the md5 derivation (the external-auditor property)."""
+    import duckdb
+
+    from schemasaurus_spark.operators.sampling import assign_splits
+
+    df = datagen.finalize(datagen.gen_sequences(spark, 300, 2))
+    got = {r["doc_id"]: r["split"] for r in
+           assign_splits(df, {"train": 0.9, "test": 0.1}, seed=11)
+           .select("doc_id", "split").collect()}
+    ids = [r["doc_id"] for r in df.select("doc_id").collect()]
+    con = duckdb.connect()
+    rows = con.execute("""
+        SELECT id, CASE WHEN
+            CAST(('0x' || substring(md5('11|' || id), 1, 15)) AS UBIGINT)
+            / 1152921504606846976.0 < 0.9
+        THEN 'train' ELSE 'test' END
+        FROM (SELECT unnest(?) AS id)
+    """, [ids]).fetchall()
+    assert len(rows) == 300
+    for doc_id, split in rows:
+        assert got[doc_id] == split, doc_id
+
+
+def test_assign_splits_rejects_bad_weights(spark):
+    import pytest as _pytest
+
+    from schemasaurus_spark.operators.sampling import assign_splits
+
+    df = datagen.finalize(datagen.gen_sequences(spark, 10, 1))
+    for bad in ({}, {"a": 0}, {"a": -1}, {"a": float("nan")},
+                {"a": float("inf")}):
+        with _pytest.raises(ValueError):
+            assign_splits(df, bad)
+
+
+def test_assign_splits_is_projection_only(spark):
+    from schemasaurus_spark.operators.sampling import assign_splits
+
+    df = datagen.finalize(datagen.gen_sequences(spark, 100, 2))
+    plan = (assign_splits(df)._jdf.queryExecution().executedPlan()
+            .toString())
+    assert "Exchange" not in plan
+
+
+def test_shard_and_shuffle_permutation(spark):
+    from schemasaurus_spark.operators.sampling import shard_and_shuffle
+
+    df = datagen.finalize(datagen.gen_sequences(spark, 500, 4))
+    out = shard_and_shuffle(df, n_shards=8)
+    rows = out.select("doc_id", "shard", "shuffle_key").collect()
+    assert len(rows) == 500                       # every row exactly once
+    assert len({r["doc_id"] for r in rows}) == 500
+    assert {r["shard"] for r in rows} == set(range(8))
+    # deterministic: same (shard, key) per doc on a re-run
+    again = {r["doc_id"]: (r["shard"], r["shuffle_key"])
+             for r in shard_and_shuffle(df, n_shards=8)
+             .select("doc_id", "shard", "shuffle_key").collect()}
+    for r in rows:
+        assert again[r["doc_id"]] == (r["shard"], r["shuffle_key"])
+    # the read order is a real permutation, not ingest order: within one
+    # partition rows come back sorted by (shard, key)
+    part = out.where(F.col("shard") == 3)
+    keys = [r["shuffle_key"] for r in part.collect()]
+    assert keys == sorted(keys)
