@@ -309,3 +309,82 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     (same content_fingerprint expression the dedup operators consume)."""
     return df.select(F.col(id_col),
                      content_fingerprint(F.col(text_col)).alias("fp"))
+
+
+# ----------------------------------------- hashed linear quality classifier
+#
+# fastText-style model SCORING as a pure expression: the quality gates of
+# real pretraining pipelines (CCNet / GPT-3-style "looks like reference
+# text" filters) are linear models over hashed bag-of-words features —
+# training happens offline on a labeled sample; the 100 TB problem is
+# SCORING, which here is projection-only: no shuffle, no Python, no UDF.
+# The weight table rides along as ONE ArrayType literal (a single
+# Literal expression — not a CreateArray of D lits, so no codegen blowup).
+
+
+def _portable_bucket(e: Column, n_buckets: int, seed: int) -> Column:
+    """md5-derived feature bucket in [0, n_buckets) — portable (the dedup
+    module's rule): any engine/auditor recomputes the same bucket, and the
+    test suite verifies scores against an independent Python
+    implementation."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}|"), e)), 1, 15),
+               16, 10).cast("bigint")
+    return F.pmod(h, F.lit(n_buckets)).cast("int")
+
+
+def hashed_linear_score(df: DataFrame, weights: list, bias: float = 0.0,
+                        text_col: str = "text", seed: int = 7,
+                        bigrams: bool = False,
+                        out_col: str = "quality_score") -> DataFrame:
+    """Append ``sigmoid(bias + Σ_token W[bucket(token)])`` per document —
+    hashed bag-of-words linear scoring with ``len(weights)`` buckets
+    (hashing trick; collisions are the model's business, not the
+    engine's). ``bigrams=True`` adds adjacent-word-pair features (the
+    fastText ``wordNgrams=2`` trick) via ``zip_with`` — still
+    expression-only.
+
+    Scale shape: one projection over the scan; the weight vector is a
+    single array literal evaluated per row via ``element_at`` (O(1) per
+    token). Word lists are staged as columns between selects (the lambda
+    memoization rule — see CLAUDE.md round-1 gotcha)."""
+    n = len(weights)
+    if n == 0:
+        raise ValueError("weights must be non-empty")
+    wlit = F.lit([float(x) for x in weights])
+    staged = df.withColumn("__words",
+                           words(F.lower(F.col(text_col))))
+    feats = F.col("__words")
+    if bigrams:
+        pairs = F.zip_with(
+            F.col("__words"),
+            F.slice(F.col("__words"), 2,
+                    F.greatest(F.size("__words") - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b))
+        # zip_with pads the shorter side with NULL: concat_ws renders the
+        # dangling last pair as the bare word — drop it by size
+        pairs = F.slice(pairs, 1, F.greatest(F.size("__words") - 1,
+                                             F.lit(0)))
+        staged = staged.withColumn("__feats",
+                                   F.concat(feats, pairs))
+    else:
+        staged = staged.withColumn("__feats", feats)
+    contrib = F.aggregate(
+        F.transform(F.col("__feats"),
+                    lambda e: F.element_at(
+                        wlit, _portable_bucket(e, n, seed) + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    raw = contrib + F.lit(float(bias))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-raw))
+    return (staged.withColumn(out_col, score)
+                  .drop("__words", "__feats"))
+
+
+def quality_filter(df: DataFrame, weights: list, bias: float = 0.0,
+                   threshold: float = 0.5, text_col: str = "text",
+                   seed: int = 7, bigrams: bool = False) -> DataFrame:
+    """Keep documents scoring ≥ ``threshold`` — the model-based quality
+    gate. The score column is dropped; compose with
+    ``hashed_linear_score`` directly to keep it."""
+    scored = hashed_linear_score(df, weights, bias, text_col, seed,
+                                 bigrams, "__q")
+    return scored.where(F.col("__q") >= F.lit(float(threshold))).drop("__q")

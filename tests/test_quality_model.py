@@ -1,0 +1,96 @@
+"""Hashed linear quality scoring (text.hashed_linear_score): parity with
+an INDEPENDENT Python implementation of the same model (portable md5
+bucketing), plus gate/plan behavior."""
+
+import hashlib
+import math
+import random
+import re
+
+import pyspark.sql.functions as F
+
+from schemasaurus_spark.operators.text import (
+    hashed_linear_score, quality_filter,
+)
+
+SEED = 11
+D = 64
+random.seed(3)
+WEIGHTS = [random.uniform(-1, 1) for _ in range(D)]
+BIAS = -0.1
+
+DOCS = [
+    ("a", "The quick brown fox jumps over the lazy dog"),
+    ("b", "spam spam spam buy now buy now"),
+    ("c", ""),
+    ("d", "   padded   whitespace   tokens "),
+    ("e", "word"),
+]
+
+
+def py_bucket(tok: str) -> int:
+    h = hashlib.md5(f"{SEED}|{tok}".encode()).hexdigest()
+    return int(h[:15], 16) % D
+
+
+def py_score(text: str, bigrams: bool) -> float:
+    ws = [w for w in re.split(r"\s+", text.strip().lower()) if w]
+    feats = list(ws)
+    if bigrams:
+        feats += [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+    raw = BIAS + sum(WEIGHTS[py_bucket(t)] for t in feats)
+    return 1.0 / (1.0 + math.exp(-raw))
+
+
+def _scores(spark, bigrams):
+    df = spark.createDataFrame(DOCS, "doc_id string, text string")
+    out = hashed_linear_score(df, WEIGHTS, BIAS, seed=SEED,
+                              bigrams=bigrams)
+    return {r["doc_id"]: r["quality_score"] for r in out.collect()}
+
+
+def test_score_matches_independent_python_unigram(spark):
+    got = _scores(spark, bigrams=False)
+    for doc_id, text in DOCS:
+        assert abs(got[doc_id] - py_score(text, False)) < 1e-9, doc_id
+
+
+def test_score_matches_independent_python_bigram(spark):
+    got = _scores(spark, bigrams=True)
+    for doc_id, text in DOCS:
+        assert abs(got[doc_id] - py_score(text, True)) < 1e-9, doc_id
+    # bigrams actually change multi-word scores
+    uni = _scores(spark, bigrams=False)
+    assert got["a"] != uni["a"]
+    # empty/one-word docs have no bigrams: same score either way
+    assert got["c"] == uni["c"] and got["e"] == uni["e"]
+
+
+def test_empty_doc_scores_sigmoid_of_bias(spark):
+    got = _scores(spark, bigrams=False)
+    assert abs(got["c"] - 1.0 / (1.0 + math.exp(-BIAS))) < 1e-12
+
+
+def test_quality_filter_threshold(spark):
+    df = spark.createDataFrame(DOCS, "doc_id string, text string")
+    thr = sorted(py_score(t, False) for _, t in DOCS)[2]  # median
+    kept = quality_filter(df, WEIGHTS, BIAS, threshold=thr, seed=SEED)
+    expect = {d for d, t in DOCS if py_score(t, False) >= thr}
+    assert {r["doc_id"] for r in kept.collect()} == expect
+    assert "__q" not in kept.columns
+
+
+def test_score_plan_is_projection_only(spark):
+    df = spark.createDataFrame(DOCS, "doc_id string, text string")
+    plan = (hashed_linear_score(df, WEIGHTS, BIAS, seed=SEED)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rejects_empty_weights(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(DOCS, "doc_id string, text string")
+    with _pytest.raises(ValueError):
+        hashed_linear_score(df, [])
