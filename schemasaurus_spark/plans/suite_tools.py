@@ -781,3 +781,15 @@ def lint_suite(suite: dsl.Suite, schema=None) -> list:
                         f"{c.code} on non-object column "
                         f"({dt.simpleString()})"))
     return findings
+
+
+def lint_json_schema(doc: dict, schema=None, id_column: str = "doc_id"
+                     ) -> list:
+    """Lint the reference's NATIVE input: translate a draft-4 document
+    through the public ``suite_from_json_schema`` path and run
+    :func:`lint_suite` on the result — so a schema author gets the
+    pre-flight without touching the DSL. Same findings contract."""
+    from schemasaurus_spark.schema_json import suite_from_json_schema
+
+    return lint_suite(suite_from_json_schema(doc, id_column=id_column),
+                      schema)

@@ -187,3 +187,20 @@ def test_clean_suite_against_schema():
         "source": [dsl.Enum(["web", "books"])],
     })
     assert lint_suite(s, SCHEMA) == []
+
+
+def test_lint_json_schema_document():
+    from schemasaurus_spark.plans.suite_tools import lint_json_schema
+
+    doc = {"type": "object", "properties": {
+        "doc_id": {"type": "string"},
+        "n_tok": {"type": "integer", "minimum": 100, "maximum": 5},
+        "source": {"enum": []},
+    }}
+    out = lint_json_schema(doc)
+    got = {(f.column, f.code) for f in out if f.severity == "error"}
+    assert ("n_tok", "bounds-unsatisfiable") in got
+    assert ("source", "enum-empty") in got
+    clean = {"type": "object", "properties": {
+        "doc_id": {"type": "string", "minLength": 1}}}
+    assert lint_json_schema(clean) == []
