@@ -204,3 +204,41 @@ def test_lint_json_schema_document():
     clean = {"type": "object", "properties": {
         "doc_id": {"type": "string", "minLength": 1}}}
     assert lint_json_schema(clean) == []
+
+
+def test_lint_error_findings_are_sound(spark):
+    """Soundness link to the ENGINE: for every suite the linter calls
+    unsatisfiable (error severity on the column scope), validation must
+    reject EVERY row whose column value is non-null — the linter never
+    cries wolf. Covers each error family over a mixed-value frame."""
+    cases = [
+        # (suite columns for "v", frame DDL type, sample values)
+        ([dsl.Minimum(10), dsl.Maximum(5)], "double",
+         [0.0, 5.0, 7.5, 10.0, 100.0]),
+        ([dsl.ExclusiveMinimum(5), dsl.Maximum(5)], "double",
+         [5.0, 4.9, 5.1]),
+        ([dsl.MinLength(5), dsl.MaxLength(2)], "string",
+         ["a", "abc", "abcdef"]),
+        ([dsl.MinItems(3), dsl.MaxItems(1)], "array<int>",
+         [[], [1], [1, 2, 3], [1, 2, 3, 4]]),
+        ([dsl.Enum([1, 2, 3]), dsl.Minimum(10)], "int",
+         [1, 2, 3, 10, 50]),
+        ([dsl.Enum([])], "string", ["x", "y"]),
+        ([dsl.Not(branch=[])], "string", ["x", ""]),
+        ([dsl.MaxLength(-1)], "string", ["", "a"]),
+    ]
+    from schemasaurus_spark.validate import validate
+
+    for constraints, ddl, values in cases:
+        suite = dsl.Suite(id_column="i",
+                          columns={"v": list(constraints)})
+        errs = [f for f in lint_suite(suite)
+                if f.severity == "error" and f.column == "v"]
+        assert errs, f"linter missed {constraints}"
+        df = spark.createDataFrame(
+            [(str(i), v) for i, v in enumerate(values)],
+            f"i string, v {ddl}")
+        res = validate(df, suite)
+        bad_ids = {r["i"] for r in res.violations().collect()}
+        assert bad_ids == {str(i) for i in range(len(values))}, \
+            f"lint said unsatisfiable but engine passed rows: {constraints}"
