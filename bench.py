@@ -155,6 +155,34 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    # round-5e training-pipeline ops (library surface, not registry
+    # entries — the registry is pinned at the driver's 50-row budget):
+    # timed on the same inputs/protocol as the headline queries.
+    from schemasaurus_spark.operators.sampling import (
+        assign_splits, shard_and_shuffle)
+    from schemasaurus_spark.operators.text import hashed_linear_score
+
+    qw = [((i * 37) % 200 - 100) / 100.0 for i in range(4096)]
+    extra_ops = {
+        "quality_model_score": lambda: hashed_linear_score(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet"), qw, -0.2,
+            bigrams=True),
+        "assign_splits": lambda: assign_splits(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+            id_col="doc_id"),
+        "shard_shuffle": lambda: shard_and_shuffle(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet"), CPUS,
+            id_col="doc_id"),
+    }
+    for name, builder in extra_ops.items():
+        best = None
+        for _ in range(attempts):
+            t0 = time.time()
+            builder().write.mode("overwrite").format("noop").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+
     seq_path = ensure_sequences(spark, SEQ_ROWS, CPUS * 4)
     seq = None
     for _ in range(attempts):

