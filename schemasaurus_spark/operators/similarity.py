@@ -411,3 +411,66 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
                                  F.col("na") * F.col("nb")), round_to)
     return (all_pairs.select("id_a", "id_b", score.alias("score"))
             .where(F.col("score") >= threshold))
+
+
+# ------------------------------------------------ embedding-column suite
+#
+# Validation-tier checks for an embeddings table — the companion to the
+# token layout suite (operators/tokens.py): dimension consistency, no
+# NaN/Inf components, non-degenerate norm. Stock Conform constraints so
+# they ride the single validation projection (zero shuffle, streaming/
+# quarantine/lineage for free); a corrupt vector is a violation row, not
+# a downstream ANN/drift crash.
+
+
+def embedding_dim_check(dim: int):
+    """size(vec) == dim. Code ``custom.emb_dim``."""
+    from schemasaurus_spark import dsl
+
+    return dsl.Conform(name="emb_dim",
+                       expr=lambda c: F.size(c) == F.lit(dim))
+
+
+def embedding_finite_check():
+    """No NaN/Inf component (either poisons dot products silently —
+    Spark orders NaN above all doubles, so a max-similarity search
+    returns the corrupt row FIRST). Code ``custom.emb_finite``."""
+    from schemasaurus_spark import dsl
+
+    return dsl.Conform(
+        name="emb_finite",
+        expr=lambda c: ~F.exists(
+            c, lambda e: F.isnan(e) | (F.abs(e) >= F.lit(float("inf")))))
+
+
+def embedding_norm_check(min_norm: float = 1e-12,
+                         max_norm: float | None = None):
+    """Norm in [min_norm, max_norm]: zero vectors make cosine undefined
+    (0/0), runaway norms usually mean un-normalized mixed batches.
+    Code ``custom.emb_norm``."""
+    from schemasaurus_spark import dsl
+
+    def expr(c):
+        nrm = F.sqrt(F.aggregate(c, F.lit(0.0),
+                                 lambda acc, x: acc + x.cast("double") * x))
+        ok = nrm >= F.lit(float(min_norm))
+        if max_norm is not None:
+            ok = ok & (nrm <= F.lit(float(max_norm)))
+        return ok
+    return dsl.Conform(name="emb_norm", expr=expr)
+
+
+def embedding_suite(dim: int, min_norm: float = 1e-12,
+                    max_norm: float | None = None,
+                    id_column: str = "vec_id",
+                    vec_col: str = "embedding"):
+    """The composed embeddings-table suite: required + dim + finite +
+    norm — ONE projection like any other suite."""
+    from schemasaurus_spark import dsl
+
+    return dsl.Suite(
+        name="embedding_quality", id_column=id_column,
+        columns={id_column: [dsl.NotNull()],
+                 vec_col: [dsl.NotNull(), embedding_dim_check(dim),
+                           embedding_finite_check(),
+                           embedding_norm_check(min_norm, max_norm)]})

@@ -232,3 +232,42 @@ def test_zero_norm_vector_scores_null_not_crash(spark):
     assert all(r["score"] is not None for r in rows[:2])
     pairs = sim.cosine_neardup_pairs(df, threshold=0.5, dims=[0, 1])
     assert pairs.count() >= 0  # zero-norm rows filtered by NULL >= t
+
+
+def test_embedding_suite_flags_corrupt_vectors(spark):
+    from schemasaurus_spark.operators.similarity import embedding_suite
+    from schemasaurus_spark.validate import validate
+
+    rows = [
+        ("ok", [0.6, 0.8]),
+        ("short", [1.0]),
+        ("nan", [float("nan"), 1.0]),
+        ("inf", [float("inf"), 0.0]),
+        ("zero", [0.0, 0.0]),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    res = validate(df, embedding_suite(dim=2))
+    got = {(r["vec_id"], r["constraint_id"])
+           for r in res.violations().collect()}
+    assert ("ok", "custom.emb_dim") not in got
+    assert not any(v == "ok" for v, _ in got)
+    assert ("short", "custom.emb_dim") in got
+    assert ("nan", "custom.emb_finite") in got
+    assert ("inf", "custom.emb_finite") in got
+    assert ("zero", "custom.emb_norm") in got
+    # null vector: only `required` (null-guard convention)
+    assert {c for v, c in got if v == "null"} == {"required"}
+    # plan: single projection, no Python nodes
+    plan = (res.validated._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_embedding_suite_on_real_embeddings_table(spark):
+    from schemasaurus_spark.operators.similarity import embedding_suite
+    from schemasaurus_spark.validate import validate
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(df.select("embedding").first()["embedding"])
+    res = validate(df, embedding_suite(dim=dim, max_norm=1e6))
+    assert res.violations().count() == 0      # generator emits clean vecs
