@@ -44,7 +44,8 @@ def sequences_full_suite():
     )
 
 
-SUITES = {"sequences_full": sequences_full_suite}
+SUITES = {"sequences_full": sequences_full_suite,
+          "sequence_layout": None}  # built from --layout-ids (vocab,bos,eos[,pad])
 
 
 def main() -> int:
@@ -100,6 +101,11 @@ def main() -> int:
                          "snapshot's added-file schemas (footer-only, "
                          "zero data scans); breaking changes under "
                          "Iceberg promotion rules fail the run")
+    ap.add_argument("--layout-ids", default=None, metavar="VOCAB,BOS,EOS[,PAD]",
+                    help="with --suite sequence_layout: vocab size + "
+                         "special-token ids for the token layout suite "
+                         "(BOS-first, pad-aware EOS, pad-only-suffix, "
+                         "vocab range, size==n_tok)")
     ap.add_argument("--lint", action="store_true",
                     help="static pre-flight: lint the suite (contradiction "
                          "/ satisfiability analysis) against the table "
@@ -129,6 +135,11 @@ def main() -> int:
         print("error: --incremental and --snapshot are incompatible — "
               "incremental mode walks every snapshot not yet in lineage",
               file=sys.stderr)
+        return 2
+    if (args.suite == "sequence_layout") != bool(args.layout_ids):
+        print("error: --suite sequence_layout and --layout-ids "
+              "VOCAB,BOS,EOS[,PAD] go together (one without the other "
+              "is a config mistake)", file=sys.stderr)
         return 2
 
     # On a cluster, spark-submit provides the session; get_spark only fills
@@ -160,6 +171,20 @@ def main() -> int:
                 pre=pre_transform,
                 # NormalizerSpec reprs deterministically (plain dataclasses)
                 pre_hash=hashlib.sha256(repr(nspec).encode()).hexdigest()[:8])
+    elif args.suite == "sequence_layout":
+        from schemasaurus_spark.operators.tokens import sequence_layout_suite
+
+        try:
+            ids = [int(x) for x in args.layout_ids.split(",")]
+            if len(ids) not in (3, 4):
+                raise ValueError
+        except ValueError:
+            print(f"error: --layout-ids {args.layout_ids!r} must be "
+                  f"VOCAB,BOS,EOS[,PAD] integers", file=sys.stderr)
+            return 2
+        suite = sequence_layout_suite(ids[0], ids[1], ids[2],
+                                      ids[3] if len(ids) == 4 else None,
+                                      id_column=args.id_column)
     else:
         suite = SUITES[args.suite]()
     if args.lint:

@@ -186,6 +186,48 @@ def test_job_lint_gate(spark, tmp_path):
     assert rc == 0 and rep["pass"], rep
 
 
+def test_job_sequence_layout_suite(spark, tmp_path):
+    """--suite sequence_layout --layout-ids: the token layout suite runs
+    through the packaged job; a conformant table passes, an interior-pad
+    corruption fails with exit 1."""
+    from schemasaurus_spark.sources.storage import SnapshotStore
+
+    rows = [(f"doc-{i:08d}", [1, 10 + i % 50, 7, 2, 0, 0], 6, "web")
+            for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    store.append(df)
+    rep, rc = _run_job("--table", str(tmp_path / "tbl"),
+                       "--state", str(tmp_path / "s1"),
+                       "--suite", "sequence_layout",
+                       "--layout-ids", "1000,1,2,0")
+    assert rc == 0 and rep["pass"], rep
+
+    bad = df.limit(5).selectExpr(
+        "concat('bad-', doc_id) AS doc_id",
+        "array(1, 0, 7, 2, 0, 0) AS tokens", "n_tok", "source")
+    store2 = SnapshotStore(str(tmp_path / "tbl2"))
+    store2.append(df.union(bad))
+    rep2, rc2 = _run_job("--table", str(tmp_path / "tbl2"),
+                         "--state", str(tmp_path / "s2"),
+                         "--suite", "sequence_layout",
+                         "--layout-ids", "1000,1,2,0")
+    assert rc2 == 1 and not rep2["pass"]
+    assert rep2["n_violations"] >= 5
+
+    # usage gates: ids without the suite / suite without ids / bad ids
+    for extra in (["--layout-ids", "10,1,2"],
+                  ["--suite", "sequence_layout"],
+                  ["--suite", "sequence_layout", "--layout-ids", "x,y"]):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "jobs", "validate_job.py"),
+             "--table", str(tmp_path / "tbl"), "--state",
+             str(tmp_path / "s3"), *extra],
+            capture_output=True, text=True, timeout=120, cwd=REPO)
+        assert out.returncode == 2, (extra, out.stderr[-300:])
+
+
 def test_job_incremental_cursor_persists(spark, tmp_path):
     """The incremental cursor survives across invocations, so a no-change
     rerun does not re-walk every historical snapshot."""
