@@ -101,6 +101,13 @@ def main() -> int:
                          "snapshot's added-file schemas (footer-only, "
                          "zero data scans); breaking changes under "
                          "Iceberg promotion rules fail the run")
+    ap.add_argument("--sample", type=float, default=None, metavar="FRAC",
+                    help="smoke mode: validate only a deterministic "
+                         "id-hash sample of the snapshot (membership is a "
+                         "pure function of the id — stable across reruns) "
+                         "and report pass/fail WITHOUT committing lineage "
+                         "or state; the 5-minute pre-flight before the "
+                         "full 100 TB pass")
     ap.add_argument("--layout-ids", default=None, metavar="VOCAB,BOS,EOS[,PAD]",
                     help="with --suite sequence_layout: vocab size + "
                          "special-token ids for the token layout suite "
@@ -136,6 +143,23 @@ def main() -> int:
               "incremental mode walks every snapshot not yet in lineage",
               file=sys.stderr)
         return 2
+    if args.sample is not None:
+        if not 0.0 < args.sample <= 1.0:
+            print(f"error: --sample {args.sample} must be in (0, 1]",
+                  file=sys.stderr)
+            return 2
+        clash = [f for f, on in (("--incremental", args.incremental),
+                                 ("--aggregate", args.aggregate),
+                                 ("--quarantine", args.quarantine),
+                                 ("--trend", args.trend),
+                                 ("--check-schema", args.check_schema))
+                 if on]
+        if clash:
+            print(f"error: --sample is a stateless smoke check — "
+                  f"incompatible with {', '.join(clash)} (aggregate "
+                  f"baselines/lineage/trend must never be built from a "
+                  f"sample)", file=sys.stderr)
+            return 2
     if (args.suite == "sequence_layout") != bool(args.layout_ids):
         print("error: --suite sequence_layout and --layout-ids "
               "VOCAB,BOS,EOS[,PAD] go together (one without the other "
@@ -203,6 +227,27 @@ def main() -> int:
             return 2
     import time
     t0 = time.time()
+    if args.sample is not None:
+        from schemasaurus_spark.operators.sampling import sample_rows
+        from schemasaurus_spark.validate import validate as _validate
+
+        df = store.read(spark, args.snapshot)
+        if pre_transform is not None:
+            df = pre_transform(df)
+        res = _validate(sample_rows(df, args.sample, args.id_column), suite)
+        verd = res.verdicts().collect()
+        n_rows = int(sum(r["n_rows"] for r in verd))
+        n_viol = int(sum(r["n_violations"] for r in verd))
+        report = {
+            "mode": "sample_smoke",
+            "sampled_fraction": args.sample,
+            "wall_s": round(time.time() - t0, 3),
+            "n_rows": n_rows,
+            "n_violations": n_viol,
+            "pass": n_viol == 0,
+        }
+        print(json.dumps(report))
+        return 0 if report["pass"] else 1
     if args.incremental:
         from schemasaurus_spark.streaming.incremental import (
             IncrementalState, validate_new_snapshots)

@@ -33,7 +33,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["sample_by_fraction", "stratified_sample_exact",
            "reservoir_per_key", "token_budget_mixture",
-           "assign_splits", "shuffle_key", "shard_and_shuffle"]
+           "assign_splits", "shuffle_key", "shard_and_shuffle",
+           "sample_rows"]
 
 
 def sample_by_fraction(df: DataFrame, by: str, fractions: dict,
@@ -245,3 +246,16 @@ def shard_and_shuffle(df: DataFrame, n_shards: int,
         shard_col, F.pmod(F.col(key_col), F.lit(n_shards)).cast("int"))
     return (keyed.repartition(n_shards, F.col(shard_col))
                  .sortWithinPartitions(shard_col, key_col, id_col))
+
+
+def sample_rows(df: DataFrame, fraction: float, id_col: str = "doc_id",
+                seed: int = 7) -> DataFrame:
+    """Deterministic id-hash row sample: keep rows whose portable unit
+    hash < ``fraction``. Unlike ``df.sample`` the membership is a pure
+    function of (seed, id) — stable across reruns, cluster sizes, and
+    growing inputs (a doc stays in the smoke sample forever), and
+    recomputable outside Spark (md5 derivation). The filter streams with
+    the scan: zero shuffle."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    return df.where(_portable_unit(id_col, seed) < F.lit(float(fraction)))

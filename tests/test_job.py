@@ -309,3 +309,37 @@ def test_job_aggregate_scan_budget_on_resume(spark, tmp_path, monkeypatch,
     # table-scanning actions are uniqueness screen + drift histogram
     assert len(table_scans) == 2, (
         f"expected 2 aggregate-only table scans, saw {len(table_scans)}")
+
+
+def test_job_sample_smoke_mode(spark, tmp_path):
+    """--sample: stateless smoke validation — verdict without lineage."""
+    from schemasaurus_spark import datagen
+    from schemasaurus_spark.sources.storage import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    store.append(datagen.finalize(
+        datagen.corrupt_enum(datagen.gen_sequences(spark, 400, 4), every=8)))
+    state = str(tmp_path / "state")
+
+    rep, rc = _run_job("--table", str(tmp_path / "tbl"), "--state", state,
+                       "--sample", "0.5")
+    assert rep["mode"] == "sample_smoke" and rep["sampled_fraction"] == 0.5
+    assert 100 < rep["n_rows"] < 300          # ~200 of 400
+    assert rc == 1 and not rep["pass"]        # corruption is dense enough
+    assert rep["n_violations"] > 0
+    # stateless: no lineage/state artifacts were committed
+    assert not os.path.exists(os.path.join(state, "lineage"))
+
+    # incompatible with stateful modes
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "validate_job.py"),
+         "--table", str(tmp_path / "tbl"), "--state", state,
+         "--sample", "0.5", "--aggregate"],
+        capture_output=True, text=True, timeout=120, cwd=REPO)
+    assert out.returncode == 2
+    out2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "validate_job.py"),
+         "--table", str(tmp_path / "tbl"), "--state", state,
+         "--sample", "1.5"],
+        capture_output=True, text=True, timeout=120, cwd=REPO)
+    assert out2.returncode == 2

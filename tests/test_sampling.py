@@ -249,3 +249,31 @@ def test_shard_and_shuffle_permutation(spark):
     part = out.where(F.col("shard") == 3)
     keys = [r["shuffle_key"] for r in part.collect()]
     assert keys == sorted(keys)
+
+
+def test_sample_rows_deterministic_and_subset_stable(spark):
+    import pytest as _pytest
+
+    from schemasaurus_spark.operators.sampling import sample_rows
+
+    df = datagen.finalize(datagen.gen_sequences(spark, 2000, 8))
+    s = sample_rows(df, 0.1)
+    ids = {r["doc_id"] for r in s.select("doc_id").collect()}
+    assert 120 < len(ids) < 280                  # ~200 ± hash noise
+    # determinism + subset invariance (growing input keeps membership)
+    again = {r["doc_id"]
+             for r in sample_rows(df, 0.1).select("doc_id").collect()}
+    assert again == ids
+    half = {r["doc_id"] for r in
+            sample_rows(df.limit(1000), 0.1).select("doc_id").collect()}
+    assert half <= ids
+    # nested fractions: a 5% sample is a subset of the 10% sample
+    small = {r["doc_id"] for r in
+             sample_rows(df, 0.05).select("doc_id").collect()}
+    assert small <= ids
+    # zero-shuffle plan
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    for bad in (0.0, -0.1, 1.5):
+        with _pytest.raises(ValueError):
+            sample_rows(df, bad)
