@@ -448,6 +448,73 @@ def referential_check(
     )
 
 
+def referential_check_scaled(
+    df: DataFrame,
+    dim: DataFrame,
+    column: str = "source",
+    dim_column: str | None = None,
+    id_column: str = "doc_id",
+    max_missing_keys: int = 100_000,
+) -> DataFrame:
+    """Exact referential check for dimensions too LARGE to broadcast —
+    a doc-id-like FK whose dimension is another 10^12-row table's key
+    column. Same error shape/code as :func:`referential_check`
+    (``enum`` membership generalized, v4validator.js:181-190), different
+    physical shape — full fact ROWS are never shuffled or broadcast:
+
+    1. distinct fact keys via map-side-combined ``groupBy`` (shuffle
+       volume = distinct keys, not rows);
+    2. key-only SHUFFLE_MERGE anti join against the dim's distinct keys
+       (hinted: planner statistics must not flip this to a broadcast the
+       real dim could not survive);
+    3. the missing-key set — tiny for healthy data — broadcasts BACK onto
+       the fact table (semi join, zero fact exchange) to attribute
+       per-row violations. Like ``uniqueness_check``, the screen count
+       and the violations collection are actions on one plan instance, so
+       the completed phase-1/2 shuffle stages are reused, not re-scanned.
+
+    ``max_missing_keys`` guards phase 3: a missing-key set beyond it
+    means the wrong dimension was wired up (systematic breakage) and
+    broadcasting it back would be its own outage — raise loudly instead
+    of attempting per-row attribution.
+    """
+    dim_column = dim_column or column
+    # NULL fact keys skip the check (engine-wide optional-null convention)
+    facts = df.where(F.col(column).isNotNull())
+    fact_keys = facts.groupBy(column).agg(F.count(F.lit(1)).alias("__n"))
+    dim_keys = (dim.where(F.col(dim_column).isNotNull())
+                   .select(F.col(dim_column).alias(column)).distinct())
+    missing = fact_keys.join(dim_keys.hint("shuffle_merge"),
+                             on=column, how="left_anti")
+    screen = missing.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.coalesce(F.sum("__n"), F.lit(0)).alias("rows"),
+    ).first()
+    n_missing_keys = int(screen["k"])
+    if n_missing_keys > max_missing_keys:
+        raise ValueError(
+            f"referential_check_scaled: {n_missing_keys} distinct "
+            f"{column!r} keys ({int(screen['rows'])} rows) are missing from "
+            f"dim({dim_column}) — above max_missing_keys={max_missing_keys}. "
+            f"This is systematic (wrong dimension table?); refusing to "
+            f"broadcast the missing-key set back for per-row attribution.")
+    msg = render_message("ref.source")
+    shape = (f"doc_id string, constraint_id string, column string, "
+             f"value string, arg string, message string")
+    if n_missing_keys == 0:
+        return df.sparkSession.createDataFrame([], shape)
+    rows = facts.join(F.broadcast(missing.select(column)),
+                      on=column, how="left_semi")
+    return rows.select(
+        F.col(id_column).cast("string").alias("doc_id"),
+        F.lit(f"ref.{column}").alias("constraint_id"),
+        F.lit(column).alias("column"),
+        F.col(column).cast("string").alias("value"),
+        F.lit(f"dim({dim_column})").alias("arg"),
+        F.lit(msg).alias("message"),
+    )
+
+
 # ------------------------------------------------------------------ drift
 
 

@@ -250,3 +250,45 @@ def test_tdigest_keeps_null_group(spark):
     qs = sketch.quantiles_from_sketch(sk, [0.5])
     assert len(qs) == 2 and any(k is None or (isinstance(k, float))
                                 for k in qs)   # null group present
+
+
+def test_referential_scaled_matches_broadcast_variant(spark):
+    """referential_check_scaled: same violations as the broadcast path,
+    never broadcasting the dim — SMJ over key sets + broadcast-back of
+    the (tiny) missing set onto the facts."""
+    import pytest
+
+    from schemasaurus_spark.operators import aggregates as agg
+
+    df = datagen.finalize(datagen.corrupt_ref_source(
+        datagen.gen_sequences(spark, 300, 4), every=30))
+    dim = datagen.sources_dim(spark)
+    want = sorted((r["doc_id"], r["value"])
+                  for r in agg.referential_check(df, dim, "source").collect())
+    v = agg.referential_check_scaled(df, dim, "source")
+    got = sorted((r["doc_id"], r["value"]) for r in v.collect())
+    assert got == want and want                       # non-vacuous parity
+    assert v.columns == ["doc_id", "constraint_id", "column", "value",
+                         "arg", "message"]
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    # phase 2 anti join stays a shuffle-merge join over KEY sets (the dim
+    # must never be broadcast — planner stats on a small test dim would
+    # otherwise flip it); phase 3 broadcasts only the missing-key set.
+    assert "SortMergeJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+    # clean facts -> empty violations, stable schema
+    clean = datagen.finalize(datagen.gen_sequences(spark, 100, 4))
+    empty = agg.referential_check_scaled(clean, dim, "source")
+    assert empty.count() == 0
+    assert empty.columns == v.columns
+
+    # NULL fact keys skip (engine-wide optional-null convention)
+    fact = spark.createDataFrame(
+        [(1, "web"), (2, None), (3, "bogus")], "doc_id long, source string")
+    rows = agg.referential_check_scaled(fact, dim).collect()
+    assert [(r["doc_id"], r["value"]) for r in rows] == [("3", "bogus")]
+
+    # systematic breakage refuses per-row attribution loudly
+    with pytest.raises(ValueError, match="max_missing_keys"):
+        agg.referential_check_scaled(df, dim, "source", max_missing_keys=0)
