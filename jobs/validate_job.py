@@ -90,6 +90,16 @@ def main() -> int:
                          "checkpointed baseline (cosine + L2; bootstrap "
                          "on first run, same BaselineStore commit "
                          "protocol as the histogram path)")
+    ap.add_argument("--ref-dim", default=None, metavar="PARQUET",
+                    help="with --aggregate: referential check — every "
+                         "--ref-column value must exist in this parquet "
+                         "dimension table (broadcast anti-join)")
+    ap.add_argument("--ref-column", default="source",
+                    help="fact AND dim key column for --ref-dim")
+    ap.add_argument("--ref-scaled", action="store_true",
+                    help="with --ref-dim: the dimension is too large to "
+                         "broadcast (doc-id-like FK) — use the distinct-"
+                         "key two-phase path (keys shuffle, rows never)")
     ap.add_argument("--trend", action="store_true",
                     help="compare per-constraint violation RATES between "
                          "the last two validated increments (lineage/"
@@ -137,6 +147,13 @@ def main() -> int:
     if args.embedding_column and not args.aggregate:
         print("error: --embedding-column requires --aggregate (it is an "
               "aggregate drift check)", file=sys.stderr)
+        return 2
+    if args.ref_dim and not args.aggregate:
+        print("error: --ref-dim requires --aggregate (it is an aggregate "
+              "referential check)", file=sys.stderr)
+        return 2
+    if args.ref_scaled and not args.ref_dim:
+        print("error: --ref-scaled requires --ref-dim", file=sys.stderr)
         return 2
     if args.incremental and args.snapshot:
         print("error: --incremental and --snapshot are incompatible — "
@@ -300,6 +317,16 @@ def main() -> int:
         report["unique_distinct"] = uniq.screen_distinct
         report["unique_pass"] = uniq.screened_clean
         agg_pass &= uniq.screened_clean
+
+        if args.ref_dim:
+            dim = spark.read.parquet(args.ref_dim)
+            ref_fn = (agg.referential_check_scaled if args.ref_scaled
+                      else agg.referential_check)
+            n_ref_missing = ref_fn(df, dim, args.ref_column,
+                                   id_column=suite.id_column).count()
+            report["ref_missing_rows"] = int(n_ref_missing)
+            report["ref_pass"] = n_ref_missing == 0
+            agg_pass &= n_ref_missing == 0
 
         edges = [float(x) for x in args.drift_edges.split(",")]
         drift_by = None if args.drift_by in ("", "none") else args.drift_by

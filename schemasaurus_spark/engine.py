@@ -47,6 +47,13 @@ class AggregateChecks:
     unique_key: Optional[str] = AUTO_UNIQUE_KEY
     sources_dim: Optional[DataFrame] = None
     ref_column: str = "source"
+    # True = the dimension is too large to broadcast (a doc-id-like FK
+    # into another 10^12-row table): referential runs through
+    # referential_check_scaled — distinct-key two-phase, dim excluded
+    # from the fused broadcast pass. Costs one extra key-distinct scan
+    # over the facts (+1 attribution scan only when dirty); the default
+    # broadcast path keeps the 2-scan budget.
+    ref_scaled: bool = False
     null_rate_max: Optional[dict[str, float]] = None  # column -> max rate
     null_rate_by: Optional[str] = "source"
     drift_baseline: Optional[DataFrame] = None  # histogram (group_key,bucket,count)
@@ -166,15 +173,22 @@ def run_full_validation(df: DataFrame, suite: Suite,
     drift_by = (checks.null_rate_by
                 if checks.drift_by == "__same_as_null_rate_by__"
                 else checks.drift_by)
-    need_fused = (bool(null_rate_max) or checks.sources_dim is not None
+    # scaled referential keeps the dim OUT of the fused pass (the fused
+    # ref-miss count broadcasts the dim, which ref_scaled says it cannot)
+    fused_dim = None if checks.ref_scaled else checks.sources_dim
+    need_fused = (bool(null_rate_max) or fused_dim is not None
                   or checks.drift_baseline is not None)
     drift_results = []
+    if checks.sources_dim is not None and checks.ref_scaled:
+        parts.append(agg.referential_check_scaled(
+            df, checks.sources_dim, checks.ref_column,
+            id_column=suite.id_column))
     if need_fused:
         fused = agg.fused_aggregate_pass(
             df,
             null_rate_cols=list(null_rate_max),
             null_rate_by=checks.null_rate_by,
-            dim=checks.sources_dim,
+            dim=fused_dim,
             ref_column=checks.ref_column,
             drift_column=(checks.drift_column
                           if checks.drift_baseline is not None else None),
@@ -182,7 +196,7 @@ def run_full_validation(df: DataFrame, suite: Suite,
             drift_by=drift_by,
             drift_is_array=checks.drift_is_array,
         )
-        if checks.sources_dim is not None and fused.ref_missing_total() > 0:
+        if fused_dim is not None and fused.ref_missing_total() > 0:
             # dirty path only: a targeted anti-join lists the offending
             # rows; the clean path never takes this scan
             parts.append(agg.referential_check(

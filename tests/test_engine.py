@@ -88,3 +88,29 @@ def test_salted_agg_spreads_hot_key(spark):
           .agg(F.count(F.lit(1)).alias("c")))
     web_parts = p1.where(F.col("source") == "web").count()
     assert web_parts > 8  # hot key spread across many reducers
+
+
+def test_full_validation_ref_scaled_parity(spark):
+    """ref_scaled=True routes referential through the distinct-key path
+    (dim excluded from the fused broadcast pass) — identical ref.source
+    violations to the broadcast default."""
+    df = datagen.finalize(datagen.corrupt_ref_source(
+        datagen.gen_sequences(spark, 300, 4), every=30))
+    dim = datagen.sources_dim(spark)
+
+    def ref_rows(res):
+        return sorted(
+            (r["doc_id"], r["value"]) for r in res.violations()
+            .where(F.col("constraint_id") == "ref.source").collect())
+
+    base = run_full_validation(df, _suite(),
+                               AggregateChecks(sources_dim=dim))
+    scaled = run_full_validation(
+        df, _suite(), AggregateChecks(sources_dim=dim, ref_scaled=True))
+    assert ref_rows(base) == ref_rows(scaled) and ref_rows(base)
+    assert not scaled.is_valid()
+
+    clean = datagen.finalize(datagen.gen_sequences(spark, 200, 4))
+    assert run_full_validation(
+        clean, _suite(),
+        AggregateChecks(sources_dim=dim, ref_scaled=True)).is_valid()

@@ -343,3 +343,38 @@ def test_job_sample_smoke_mode(spark, tmp_path):
          "--sample", "1.5"],
         capture_output=True, text=True, timeout=120, cwd=REPO)
     assert out2.returncode == 2
+
+
+def test_job_referential_flag(spark, tmp_path):
+    """--ref-dim: referential check in the packaged job; --ref-scaled
+    routes it through the non-broadcast path with identical counts."""
+    from schemasaurus_spark import datagen
+    from schemasaurus_spark.sources.storage import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    store.append(datagen.finalize(datagen.corrupt_ref_source(
+        datagen.gen_sequences(spark, 300, 4), every=30)))
+    dim_path = str(tmp_path / "dim")
+    datagen.sources_dim(spark).write.parquet(dim_path)
+
+    rep, rc = _run_job("--table", str(tmp_path / "tbl"),
+                       "--state", str(tmp_path / "s1"),
+                       "--aggregate", "--drift-by", "none",
+                       "--ref-dim", dim_path)
+    assert rc == 1 and not rep["ref_pass"] and rep["ref_missing_rows"] > 0
+
+    rep2, rc2 = _run_job("--table", str(tmp_path / "tbl"),
+                         "--state", str(tmp_path / "s2"),
+                         "--aggregate", "--drift-by", "none",
+                         "--ref-dim", dim_path, "--ref-scaled")
+    assert rc2 == 1 and rep2["ref_missing_rows"] == rep["ref_missing_rows"]
+
+    # flag gates: --ref-dim needs --aggregate; --ref-scaled needs --ref-dim
+    for bad in (["--ref-dim", dim_path],
+                ["--aggregate", "--ref-scaled"]):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "jobs", "validate_job.py"),
+             "--table", str(tmp_path / "tbl"),
+             "--state", str(tmp_path / "s3"), *bad],
+            capture_output=True, text=True, timeout=120, cwd=REPO)
+        assert out.returncode == 2
