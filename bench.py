@@ -183,9 +183,17 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    # The flagship sequences job gets a deeper best-of (>=5): its wide
+    # generated projection is the most Janino/JIT-warmup-sensitive plan in
+    # the suite, and on slow host windows the first 3-4 executions can ALL
+    # be warmup-bound (measured 27.4 -> 27.8 -> 6.4 -> 4.8 -> 2.5 s, same
+    # plan — BENCH.md round-5e control). Each attempt is still a freshly
+    # built plan; best-of fresh plans is the same methodology, deep enough
+    # to reach the converged figure.
+    seq_attempts = max(attempts, 5)
     seq_path = ensure_sequences(spark, SEQ_ROWS, CPUS * 4)
     seq = None
-    for _ in range(attempts):
+    for _ in range(seq_attempts):
         s = run_sequences_bench(spark, seq_path)  # fresh plan each attempt
         if seq is None or s["wall_s"] < seq["wall_s"]:
             seq = s
@@ -204,6 +212,7 @@ def main() -> None:
         "sequences_violations": seq["n_violations"],
         "sequences_plan_build_s": seq["plan_build_s"],
         "attempts_per_query": attempts,
+        "sequences_attempts": seq_attempts,
     }
     print(json.dumps(out))
 
