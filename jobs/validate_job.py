@@ -100,6 +100,12 @@ def main() -> int:
                     help="with --ref-dim: the dimension is too large to "
                          "broadcast (doc-id-like FK) — use the distinct-"
                          "key two-phase path (keys shuffle, rows never)")
+    ap.add_argument("--stat-bounds", default=None, metavar="JSON",
+                    help="with --aggregate: Deequ-style aggregate "
+                         "assertions, e.g. '{\"n_tok\": {\"min_mean\": 1, "
+                         "\"max_value\": 2048}}' (keys: min_mean/max_mean/"
+                         "min_value/max_value), grouped by --drift-by; "
+                         "one fused scan regardless of column count")
     ap.add_argument("--trend", action="store_true",
                     help="compare per-constraint violation RATES between "
                          "the last two validated increments (lineage/"
@@ -147,6 +153,10 @@ def main() -> int:
     if args.embedding_column and not args.aggregate:
         print("error: --embedding-column requires --aggregate (it is an "
               "aggregate drift check)", file=sys.stderr)
+        return 2
+    if args.stat_bounds and not args.aggregate:
+        print("error: --stat-bounds requires --aggregate (it is an "
+              "aggregate assertion)", file=sys.stderr)
         return 2
     if args.ref_dim and not args.aggregate:
         print("error: --ref-dim requires --aggregate (it is an aggregate "
@@ -317,6 +327,19 @@ def main() -> int:
         report["unique_distinct"] = uniq.screen_distinct
         report["unique_pass"] = uniq.screened_clean
         agg_pass &= uniq.screened_clean
+
+        if args.stat_bounds:
+            bounds = json.loads(args.stat_bounds)
+            sb_by = None if args.drift_by in ("", "none") else args.drift_by
+            sb_fused = agg.fused_aggregate_pass(
+                df, null_rate_by=sb_by, stat_bound_cols=list(bounds))
+            sbv = agg.stat_bound_violations_from_stats(
+                spark, sb_fused, bounds).collect()
+            report["stat_bound_violations"] = [
+                {"group": r["doc_id"], "constraint_id": r["constraint_id"],
+                 "column": r["column"], "value": r["value"], "arg": r["arg"]}
+                for r in sbv]
+            agg_pass &= not sbv
 
         if args.ref_dim:
             dim = spark.read.parquet(args.ref_dim)

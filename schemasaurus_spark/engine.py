@@ -56,6 +56,11 @@ class AggregateChecks:
     ref_scaled: bool = False
     null_rate_max: Optional[dict[str, float]] = None  # column -> max rate
     null_rate_by: Optional[str] = "source"
+    # Deequ-style aggregate assertions riding the same fused scan:
+    # column -> {min_mean/max_mean (per-group mean bounds) and/or
+    # min_value/max_value (hard bounds on observed min/max)}. Grouped by
+    # null_rate_by, like the null-rate checks.
+    stat_bounds: Optional[dict[str, dict]] = None
     drift_baseline: Optional[DataFrame] = None  # histogram (group_key,bucket,count)
     drift_column: str = "n_tok"
     drift_edges: Sequence[float] = ()
@@ -158,6 +163,11 @@ def run_full_validation(df: DataFrame, suite: Suite,
         raise ValueError(
             f"AggregateChecks.ref_column '{checks.ref_column}' is not a "
             f"column of the table; referential check cannot run")
+    for c in (checks.stat_bounds or {}):
+        if c not in df.columns:
+            raise ValueError(
+                f"AggregateChecks.stat_bounds column '{c}' is not a "
+                f"column of the table ({sorted(df.columns)})")
     if checks.drift_baseline is not None and not checks.drift_edges:
         raise ValueError(
             "AggregateChecks.drift_baseline is set but drift_edges is "
@@ -176,7 +186,9 @@ def run_full_validation(df: DataFrame, suite: Suite,
     # scaled referential keeps the dim OUT of the fused pass (the fused
     # ref-miss count broadcasts the dim, which ref_scaled says it cannot)
     fused_dim = None if checks.ref_scaled else checks.sources_dim
-    need_fused = (bool(null_rate_max) or fused_dim is not None
+    stat_bounds = checks.stat_bounds or {}
+    need_fused = (bool(null_rate_max) or bool(stat_bounds)
+                  or fused_dim is not None
                   or checks.drift_baseline is not None)
     drift_results = []
     if checks.sources_dim is not None and checks.ref_scaled:
@@ -195,6 +207,7 @@ def run_full_validation(df: DataFrame, suite: Suite,
             edges=list(checks.drift_edges),
             drift_by=drift_by,
             drift_is_array=checks.drift_is_array,
+            stat_bound_cols=list(stat_bounds),
         )
         if fused_dim is not None and fused.ref_missing_total() > 0:
             # dirty path only: a targeted anti-join lists the offending
@@ -205,6 +218,9 @@ def run_full_validation(df: DataFrame, suite: Suite,
         if null_rate_max:
             parts.append(agg.null_rate_violations_from_stats(
                 spark, fused, null_rate_max))
+        if stat_bounds:
+            parts.append(agg.stat_bound_violations_from_stats(
+                spark, fused, stat_bounds))
         if checks.drift_baseline is not None:
             n = len(checks.drift_edges) - 1
             drift_results = agg.drift_from_counts(

@@ -60,6 +60,8 @@ DEFAULT_MESSAGES: dict[str, str] = {
     "unique.doc_id": "shall be unique across the table",
     "ref.source": "shall reference an existing dimension row",
     "stats.null_rate": "null rate shall be <= %s",
+    "stats.mean_bound": "column mean shall satisfy %s",
+    "stats.value_bound": "column values shall satisfy %s",
     "drift.psi": "PSI vs baseline shall be <= %s",
     "drift.ks": "KS statistic vs baseline shall be <= %s",
 }

@@ -128,6 +128,7 @@ class FusedAggStats:
     # (0 is a LEGITIMATE value for a one-edge histogram)
     n_hist_buckets: int | None
     has_ref: bool
+    stat_bound_cols: list[str] = None  # type: ignore[assignment]
 
     def null_stats(self) -> dict:
         """group_key -> (n_rows, {col: n_nulls}) summed across drift keys."""
@@ -161,6 +162,24 @@ class FusedAggStats:
     def ref_missing_total(self) -> int:
         return sum(r["__ref_miss"] or 0 for r in self.rows)
 
+    def stat_stats(self) -> dict:
+        """group_key -> {col: (n_non_null, sum, min, max)} merged across
+        drift keys — sum/count add, min/max fold (all decomposable, so the
+        fused map-side partials stay exact)."""
+        out: dict = {}
+        for r in self.rows:
+            gk = r["group_key"]
+            per = out.setdefault(gk, {})
+            for c in self.stat_bound_cols or []:
+                n0, s0, mn0, mx0 = per.get(c, (0, 0.0, None, None))
+                n = n0 + (r[f"{c}__sb_n"] or 0)
+                s = s0 + (r[f"{c}__sb_sum"] or 0.0)
+                mn, mx = r[f"{c}__sb_min"], r[f"{c}__sb_max"]
+                mn = mn0 if mn is None else (mn if mn0 is None else min(mn0, mn))
+                mx = mx0 if mx is None else (mx if mx0 is None else max(mx0, mx))
+                per[c] = (n, s, mn, mx)
+        return out
+
 
 def fused_aggregate_pass(
     df: DataFrame,
@@ -173,6 +192,7 @@ def fused_aggregate_pass(
     edges: Sequence[float] = (),
     drift_by: str | None = None,
     drift_is_array: bool = False,
+    stat_bound_cols: Sequence[str] = (),
 ) -> FusedAggStats:
     """ONE scan for the whole statistical check suite (SURVEY §4 "one-pass
     stats over the 10^12-row table"; round-3 VERDICT #1).
@@ -205,13 +225,23 @@ def fused_aggregate_pass(
     # the null-rate grouping key applies only when null-rate checks are
     # configured: grouping a drift-only/ref-only run by the default
     # 'source' crashed tables without that column (round-4 review)
-    gk1 = (F.col(null_rate_by) if (null_rate_by and null_rate_cols)
+    gk1 = (F.col(null_rate_by)
+           if (null_rate_by and (null_rate_cols or stat_bound_cols))
            else F.lit("*"))
     gk2 = (F.col(drift_by) if (drift_column and drift_by) else F.lit("*"))
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in null_rate_cols:
         aggs.append(F.sum(F.col(c).isNull().cast("long"))
                     .alias(f"{c}__nulls"))
+    for c in stat_bound_cols:
+        # Deequ-style stat bounds ride the SAME fused scan: count/sum/
+        # min/max are all decomposable (map-side combined) and nulls are
+        # skipped natively by the aggregate functions
+        x = F.col(c).cast("double")
+        aggs += [F.count(x).alias(f"{c}__sb_n"),
+                 F.sum(x).alias(f"{c}__sb_sum"),
+                 F.min(x).alias(f"{c}__sb_min"),
+                 F.max(x).alias(f"{c}__sb_max")]
     if drift_column and edges:
         if drift_is_array:
             # token-id drift: per-bucket partial counts over array ELEMENTS
@@ -243,7 +273,7 @@ def fused_aggregate_pass(
             .agg(*aggs).collect())
     return FusedAggStats(rows, list(null_rate_cols),
                          n if (drift_column and edges) else None,
-                         dim is not None)
+                         dim is not None, list(stat_bound_cols))
 
 
 def null_rate_violations_from_stats(spark, fused: FusedAggStats,
@@ -272,6 +302,58 @@ def null_rate_violations_from_stats(spark, fused: FusedAggStats,
         F.lit("stats.null_rate").alias("constraint_id"),
         F.col("column"),
         F.round("null_rate", 6).cast("string").alias("value"),
+        "arg", "message",
+    )
+
+
+def stat_bound_violations_from_stats(spark, fused: FusedAggStats,
+                                     stat_bounds: dict) -> DataFrame:
+    """Driver-built Deequ-style aggregate assertions from the fused pass
+    (LocalTableScan only — no second scan). ``stat_bounds`` maps column ->
+    spec with any of ``min_mean`` / ``max_mean`` (per-group mean bounds;
+    code ``stats.mean_bound``) and ``min_value`` / ``max_value`` (hard
+    bounds on the group's observed min/max; code ``stats.value_bound``).
+    A group whose column is entirely NULL has no mean and no observed
+    min/max — it emits nothing (null PRESENCE belongs to null_rate/
+    NotNull, the engine-wide convention)."""
+    known = {"min_mean", "max_mean", "min_value", "max_value"}
+    for c, spec in stat_bounds.items():
+        bad = set(spec) - known
+        if bad:
+            raise ValueError(
+                f"unknown stat_bounds keys {sorted(bad)} for column {c!r}; "
+                f"known: {sorted(known)}")
+    rows = []
+
+    def _emit(gk, code, c, observed, kind, bound):
+        arg = f"{kind}={bound}"
+        rows.append((None if gk is None else str(gk), code, c,
+                     float(observed), arg, render_message(code, arg)))
+
+    for gk, per in fused.stat_stats().items():
+        for c, spec in stat_bounds.items():
+            n, s, mn, mx = per.get(c, (0, 0.0, None, None))
+            if n > 0:
+                mean = s / n
+                if "min_mean" in spec and mean < spec["min_mean"]:
+                    _emit(gk, "stats.mean_bound", c, mean,
+                          "min_mean", spec["min_mean"])
+                if "max_mean" in spec and mean > spec["max_mean"]:
+                    _emit(gk, "stats.mean_bound", c, mean,
+                          "max_mean", spec["max_mean"])
+            if mn is not None and "min_value" in spec and mn < spec["min_value"]:
+                _emit(gk, "stats.value_bound", c, mn,
+                      "min_value", spec["min_value"])
+            if mx is not None and "max_value" in spec and mx > spec["max_value"]:
+                _emit(gk, "stats.value_bound", c, mx,
+                      "max_value", spec["max_value"])
+    tiny = spark.createDataFrame(
+        rows, "group_key string, constraint_id string, column string, "
+              "observed double, arg string, message string")
+    return tiny.select(
+        F.col("group_key").alias("doc_id"),
+        "constraint_id", "column",
+        F.round("observed", 6).cast("string").alias("value"),
         "arg", "message",
     )
 

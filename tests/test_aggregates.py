@@ -292,3 +292,39 @@ def test_referential_scaled_matches_broadcast_variant(spark):
     # systematic breakage refuses per-row attribution loudly
     with pytest.raises(ValueError, match="max_missing_keys"):
         agg.referential_check_scaled(df, dim, "source", max_missing_keys=0)
+
+
+def test_stat_bounds_ride_fused_pass(spark):
+    """Deequ-style stat bounds: count/sum/min/max ride the fused scan;
+    violations are driver-built (LocalTableScan, no second scan)."""
+    import pytest
+
+    from schemasaurus_spark.operators import aggregates as agg
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", None), ("c", None)],
+        "source string, x double")
+    fused = agg.fused_aggregate_pass(df, null_rate_by="source",
+                                     stat_bound_cols=["x"])
+    stats = fused.stat_stats()
+    assert stats["a"]["x"] == (2, 4.0, 1.0, 3.0)
+    assert stats["b"]["x"] == (1, 10.0, 10.0, 10.0)
+    assert stats["c"]["x"] == (0, 0.0, None, None)   # all-null group
+
+    v = agg.stat_bound_violations_from_stats(
+        spark, fused, {"x": {"max_mean": 2.5, "min_value": 2.0,
+                             "max_value": 5.0}})
+    rows = {(r["doc_id"], r["constraint_id"], r["arg"])
+            for r in v.collect()}
+    # a: mean 2.0 passes; min 1.0 < 2.0 fires; max 3.0 passes
+    # b: mean 10 > 2.5 fires; max 10 > 5 fires
+    # c: entirely NULL -> emits nothing (null presence = null_rate/NotNull)
+    assert rows == {("a", "stats.value_bound", "min_value=2.0"),
+                    ("b", "stats.mean_bound", "max_mean=2.5"),
+                    ("b", "stats.value_bound", "max_value=5.0")}
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "Scan parquet" not in plan
+
+    with pytest.raises(ValueError, match="unknown stat_bounds"):
+        agg.stat_bound_violations_from_stats(
+            spark, fused, {"x": {"mean_max": 1}})

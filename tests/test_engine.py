@@ -114,3 +114,25 @@ def test_full_validation_ref_scaled_parity(spark):
     assert run_full_validation(
         clean, _suite(),
         AggregateChecks(sources_dim=dim, ref_scaled=True)).is_valid()
+
+
+def test_full_validation_stat_bounds(spark):
+    """AggregateChecks.stat_bounds: aggregate assertions in the facade —
+    same fused scan, loud on unknown columns."""
+    import pytest
+
+    df = datagen.finalize(datagen.gen_sequences(spark, 300, 4))
+    res = run_full_validation(
+        df, _suite(), AggregateChecks(stat_bounds={"n_tok": {"max_mean": 1.0}}))
+    codes = {r["constraint_id"] for r in res.violations().collect()}
+    assert "stats.mean_bound" in codes and not res.is_valid()
+
+    ok = run_full_validation(
+        df, _suite(), AggregateChecks(stat_bounds={
+            "n_tok": {"min_mean": 0.5, "min_value": 1.0,
+                      "max_value": 2048.0}}))
+    assert ok.is_valid()
+
+    with pytest.raises(ValueError, match="stat_bounds column"):
+        run_full_validation(df, _suite(),
+                            AggregateChecks(stat_bounds={"nope": {"max_mean": 1}}))

@@ -378,3 +378,33 @@ def test_job_referential_flag(spark, tmp_path):
              "--state", str(tmp_path / "s3"), *bad],
             capture_output=True, text=True, timeout=120, cwd=REPO)
         assert out.returncode == 2
+
+
+def test_job_stat_bounds_flag(spark, tmp_path):
+    """--stat-bounds: Deequ-style aggregate assertions in the packaged job."""
+    from schemasaurus_spark import datagen
+    from schemasaurus_spark.sources.storage import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    store.append(datagen.finalize(datagen.gen_sequences(spark, 300, 4)))
+
+    rep, rc = _run_job("--table", str(tmp_path / "tbl"),
+                       "--state", str(tmp_path / "s1"),
+                       "--aggregate", "--drift-by", "none",
+                       "--stat-bounds", '{"n_tok": {"max_mean": 1.0}}')
+    assert rc == 1 and rep["stat_bound_violations"]
+    assert rep["stat_bound_violations"][0]["constraint_id"] == "stats.mean_bound"
+
+    rep2, rc2 = _run_job("--table", str(tmp_path / "tbl"),
+                         "--state", str(tmp_path / "s2"),
+                         "--aggregate", "--drift-by", "none",
+                         "--stat-bounds",
+                         '{"n_tok": {"min_value": 1, "max_value": 2048}}')
+    assert rc2 == 0 and rep2["stat_bound_violations"] == []
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "validate_job.py"),
+         "--table", str(tmp_path / "tbl"), "--state", str(tmp_path / "s3"),
+         "--stat-bounds", '{"n_tok": {"max_mean": 1}}'],
+        capture_output=True, text=True, timeout=120, cwd=REPO)
+    assert out.returncode == 2          # requires --aggregate
