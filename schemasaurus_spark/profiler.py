@@ -49,6 +49,11 @@ class SuggestResult:
     n_rows: int
     evidence: dict = field(default_factory=dict)  # column -> stats dict
     unique_candidates: list = field(default_factory=list)
+    # ready-to-enforce AggregateChecks(stat_bounds=...) draft: per numeric
+    # column, mean bounds at observed mean ± slack·(max-min) plus hard
+    # observed min/max value bounds — passes the profiled table by
+    # construction, fires on a distribution shift
+    stat_bounds: dict = field(default_factory=dict)
 
     def describe(self) -> str:
         lines = [f"# suggested suite over {self.n_rows} rows"]
@@ -66,7 +71,8 @@ def _is_numeric(dt: T.DataType) -> bool:
 
 def suggest_suite(df: DataFrame, id_column: str | None = None,
                   columns: list[str] | None = None,
-                  enum_max_distinct: int = 32) -> SuggestResult:
+                  enum_max_distinct: int = 32,
+                  stat_mean_slack: float = 0.05) -> SuggestResult:
     """Profile ``df`` (2 scans max) and return a draft Suite + evidence.
 
     Per column, by dtype: 0 observed nulls → ``NotNull``; numeric →
@@ -75,6 +81,15 @@ def suggest_suite(df: DataFrame, id_column: str | None = None,
     array → ``MinItems``/``MaxItems`` and, for numeric elements,
     ``Items([Minimum, Maximum])``. Empty or all-null columns get no
     constraints (no vacuous claims). Map/struct columns are skipped.
+
+    Numeric columns additionally yield ``result.stat_bounds`` — a draft
+    ``AggregateChecks(stat_bounds=...)`` spec (mean at observed ±
+    ``stat_mean_slack``·span, hard observed min/max) that the fused
+    aggregate pass enforces: the suggest → enforce loop for aggregate
+    assertions, same contract as the row-level draft (passes the profiled
+    table; a human prunes before production). The profile is GLOBAL, so
+    enforce with ``AggregateChecks(stat_bounds=..., null_rate_by=None)``
+    — per-group means legitimately sit away from the global mean.
     """
     fields = {f.name: f.dataType for f in df.schema.fields}
     if columns is None:
@@ -91,7 +106,9 @@ def suggest_suite(df: DataFrame, id_column: str | None = None,
         ]
         if _is_numeric(dt):
             aggs += [F.min(col).alias(f"{c}__min"),
-                     F.max(col).alias(f"{c}__max")]
+                     F.max(col).alias(f"{c}__max"),
+                     F.avg(col).alias(f"{c}__mean"),
+                     F.stddev(col).alias(f"{c}__std")]
         elif isinstance(dt, T.StringType):
             aggs += [F.min(F.length(col)).alias(f"{c}__minlen"),
                      F.max(F.length(col)).alias(f"{c}__maxlen")]
@@ -142,6 +159,8 @@ def suggest_suite(df: DataFrame, id_column: str | None = None,
                 cs.append(dsl.NotNull())
             if _is_numeric(dt):
                 ev["min"], ev["max"] = row[f"{c}__min"], row[f"{c}__max"]
+                ev["mean"] = row[f"{c}__mean"]
+                ev["stddev"] = row[f"{c}__std"]  # NULL when non_null == 1
                 cs += [dsl.Minimum(ev["min"]), dsl.Maximum(ev["max"])]
             elif isinstance(dt, T.StringType):
                 ev["min_len"] = row[f"{c}__minlen"]
@@ -176,5 +195,16 @@ def suggest_suite(df: DataFrame, id_column: str | None = None,
                            else columns[0]))
     suite = dsl.Suite(id_column=id_column, columns=suite_cols,
                       name="suggested_v1")
+    stat_bounds: dict[str, dict] = {}
+    for c, ev in evidence.items():
+        if ev.get("mean") is None or ev.get("min") is None:
+            continue
+        mn, mx, mean = float(ev["min"]), float(ev["max"]), float(ev["mean"])
+        # slack·(value span) around the observed mean; a constant column
+        # (span 0) falls back to |mean| so the bound is never degenerate
+        m = stat_mean_slack * ((mx - mn) or abs(mean) or 1.0)
+        stat_bounds[c] = {"min_mean": mean - m, "max_mean": mean + m,
+                          "min_value": mn, "max_value": mx}
     return SuggestResult(suite=suite, n_rows=n_rows, evidence=evidence,
-                         unique_candidates=unique_candidates)
+                         unique_candidates=unique_candidates,
+                         stat_bounds=stat_bounds)

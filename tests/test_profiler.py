@@ -133,3 +133,43 @@ def test_suggested_suite_roundtrips_through_json_schema(spark, tmp_path):
     # corruption still caught after the round-trip
     bad = df.withColumn("source", F.lit("sp4m"))
     assert not validate(bad, back).is_valid()
+
+
+def test_suggested_stat_bounds_enforce_loop(spark):
+    """suggest_suite emits AggregateChecks-ready stat_bounds: they pass
+    the profiled table, and a mean shift beyond the slack fires."""
+    import pyspark.sql.functions as F
+
+    from schemasaurus_spark.engine import AggregateChecks, run_full_validation
+    from schemasaurus_spark.profiler import suggest_suite
+
+    df = datagen.finalize(datagen.gen_sequences(spark, 400, 4))
+    res = suggest_suite(df, columns=["n_tok", "doc_id"])
+    sb = res.stat_bounds
+    assert set(sb) == {"n_tok"}                      # numeric columns only
+    assert res.evidence["n_tok"]["mean"] is not None
+    assert sb["n_tok"]["min_value"] == res.evidence["n_tok"]["min"]
+
+    # suggested bounds pass their own table (the Deequ draft contract).
+    # The profile is GLOBAL, so enforcement must be too: null_rate_by=None
+    # (per-group means differ from the global mean beyond any slack)
+    clean = run_full_validation(
+        df, res.suite,
+        AggregateChecks(stat_bounds=sb, null_rate_by=None))
+    assert clean.is_valid()
+
+    # a mean shift beyond slack*span fires stats.mean_bound
+    shifted = df.withColumn(
+        "n_tok", F.least(F.col("n_tok") * 2, F.lit(2048)).cast("int"))
+    dirty = run_full_validation(
+        shifted, res.suite, AggregateChecks(null_rate_by=None, stat_bounds={
+            "n_tok": {k: v for k, v in sb["n_tok"].items()
+                      if k.endswith("mean")}}))
+    codes = {r["constraint_id"] for r in dirty.violations().collect()}
+    assert "stats.mean_bound" in codes
+
+    # constant column: span 0 falls back to |mean| — non-degenerate bounds
+    one = spark.createDataFrame([(5.0,), (5.0,)], "x double")
+    sres = suggest_suite(one, id_column="x")
+    b = sres.stat_bounds["x"]
+    assert b["min_mean"] < 5.0 < b["max_mean"]
