@@ -328,19 +328,6 @@ def main() -> int:
         report["unique_pass"] = uniq.screened_clean
         agg_pass &= uniq.screened_clean
 
-        if args.stat_bounds:
-            bounds = json.loads(args.stat_bounds)
-            sb_by = None if args.drift_by in ("", "none") else args.drift_by
-            sb_fused = agg.fused_aggregate_pass(
-                df, null_rate_by=sb_by, stat_bound_cols=list(bounds))
-            sbv = agg.stat_bound_violations_from_stats(
-                spark, sb_fused, bounds).collect()
-            report["stat_bound_violations"] = [
-                {"group": r["doc_id"], "constraint_id": r["constraint_id"],
-                 "column": r["column"], "value": r["value"], "arg": r["arg"]}
-                for r in sbv]
-            agg_pass &= not sbv
-
         if args.ref_dim:
             dim = spark.read.parquet(args.ref_dim)
             ref_fn = (agg.referential_check_scaled if args.ref_scaled
@@ -353,6 +340,17 @@ def main() -> int:
 
         edges = [float(x) for x in args.drift_edges.split(",")]
         drift_by = None if args.drift_by in ("", "none") else args.drift_by
+        bounds = json.loads(args.stat_bounds) if args.stat_bounds else None
+
+        def _report_stat_bounds(fused):
+            sbv = agg.stat_bound_violations_from_stats(
+                spark, fused, bounds).collect()
+            report["stat_bound_violations"] = [
+                {"group": r["doc_id"], "constraint_id": r["constraint_id"],
+                 "column": r["column"], "value": r["value"], "arg": r["arg"]}
+                for r in sbv]
+            return not sbv
+
         bs = BaselineStore(args.state)
         loaded = bs.load(spark, args.drift_column)
         if loaded is None:
@@ -366,6 +364,12 @@ def main() -> int:
                     config={"drift_by": drift_by,
                             "is_array": bool(args.drift_array)})
             report["drift"] = "baseline_bootstrapped"
+            if bounds:
+                # no drift compare on the bootstrap run: stat bounds get
+                # their own fused pass (one scan), grouped like the drift
+                agg_pass &= _report_stat_bounds(agg.fused_aggregate_pass(
+                    df, null_rate_by=drift_by,
+                    stat_bound_cols=list(bounds)))
         else:
             frozen = bs.config(args.drift_column)
             if frozen and (frozen.get("drift_by") != drift_by
@@ -377,15 +381,31 @@ def main() -> int:
                       f"fresh --state", file=sys.stderr)
                 return 2
             base_hist, base_edges = loaded
-            results = agg.drift_check(df, base_hist, args.drift_column,
-                                      base_edges, by=drift_by,
-                                      is_array=args.drift_array)
+            # ONE fused scan for the drift histogram AND any --stat-bounds
+            # partials (the facade's shape): --stat-bounds costs no extra
+            # pass over the table in compare mode
+            fused = agg.fused_aggregate_pass(
+                df,
+                null_rate_by=drift_by,
+                drift_column=args.drift_column,
+                edges=list(base_edges),
+                drift_by=drift_by,
+                drift_is_array=bool(args.drift_array),
+                stat_bound_cols=list(bounds or []),
+            )
+            results = agg.drift_from_counts(
+                fused.drift_counts(),
+                agg.hist_rows_to_map(base_hist.collect()),
+                len(base_edges) - 1, args.drift_column,
+                psi_threshold=0.2, ks_threshold=0.15)
             report["drift"] = [
                 {"group": r.group_key, "psi": round(r.psi, 6),
                  "ks": round(r.ks, 6), "pass": r.passed}
                 for r in results
             ]
             agg_pass &= all(r.passed for r in results)
+            if bounds:
+                agg_pass &= _report_stat_bounds(fused)
         if args.embedding_column:
             ecol = args.embedding_column
             key = f"{ecol}__centroid"

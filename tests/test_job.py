@@ -401,6 +401,25 @@ def test_job_stat_bounds_flag(spark, tmp_path):
                          "--stat-bounds",
                          '{"n_tok": {"min_value": 1, "max_value": 2048}}')
     assert rc2 == 0 and rep2["stat_bound_violations"] == []
+    assert rep2["drift"] == "baseline_bootstrapped"
+
+    # run 3 against the same state: COMPARE mode — drift histogram and
+    # stat-bound partials share one fused scan; same data -> both pass
+    rep3, rc3 = _run_job("--table", str(tmp_path / "tbl"),
+                         "--state", str(tmp_path / "s2"),
+                         "--aggregate", "--drift-by", "none",
+                         "--stat-bounds",
+                         '{"n_tok": {"min_value": 1, "max_value": 2048}}')
+    assert rc3 == 0 and rep3["stat_bound_violations"] == []
+    assert isinstance(rep3["drift"], list) and all(
+        d["pass"] for d in rep3["drift"])
+
+    # ...and a violated bound still fails in compare mode
+    rep4, rc4 = _run_job("--table", str(tmp_path / "tbl"),
+                         "--state", str(tmp_path / "s2"),
+                         "--aggregate", "--drift-by", "none",
+                         "--stat-bounds", '{"n_tok": {"max_mean": 1.0}}')
+    assert rc4 == 1 and rep4["stat_bound_violations"]
 
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "jobs", "validate_job.py"),
