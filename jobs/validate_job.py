@@ -129,6 +129,12 @@ def main() -> int:
                          "special-token ids for the token layout suite "
                          "(BOS-first, pad-aware EOS, pad-only-suffix, "
                          "vocab range, size==n_tok)")
+    ap.add_argument("--suggest", action="store_true",
+                    help="profile the snapshot and print a draft config "
+                         "instead of validating: a draft-4 JSON Schema "
+                         "(feed back via --schema-json), stat_bounds "
+                         "(--stat-bounds), and unique-key candidates — "
+                         "2 scans, writes nothing")
     ap.add_argument("--lint", action="store_true",
                     help="static pre-flight: lint the suite (contradiction "
                          "/ satisfiability analysis) against the table "
@@ -154,6 +160,19 @@ def main() -> int:
         print("error: --embedding-column requires --aggregate (it is an "
               "aggregate drift check)", file=sys.stderr)
         return 2
+    if args.suggest:
+        clash = [f for f, on in (("--incremental", args.incremental),
+                                 ("--aggregate", args.aggregate),
+                                 ("--quarantine", args.quarantine),
+                                 ("--trend", args.trend),
+                                 ("--check-schema", args.check_schema),
+                                 ("--lint", args.lint),
+                                 ("--sample", args.sample is not None))
+                 if on]
+        if clash:
+            print(f"error: --suggest profiles and exits — incompatible "
+                  f"with {', '.join(clash)}", file=sys.stderr)
+            return 2
     if args.stat_bounds and not args.aggregate:
         print("error: --stat-bounds requires --aggregate (it is an "
               "aggregate assertion)", file=sys.stderr)
@@ -201,6 +220,19 @@ def main() -> int:
 
     spark = get_spark("validate_job")
     store = SnapshotStore(args.table)
+    if args.suggest:
+        from schemasaurus_spark import suite_to_json_schema
+        from schemasaurus_spark.profiler import suggest_suite
+
+        res = suggest_suite(store.read(spark, args.snapshot))
+        print(json.dumps({
+            "mode": "suggest",
+            "n_rows": res.n_rows,
+            "schema": suite_to_json_schema(res.suite),
+            "stat_bounds": res.stat_bounds,
+            "unique_candidates": res.unique_candidates,
+        }))
+        return 0
     cp = ValidationCheckpoint(args.state)
     pre_transform = None
     if args.schema_json:

@@ -427,3 +427,35 @@ def test_job_stat_bounds_flag(spark, tmp_path):
          "--stat-bounds", '{"n_tok": {"max_mean": 1}}'],
         capture_output=True, text=True, timeout=120, cwd=REPO)
     assert out.returncode == 2          # requires --aggregate
+
+
+def test_job_suggest_flag(spark, tmp_path):
+    """--suggest: profile-and-exit — emits a draft schema the job itself
+    can enforce via --schema-json, plus stat_bounds and key candidates."""
+    from schemasaurus_spark import datagen
+    from schemasaurus_spark.sources.storage import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    store.append(datagen.finalize(datagen.gen_sequences(spark, 300, 4)))
+
+    rep, rc = _run_job("--table", str(tmp_path / "tbl"),
+                       "--state", str(tmp_path / "s1"), "--suggest")
+    assert rc == 0 and rep["mode"] == "suggest" and rep["n_rows"] == 300
+    assert "n_tok" in rep["stat_bounds"]
+    assert "doc_id" in rep["unique_candidates"]
+
+    # the emitted draft-4 document drives a normal validation run
+    schema_path = str(tmp_path / "suggested.json")
+    with open(schema_path, "w") as f:
+        json.dump(rep["schema"], f)
+    rep2, rc2 = _run_job("--table", str(tmp_path / "tbl"),
+                         "--state", str(tmp_path / "s2"),
+                         "--schema-json", schema_path)
+    assert rc2 == 0 and rep2["pass"]
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "validate_job.py"),
+         "--table", str(tmp_path / "tbl"), "--state", str(tmp_path / "s3"),
+         "--suggest", "--aggregate"],
+        capture_output=True, text=True, timeout=120, cwd=REPO)
+    assert out.returncode == 2
