@@ -90,6 +90,10 @@ def main() -> int:
                          "checkpointed baseline (cosine + L2; bootstrap "
                          "on first run, same BaselineStore commit "
                          "protocol as the histogram path)")
+    ap.add_argument("--unique-key", default=None, metavar="COL[,COL...]",
+                    help="with --aggregate: uniqueness key override — a "
+                         "single column or a comma-separated COMPOSITE key "
+                         "(default: the suite's id column)")
     ap.add_argument("--ref-dim", default=None, metavar="PARQUET",
                     help="with --aggregate: referential check — every "
                          "--ref-column value must exist in this parquet "
@@ -176,6 +180,10 @@ def main() -> int:
     if args.stat_bounds and not args.aggregate:
         print("error: --stat-bounds requires --aggregate (it is an "
               "aggregate assertion)", file=sys.stderr)
+        return 2
+    if args.unique_key and not args.aggregate:
+        print("error: --unique-key requires --aggregate (uniqueness is an "
+              "aggregate check)", file=sys.stderr)
         return 2
     if args.ref_dim and not args.aggregate:
         print("error: --ref-dim requires --aggregate (it is an aggregate "
@@ -354,7 +362,15 @@ def main() -> int:
             # aggregates must see the SAME view of the table as row
             # validation (defaults/casts/pruning applied)
             df = pre_transform(df)
-        uniq = agg.uniqueness_check(df, suite.id_column)
+        uniq_key = ([k.strip() for k in args.unique_key.split(",")]
+                    if args.unique_key else suite.id_column)
+        if isinstance(uniq_key, list):
+            missing = [k for k in uniq_key if k not in df.columns]
+            if missing:
+                print(f"error: --unique-key columns {missing} are not "
+                      f"columns of the table", file=sys.stderr)
+                return 2
+        uniq = agg.uniqueness_check(df, uniq_key)
         report["unique_total"] = uniq.screen_total
         report["unique_distinct"] = uniq.screen_distinct
         report["unique_pass"] = uniq.screened_clean

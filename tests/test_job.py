@@ -459,3 +459,47 @@ def test_job_suggest_flag(spark, tmp_path):
          "--suggest", "--aggregate"],
         capture_output=True, text=True, timeout=120, cwd=REPO)
     assert out.returncode == 2
+
+
+def test_job_unique_key_override(spark, tmp_path):
+    """--unique-key: composite uniqueness key in the packaged job."""
+    import pyspark.sql.functions as F
+
+    from schemasaurus_spark import datagen
+    from schemasaurus_spark.sources.storage import SnapshotStore
+
+    # (source, n_tok) collides heavily; (source, doc_id) is unique
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    store.append(datagen.finalize(
+        datagen.gen_sequences(spark, 200, 2).withColumn(
+            "n_tok", F.lit(7)).withColumn(
+            "tokens", F.slice(F.col("tokens"), 1, 7))))
+
+    rep, rc = _run_job("--table", str(tmp_path / "tbl"),
+                       "--state", str(tmp_path / "s1"),
+                       "--aggregate", "--drift-by", "none",
+                       "--unique-key", "source,doc_id")
+    assert rc == 0 and rep["unique_pass"] and rep["unique_total"] == 200
+
+    rep2, rc2 = _run_job("--table", str(tmp_path / "tbl"),
+                         "--state", str(tmp_path / "s2"),
+                         "--aggregate", "--drift-by", "none",
+                         "--unique-key", "source,n_tok")
+    assert rc2 == 1 and not rep2["unique_pass"]
+    assert rep2["unique_distinct"] < rep2["unique_total"]
+
+    for bad in (["--unique-key", "nope"],):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "jobs", "validate_job.py"),
+             "--table", str(tmp_path / "tbl"),
+             "--state", str(tmp_path / "s3"),
+             "--aggregate", "--drift-by", "none", *bad],
+            capture_output=True, text=True, timeout=300, cwd=REPO,
+            env=dict(os.environ, SPARK_GRAFT_CPUS="4"))
+        assert out.returncode == 2
+    out2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "validate_job.py"),
+         "--table", str(tmp_path / "tbl"), "--state", str(tmp_path / "s4"),
+         "--unique-key", "doc_id"],
+        capture_output=True, text=True, timeout=120, cwd=REPO)
+    assert out2.returncode == 2       # requires --aggregate
