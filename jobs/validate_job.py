@@ -90,6 +90,11 @@ def main() -> int:
                          "checkpointed baseline (cosine + L2; bootstrap "
                          "on first run, same BaselineStore commit "
                          "protocol as the histogram path)")
+    ap.add_argument("--null-rate", default=None, metavar="JSON",
+                    help="with --aggregate: per-column null-rate ceilings, "
+                         "e.g. '{\"n_tok\": 0.01}', grouped by --drift-by — "
+                         "rides the same fused scan as the drift compare "
+                         "and --stat-bounds")
     ap.add_argument("--unique-key", default=None, metavar="COL[,COL...]",
                     help="with --aggregate: uniqueness key override — a "
                          "single column or a comma-separated COMPOSITE key "
@@ -183,6 +188,10 @@ def main() -> int:
         return 2
     if args.unique_key and not args.aggregate:
         print("error: --unique-key requires --aggregate (uniqueness is an "
+              "aggregate check)", file=sys.stderr)
+        return 2
+    if args.null_rate and not args.aggregate:
+        print("error: --null-rate requires --aggregate (it is an "
               "aggregate check)", file=sys.stderr)
         return 2
     if args.ref_dim and not args.aggregate:
@@ -389,15 +398,32 @@ def main() -> int:
         edges = [float(x) for x in args.drift_edges.split(",")]
         drift_by = None if args.drift_by in ("", "none") else args.drift_by
         bounds = json.loads(args.stat_bounds) if args.stat_bounds else None
+        null_rate = json.loads(args.null_rate) if args.null_rate else None
+        nr_missing = [c for c in (null_rate or {}) if c not in df.columns]
+        if nr_missing:
+            print(f"error: --null-rate columns {nr_missing} are not "
+                  f"columns of the table", file=sys.stderr)
+            return 2
 
-        def _report_stat_bounds(fused):
-            sbv = agg.stat_bound_violations_from_stats(
-                spark, fused, bounds).collect()
-            report["stat_bound_violations"] = [
+        def _row_dicts(frame):
+            return [
                 {"group": r["doc_id"], "constraint_id": r["constraint_id"],
                  "column": r["column"], "value": r["value"], "arg": r["arg"]}
-                for r in sbv]
-            return not sbv
+                for r in frame.collect()]
+
+        def _report_stat_bounds(fused):
+            ok = True
+            if bounds:
+                sbv = _row_dicts(agg.stat_bound_violations_from_stats(
+                    spark, fused, bounds))
+                report["stat_bound_violations"] = sbv
+                ok &= not sbv
+            if null_rate:
+                nrv = _row_dicts(agg.null_rate_violations_from_stats(
+                    spark, fused, null_rate))
+                report["null_rate_violations"] = nrv
+                ok &= not nrv
+            return ok
 
         bs = BaselineStore(args.state)
         loaded = bs.load(spark, args.drift_column)
@@ -412,12 +438,14 @@ def main() -> int:
                     config={"drift_by": drift_by,
                             "is_array": bool(args.drift_array)})
             report["drift"] = "baseline_bootstrapped"
-            if bounds:
-                # no drift compare on the bootstrap run: stat bounds get
-                # their own fused pass (one scan), grouped like the drift
+            if bounds or null_rate:
+                # no drift compare on the bootstrap run: stat bounds and
+                # null-rate ceilings share ONE fused pass of their own,
+                # grouped like the drift
                 agg_pass &= _report_stat_bounds(agg.fused_aggregate_pass(
                     df, null_rate_by=drift_by,
-                    stat_bound_cols=list(bounds)))
+                    null_rate_cols=list(null_rate or []),
+                    stat_bound_cols=list(bounds or [])))
         else:
             frozen = bs.config(args.drift_column)
             if frozen and (frozen.get("drift_by") != drift_by
@@ -435,6 +463,7 @@ def main() -> int:
             fused = agg.fused_aggregate_pass(
                 df,
                 null_rate_by=drift_by,
+                null_rate_cols=list(null_rate or []),
                 drift_column=args.drift_column,
                 edges=list(base_edges),
                 drift_by=drift_by,
@@ -452,7 +481,7 @@ def main() -> int:
                 for r in results
             ]
             agg_pass &= all(r.passed for r in results)
-            if bounds:
+            if bounds or null_rate:
                 agg_pass &= _report_stat_bounds(fused)
         if args.embedding_column:
             ecol = args.embedding_column

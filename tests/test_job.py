@@ -503,3 +503,52 @@ def test_job_unique_key_override(spark, tmp_path):
          "--unique-key", "doc_id"],
         capture_output=True, text=True, timeout=120, cwd=REPO)
     assert out2.returncode == 2       # requires --aggregate
+
+
+def test_job_null_rate_flag(spark, tmp_path):
+    """--null-rate: per-column null-rate ceilings in the packaged job,
+    riding the same fused scan as --stat-bounds / the drift compare."""
+    import pyspark.sql.functions as F
+
+    from schemasaurus_spark import datagen
+    from schemasaurus_spark.sources.storage import SnapshotStore
+
+    df = datagen.gen_sequences(spark, 300, 3)
+    df = df.withColumn("n_tok", F.when(F.pmod(F.col("i"), F.lit(4)) == 0,
+                                       None).otherwise(F.col("n_tok")))
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    store.append(datagen.finalize(df))
+
+    # ~25% nulls: a 1% ceiling fires, a 50% ceiling passes; suite must
+    # tolerate the nulls, so use a permissive schema document
+    doc = {"type": "object", "properties": {"doc_id": {"type": "string"}}}
+    schema_path = str(tmp_path / "s.json")
+    with open(schema_path, "w") as f:
+        json.dump(doc, f)
+
+    rep, rc = _run_job("--table", str(tmp_path / "tbl"),
+                       "--state", str(tmp_path / "s1"),
+                       "--schema-json", schema_path,
+                       "--aggregate", "--drift-by", "none",
+                       "--null-rate", '{"n_tok": 0.01}')
+    assert rc == 1 and rep["null_rate_violations"]
+    v = rep["null_rate_violations"][0]
+    assert v["constraint_id"] == "stats.null_rate" and v["column"] == "n_tok"
+
+    rep2, rc2 = _run_job("--table", str(tmp_path / "tbl"),
+                         "--state", str(tmp_path / "s1"),  # compare mode
+                         "--schema-json", schema_path,
+                         "--aggregate", "--drift-by", "none",
+                         "--null-rate", '{"n_tok": 0.5}')
+    assert rc2 == 0 and rep2["null_rate_violations"] == []
+    assert isinstance(rep2["drift"], list)          # fused with the compare
+
+    for bad in (["--null-rate", '{"nope": 0.1}', "--aggregate"],
+                ["--null-rate", '{"n_tok": 0.1}']):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "jobs", "validate_job.py"),
+             "--table", str(tmp_path / "tbl"),
+             "--state", str(tmp_path / "s2"), "--drift-by", "none", *bad],
+            capture_output=True, text=True, timeout=300, cwd=REPO,
+            env=dict(os.environ, SPARK_GRAFT_CPUS="4"))
+        assert out.returncode == 2, (bad, out.stderr[-300:])
