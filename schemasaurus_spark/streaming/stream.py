@@ -115,7 +115,9 @@ def windowed_drift(stream_df: DataFrame, column: str, edges: list[float],
                    psi_threshold: float = 0.2,
                    eps: float = 1e-6,
                    baseline_under: float = 0.0,
-                   baseline_over: float = 0.0) -> DataFrame:
+                   baseline_over: float = 0.0,
+                   null_rate_max: dict | None = None,
+                   stat_bounds: dict | None = None) -> DataFrame:
     """Per-window PSI of `column`'s fixed-edge histogram vs a checkpointed
     baseline (north rule: drift detection, streaming form).
 
@@ -123,12 +125,38 @@ def windowed_drift(stream_df: DataFrame, column: str, edges: list[float],
     proportions over the SAME frozen edges). The whole check is one
     watermarked aggregation: bucket counts are conditional sums (wide
     columns, not a second groupBy — chained stateful aggregations are not
-    allowed in streams), and PSI is a closed-form expression over them."""
+    allowed in streams), and PSI is a closed-form expression over them.
+
+    ``null_rate_max`` ({col: max rate}) and ``stat_bounds`` ({col:
+    {min_mean/max_mean/min_value/max_value}}) add the batch engine's
+    per-window quality checks to the SAME aggregation (extra conditional
+    sums, no second groupBy): output gains ``<col>__null_rate`` /
+    ``<col>__mean`` columns and one ``quality_pass`` verdict. An all-null
+    window has no mean/min/max — those bounds are skipped for it (the
+    engine-wide null convention); its null RATE still counts."""
     n = len(edges) - 1
     if len(baseline_probs) != n:
         raise ValueError(f"need {n} baseline probs, got {len(baseline_probs)}")
+    known = {"min_mean", "max_mean", "min_value", "max_value"}
+    for c, spec in (stat_bounds or {}).items():
+        bad = set(spec) - known
+        if bad:
+            raise ValueError(
+                f"unknown stat_bounds keys {sorted(bad)} for column {c!r}; "
+                f"known: {sorted(known)}")
     x = F.col(column).cast("double")
     w = stream_df.withWatermark(time_col, watermark)
+    extra_aggs = []
+    if null_rate_max:
+        extra_aggs.append(F.count(F.lit(1)).alias("__n_total"))
+        for c in null_rate_max:
+            extra_aggs.append(F.sum(F.col(c).isNull().cast("long"))
+                              .alias(f"__{c}_nulls"))
+    for c in (stat_bounds or {}):
+        xc = F.col(c).cast("double")
+        extra_aggs += [F.avg(xc).alias(f"__{c}_mean"),
+                       F.min(xc).alias(f"__{c}_min"),
+                       F.max(xc).alias(f"__{c}_max")]
     # under/overflow buckets INCLUDED (parity with the batch histogram's
     # -1/n buckets): mass moving outside the edge range must register as a
     # direct PSI term — counted only in n_rows it would show up as mere
@@ -140,7 +168,7 @@ def windowed_drift(stream_df: DataFrame, column: str, edges: list[float],
     ]
     bucket_sums.append(F.sum((x >= edges[n]).cast("long")).alias("b_over"))
     agged = w.groupBy(F.window(F.col(time_col), window).alias("w")).agg(
-        F.count(x).alias("n_rows"), *bucket_sums)
+        F.count(x).alias("n_rows"), *bucket_sums, *extra_aggs)
     total = F.greatest(F.col("n_rows"), F.lit(1)).cast("double")
     psi = None
     ks = None
@@ -158,10 +186,35 @@ def windowed_drift(stream_df: DataFrame, column: str, edges: list[float],
         cum_p = cum_p + max(p0, eps)
         gap = F.abs(cum_q - F.lit(cum_p))
         ks = gap if ks is None else F.greatest(ks, gap)
-    return agged.select(
+    out_cols = [
         F.col("w.start").alias("w_start"),
-        "n_rows",
+        F.col("n_rows"),
         F.round(psi, 6).alias("psi"),
         F.round(ks, 6).alias("ks"),
         (psi > psi_threshold).alias("drifted"),
-    )
+    ]
+    quality_ok = None
+
+    def _and(cur, cond):
+        return cond if cur is None else cur & cond
+
+    for c, max_rate in (null_rate_max or {}).items():
+        rate = (F.col(f"__{c}_nulls")
+                / F.greatest(F.col("__n_total"), F.lit(1)).cast("double"))
+        out_cols.append(F.round(rate, 6).alias(f"{c}__null_rate"))
+        quality_ok = _and(quality_ok, rate <= F.lit(float(max_rate)))
+    for c, spec in (stat_bounds or {}).items():
+        mean = F.col(f"__{c}_mean")
+        out_cols.append(F.round(mean, 6).alias(f"{c}__mean"))
+        for key, col_, cmp_ in (
+                ("min_mean", mean, "ge"), ("max_mean", mean, "le"),
+                ("min_value", F.col(f"__{c}_min"), "ge"),
+                ("max_value", F.col(f"__{c}_max"), "le")):
+            if key in spec:
+                bound = F.lit(float(spec[key]))
+                cond = col_ >= bound if cmp_ == "ge" else col_ <= bound
+                # all-null window → mean/min/max NULL → bound skipped
+                quality_ok = _and(quality_ok, F.coalesce(cond, F.lit(True)))
+    if quality_ok is not None:
+        out_cols.append(quality_ok.alias("quality_pass"))
+    return agged.select(*out_cols)

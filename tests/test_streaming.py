@@ -277,3 +277,56 @@ def test_stream_dedup_rejects_zero_ttl(spark):
     with pytest.raises(ValueError, match="positive"):
         stream_duplicate_keys(df.selectExpr("CAST(value AS STRING) doc_id"),
                               ttl_minutes=0)
+
+
+def test_windowed_drift_quality_checks(spark):
+    """null_rate_max / stat_bounds ride the SAME windowed aggregation:
+    a 25%-null stream fails a 10% ceiling and passes a 50% one; mean
+    bounds judge the window's observed mean."""
+    import pytest
+
+    from schemasaurus_spark.streaming.stream import windowed_drift
+
+    rate = spark.readStream.format("rate").option("rowsPerSecond", 200).load()
+    # uniform [0,100) with every 4th value nulled: ~25% null rate, mean ~49.5
+    src = rate.select(
+        F.when(F.pmod("value", F.lit(4)) == 0, None)
+         .otherwise(F.pmod("value", F.lit(100)).cast("double"))
+         .alias("n_tok"),
+        F.col("timestamp").alias("ts"))
+    edges = [0.0, 50.0, 100.0]
+    base = [0.5, 0.5]
+
+    for name, nr, sb, want_pass in [
+        ("q_tight", {"n_tok": 0.10}, None, False),
+        ("q_loose", {"n_tok": 0.50},
+         {"n_tok": {"min_mean": 30.0, "max_mean": 70.0,
+                    "min_value": 0.0, "max_value": 99.0}}, True),
+        ("q_mean", None, {"n_tok": {"max_mean": 10.0}}, False),
+    ]:
+        d = windowed_drift(src, "n_tok", edges, base,
+                           window="5 seconds", watermark="5 seconds",
+                           null_rate_max=nr, stat_bounds=sb)
+        assert "quality_pass" in d.columns
+        q = (d.writeStream.format("memory").queryName(name)
+             .outputMode("update").start())
+        try:
+            ok = _run_until(
+                q, lambda: spark.sql(
+                    f"select count(*) c from {name} where n_rows >= 100"
+                ).first()["c"] >= 1)
+            assert ok, f"no populated windows for {name}"
+            row = spark.sql(
+                f"select * from {name} order by n_rows desc limit 1").first()
+            assert bool(row["quality_pass"]) == want_pass, row
+            if nr:
+                assert 0.0 <= row["n_tok__null_rate"] <= 1.0
+            if sb:
+                assert row["n_tok__mean"] is not None
+            assert not row["drifted"]        # distribution itself matches
+        finally:
+            q.stop()
+
+    with pytest.raises(ValueError, match="unknown stat_bounds"):
+        windowed_drift(src, "n_tok", edges, base,
+                       stat_bounds={"n_tok": {"mean_max": 1}})
