@@ -236,7 +236,18 @@ def fused_aggregate_pass(
     for c in stat_bound_cols:
         # Deequ-style stat bounds ride the SAME fused scan: count/sum/
         # min/max are all decomposable (map-side combined) and nulls are
-        # skipped natively by the aggregate functions
+        # skipped natively by the aggregate functions.
+        # Non-numeric columns must refuse LOUDLY: cast("double") on a
+        # string column yields all-NULL stats and the check silently
+        # passes forever (the worst failure mode for a validator)
+        from pyspark.sql import types as T
+
+        dt = df.schema[c].dataType
+        if not isinstance(dt, T.NumericType):
+            raise ValueError(
+                f"stat_bound column {c!r} has non-numeric type "
+                f"{dt.simpleString()} — mean/min/max bounds need a "
+                f"numeric column")
         x = F.col(c).cast("double")
         aggs += [F.count(x).alias(f"{c}__sb_n"),
                  F.sum(x).alias(f"{c}__sb_sum"),

@@ -153,6 +153,17 @@ def windowed_drift(stream_df: DataFrame, column: str, edges: list[float],
             extra_aggs.append(F.sum(F.col(c).isNull().cast("long"))
                               .alias(f"__{c}_nulls"))
     for c in (stat_bounds or {}):
+        from pyspark.sql import types as T
+
+        dt = stream_df.schema[c].dataType
+        if not isinstance(dt, T.NumericType):
+            # cast("double") of a string column = all-NULL stats = the
+            # all-null-window skip fires every window: a silent forever-
+            # pass. Refuse loudly (same rule as the batch fused pass).
+            raise ValueError(
+                f"stat_bound column {c!r} has non-numeric type "
+                f"{dt.simpleString()} — mean/min/max bounds need a "
+                f"numeric column")
         xc = F.col(c).cast("double")
         extra_aggs += [F.avg(xc).alias(f"__{c}_mean"),
                        F.min(xc).alias(f"__{c}_min"),

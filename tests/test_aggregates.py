@@ -328,3 +328,17 @@ def test_stat_bounds_ride_fused_pass(spark):
     with pytest.raises(ValueError, match="unknown stat_bounds"):
         agg.stat_bound_violations_from_stats(
             spark, fused, {"x": {"mean_max": 1}})
+
+
+def test_stat_bounds_refuse_non_numeric_column(spark):
+    """A string column in stat_bounds must refuse loudly — cast('double')
+    would yield all-NULL stats and a silent forever-pass."""
+    import pytest
+
+    from schemasaurus_spark.operators import aggregates as agg
+
+    df = spark.createDataFrame([("a", 1.0)], "s string, x double")
+    with pytest.raises(ValueError, match="non-numeric"):
+        agg.fused_aggregate_pass(df, stat_bound_cols=["s"])
+    # numeric columns still fine
+    assert agg.fused_aggregate_pass(df, stat_bound_cols=["x"]).rows

@@ -330,3 +330,17 @@ def test_windowed_drift_quality_checks(spark):
     with pytest.raises(ValueError, match="unknown stat_bounds"):
         windowed_drift(src, "n_tok", edges, base,
                        stat_bounds={"n_tok": {"mean_max": 1}})
+
+
+def test_windowed_quality_refuses_non_numeric(spark):
+    import pytest
+
+    from schemasaurus_spark.streaming.stream import windowed_drift
+
+    rate = spark.readStream.format("rate").option("rowsPerSecond", 10).load()
+    src = rate.select(F.lit("x").alias("s"),
+                      F.col("value").cast("double").alias("n_tok"),
+                      F.col("timestamp").alias("ts"))
+    with pytest.raises(ValueError, match="non-numeric"):
+        windowed_drift(src, "n_tok", [0.0, 50.0], [1.0],
+                       stat_bounds={"s": {"max_mean": 1}})
