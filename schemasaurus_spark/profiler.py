@@ -195,11 +195,19 @@ def suggest_suite(df: DataFrame, id_column: str | None = None,
                            else columns[0]))
     suite = dsl.Suite(id_column=id_column, columns=suite_cols,
                       name="suggested_v1")
+    import math
+
     stat_bounds: dict[str, dict] = {}
     for c, ev in evidence.items():
         if ev.get("mean") is None or ev.get("min") is None:
             continue
         mn, mx, mean = float(ev["min"]), float(ev["max"]), float(ev["mean"])
+        if any(math.isnan(v) for v in (mn, mx, mean)):
+            # NaN-bearing column: NaN bounds never fire (driver-side
+            # comparisons are all False) — suggest nothing rather than a
+            # vacuous check; NaN policing belongs to the embedding/row
+            # suites (is_nan Conform), not mean bounds
+            continue
         # slack·(value span) around the observed mean; a constant column
         # (span 0) falls back to |mean| so the bound is never degenerate
         m = stat_mean_slack * ((mx - mn) or abs(mean) or 1.0)

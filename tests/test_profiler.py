@@ -173,3 +173,13 @@ def test_suggested_stat_bounds_enforce_loop(spark):
     sres = suggest_suite(one, id_column="x")
     b = sres.stat_bounds["x"]
     assert b["min_mean"] < 5.0 < b["max_mean"]
+
+
+def test_stat_bounds_skip_nan_columns(spark):
+    """A NaN-bearing column gets NO suggested stat bounds (NaN bounds
+    compare False forever — a vacuous check)."""
+    df = spark.createDataFrame(
+        [(float("nan"), 1.0), (2.0, 3.0)], "bad double, good double")
+    res = suggest_suite(df, id_column="good")
+    assert "bad" not in res.stat_bounds
+    assert "good" in res.stat_bounds
