@@ -157,7 +157,29 @@ def main() -> int:
                          "(+ JSON violation report) under …=true/ via a "
                          "partitioned write (overwrites DIR; the "
                          "validation-tier gate of a training pipeline)")
+    ap.add_argument("--config", default=None, metavar="JSON_PATH",
+                    help="validation-config-as-code: a JSON object whose "
+                         "keys are flag names (dashes or underscores, no "
+                         "leading --) providing defaults for this run; "
+                         "flags given on the command line override it")
     args = ap.parse_args()
+
+    if args.config:
+        with open(args.config) as f:
+            cfg = json.load(f)
+        valid_dests = {a.dest for a in ap._actions}
+        for k, v in cfg.items():
+            dest = k.replace("-", "_")
+            if dest == "config" or dest not in valid_dests:
+                print(f"error: unknown --config key {k!r}", file=sys.stderr)
+                return 2
+            # config supplies DEFAULTS: an explicit CLI flag (any value
+            # different from the parser default) wins over the file
+            if getattr(args, dest) == ap.get_default(dest):
+                # JSON-valued flags (--stat-bounds/--null-rate) take
+                # strings on the CLI; in the file they are natural JSON
+                setattr(args, dest,
+                        json.dumps(v) if isinstance(v, (dict, list)) else v)
 
     # usage-error gate (exit 2): incompatible/ineffective flag combinations
     # must not masquerade as clean runs or data failures (round-4 review)

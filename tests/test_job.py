@@ -552,3 +552,44 @@ def test_job_null_rate_flag(spark, tmp_path):
             capture_output=True, text=True, timeout=300, cwd=REPO,
             env=dict(os.environ, SPARK_GRAFT_CPUS="4"))
         assert out.returncode == 2, (bad, out.stderr[-300:])
+
+
+def test_job_config_file(spark, tmp_path):
+    """--config: JSON config supplies flag defaults; CLI overrides win;
+    unknown keys are usage errors."""
+    from schemasaurus_spark import datagen
+    from schemasaurus_spark.sources.storage import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    store.append(datagen.finalize(datagen.gen_sequences(spark, 200, 2)))
+
+    cfg = {"aggregate": True, "drift-by": "none",
+           "stat_bounds": {"n_tok": {"max_mean": 1.0}}}
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+
+    # config drives the whole aggregate run (dash AND underscore keys)
+    rep, rc = _run_job("--table", str(tmp_path / "tbl"),
+                       "--state", str(tmp_path / "s1"),
+                       "--config", cfg_path)
+    assert rc == 1 and rep["stat_bound_violations"]
+    assert rep["drift"] == "baseline_bootstrapped"
+
+    # explicit CLI flag overrides the file (passing bounds fire nothing)
+    rep2, rc2 = _run_job("--table", str(tmp_path / "tbl"),
+                         "--state", str(tmp_path / "s2"),
+                         "--config", cfg_path,
+                         "--stat-bounds",
+                         '{"n_tok": {"min_value": 1, "max_value": 2048}}')
+    assert rc2 == 0 and rep2["stat_bound_violations"] == []
+
+    # unknown key -> exit 2
+    with open(cfg_path, "w") as f:
+        json.dump({"not-a-flag": 1}, f)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "validate_job.py"),
+         "--table", str(tmp_path / "tbl"), "--state", str(tmp_path / "s3"),
+         "--config", cfg_path],
+        capture_output=True, text=True, timeout=120, cwd=REPO)
+    assert out.returncode == 2 and "unknown --config key" in out.stderr
