@@ -160,26 +160,52 @@ def main() -> int:
     ap.add_argument("--config", default=None, metavar="JSON_PATH",
                     help="validation-config-as-code: a JSON object whose "
                          "keys are flag names (dashes or underscores, no "
-                         "leading --) providing defaults for this run; "
-                         "flags given on the command line override it")
-    args = ap.parse_args()
+                         "leading --) providing DEFAULTS for this run; "
+                         "flags given on the command line always win "
+                         "(--table/--state stay CLI-required)")
 
-    if args.config:
-        with open(args.config) as f:
-            cfg = json.load(f)
-        valid_dests = {a.dest for a in ap._actions}
+    # Two-phase parse so config values become PARSER DEFAULTS before the
+    # real parse: explicit CLI flags then win unconditionally — comparing
+    # post-parse values against defaults would silently lose a CLI flag
+    # whose value happens to EQUAL the default (round-5e review).
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--config", default=None)
+    pre_args, _ = pre.parse_known_args()
+    if pre_args.config:
+        try:
+            with open(pre_args.config) as f:
+                cfg = json.load(f)
+        except (OSError, json.JSONDecodeError) as e:
+            print(f"error: --config {pre_args.config}: {e}", file=sys.stderr)
+            return 2
+        by_dest = {a.dest: a for a in ap._actions}
+        defaults = {}
         for k, v in cfg.items():
             dest = k.replace("-", "_")
-            if dest == "config" or dest not in valid_dests:
+            action = by_dest.get(dest)
+            if dest in ("config", "help") or action is None:
                 print(f"error: unknown --config key {k!r}", file=sys.stderr)
                 return 2
-            # config supplies DEFAULTS: an explicit CLI flag (any value
-            # different from the parser default) wins over the file
-            if getattr(args, dest) == ap.get_default(dest):
+            if isinstance(v, (dict, list)):
                 # JSON-valued flags (--stat-bounds/--null-rate) take
                 # strings on the CLI; in the file they are natural JSON
-                setattr(args, dest,
-                        json.dumps(v) if isinstance(v, (dict, list)) else v)
+                v = json.dumps(v)
+            elif action.type is not None and v is not None:
+                # config parity with CLI parsing: apply the flag's type=
+                try:
+                    v = action.type(v)
+                except (TypeError, ValueError):
+                    print(f"error: --config key {k!r}: {v!r} is not a "
+                          f"valid {getattr(action.type, '__name__', '?')}",
+                          file=sys.stderr)
+                    return 2
+            if action.choices is not None and v not in action.choices:
+                print(f"error: --config key {k!r}: {v!r} not one of "
+                      f"{sorted(action.choices)}", file=sys.stderr)
+                return 2
+            defaults[dest] = v
+        ap.set_defaults(**defaults)
+    args = ap.parse_args()
 
     # usage-error gate (exit 2): incompatible/ineffective flag combinations
     # must not masquerade as clean runs or data failures (round-4 review)
@@ -208,6 +234,39 @@ def main() -> int:
         print("error: --stat-bounds requires --aggregate (it is an "
               "aggregate assertion)", file=sys.stderr)
         return 2
+    # parse + statically validate the JSON-valued flags NOW: a typo'd
+    # spec key or malformed JSON is a USAGE error (exit 2) and must not
+    # crash mid-run wearing exit 1, the 'violations found' code
+    bounds = None
+    if args.stat_bounds:
+        try:
+            bounds = json.loads(args.stat_bounds)
+        except json.JSONDecodeError as e:
+            print(f"error: --stat-bounds is not valid JSON: {e}",
+                  file=sys.stderr)
+            return 2
+        known_sb = {"min_mean", "max_mean", "min_value", "max_value"}
+        if not isinstance(bounds, dict) or not all(
+                isinstance(s, dict) and not (set(s) - known_sb)
+                and all(isinstance(x, (int, float)) for x in s.values())
+                for s in bounds.values()):
+            print(f"error: --stat-bounds must map columns to "
+                  f"{{{'/'.join(sorted(known_sb))}: number}} specs",
+                  file=sys.stderr)
+            return 2
+    null_rate = None
+    if args.null_rate:
+        try:
+            null_rate = json.loads(args.null_rate)
+        except json.JSONDecodeError as e:
+            print(f"error: --null-rate is not valid JSON: {e}",
+                  file=sys.stderr)
+            return 2
+        if not isinstance(null_rate, dict) or not all(
+                isinstance(x, (int, float)) for x in null_rate.values()):
+            print("error: --null-rate must map columns to max rates "
+                  "(numbers)", file=sys.stderr)
+            return 2
     if args.unique_key and not args.aggregate:
         print("error: --unique-key requires --aggregate (uniqueness is an "
               "aggregate check)", file=sys.stderr)
@@ -407,25 +466,49 @@ def main() -> int:
         report["unique_pass"] = uniq.screened_clean
         agg_pass &= uniq.screened_clean
 
+        ref_dim_df = None
         if args.ref_dim:
+            if args.ref_column not in df.columns:
+                print(f"error: --ref-column {args.ref_column!r} is not a "
+                      f"column of the table", file=sys.stderr)
+                return 2
             dim = spark.read.parquet(args.ref_dim)
-            ref_fn = (agg.referential_check_scaled if args.ref_scaled
-                      else agg.referential_check)
-            n_ref_missing = ref_fn(df, dim, args.ref_column,
-                                   id_column=suite.id_column).count()
-            report["ref_missing_rows"] = int(n_ref_missing)
-            report["ref_pass"] = n_ref_missing == 0
-            agg_pass &= n_ref_missing == 0
+            if args.ref_scaled:
+                # the scaled path must never broadcast the dim, so it
+                # cannot ride the fused (broadcast-join) scan
+                n_ref = agg.referential_check_scaled(
+                    df, dim, args.ref_column,
+                    id_column=suite.id_column).count()
+                report["ref_missing_rows"] = int(n_ref)
+                report["ref_pass"] = n_ref == 0
+                agg_pass &= n_ref == 0
+            else:
+                # broadcastable dim: the miss COUNT rides the fused scan
+                # below — no dedicated referential pass over the facts
+                ref_dim_df = dim
 
         edges = [float(x) for x in args.drift_edges.split(",")]
         drift_by = None if args.drift_by in ("", "none") else args.drift_by
-        bounds = json.loads(args.stat_bounds) if args.stat_bounds else None
-        null_rate = json.loads(args.null_rate) if args.null_rate else None
+        # table-dependent config validation (columns exist, numeric dtype)
+        # — still exit 2, not a mid-run crash wearing exit 1
+        from pyspark.sql import types as T
+
         nr_missing = [c for c in (null_rate or {}) if c not in df.columns]
         if nr_missing:
             print(f"error: --null-rate columns {nr_missing} are not "
                   f"columns of the table", file=sys.stderr)
             return 2
+        for c in (bounds or {}):
+            if c not in df.columns:
+                print(f"error: --stat-bounds column {c!r} is not a "
+                      f"column of the table", file=sys.stderr)
+                return 2
+            if not isinstance(df.schema[c].dataType, T.NumericType):
+                print(f"error: --stat-bounds column {c!r} is "
+                      f"{df.schema[c].dataType.simpleString()} — "
+                      f"mean/min/max bounds need a numeric column",
+                      file=sys.stderr)
+                return 2
 
         def _row_dicts(frame):
             return [
@@ -445,7 +528,15 @@ def main() -> int:
                     spark, fused, null_rate))
                 report["null_rate_violations"] = nrv
                 ok &= not nrv
+            if ref_dim_df is not None:
+                n_ref = int(fused.ref_missing_total())
+                report["ref_missing_rows"] = n_ref
+                report["ref_pass"] = n_ref == 0
+                ok &= n_ref == 0
             return ok
+
+        need_extra_fused = bool(bounds or null_rate
+                                or ref_dim_df is not None)
 
         bs = BaselineStore(args.state)
         loaded = bs.load(spark, args.drift_column)
@@ -460,13 +551,14 @@ def main() -> int:
                     config={"drift_by": drift_by,
                             "is_array": bool(args.drift_array)})
             report["drift"] = "baseline_bootstrapped"
-            if bounds or null_rate:
-                # no drift compare on the bootstrap run: stat bounds and
-                # null-rate ceilings share ONE fused pass of their own,
-                # grouped like the drift
+            if need_extra_fused:
+                # no drift compare on the bootstrap run: stat bounds,
+                # null-rate ceilings, and the referential miss count share
+                # ONE fused pass of their own, grouped like the drift
                 agg_pass &= _report_stat_bounds(agg.fused_aggregate_pass(
                     df, null_rate_by=drift_by,
                     null_rate_cols=list(null_rate or []),
+                    dim=ref_dim_df, ref_column=args.ref_column,
                     stat_bound_cols=list(bounds or [])))
         else:
             frozen = bs.config(args.drift_column)
@@ -479,13 +571,15 @@ def main() -> int:
                       f"fresh --state", file=sys.stderr)
                 return 2
             base_hist, base_edges = loaded
-            # ONE fused scan for the drift histogram AND any --stat-bounds
-            # partials (the facade's shape): --stat-bounds costs no extra
-            # pass over the table in compare mode
+            # ONE fused scan for the drift histogram AND any
+            # --stat-bounds/--null-rate partials and the --ref-dim miss
+            # count (the facade's shape): none of them cost an extra pass
+            # over the table in compare mode
             fused = agg.fused_aggregate_pass(
                 df,
                 null_rate_by=drift_by,
                 null_rate_cols=list(null_rate or []),
+                dim=ref_dim_df, ref_column=args.ref_column,
                 drift_column=args.drift_column,
                 edges=list(base_edges),
                 drift_by=drift_by,
@@ -503,7 +597,7 @@ def main() -> int:
                 for r in results
             ]
             agg_pass &= all(r.passed for r in results)
-            if bounds or null_rate:
+            if need_extra_fused:
                 agg_pass &= _report_stat_bounds(fused)
         if args.embedding_column:
             ecol = args.embedding_column

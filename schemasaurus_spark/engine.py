@@ -168,6 +168,23 @@ def run_full_validation(df: DataFrame, suite: Suite,
             raise ValueError(
                 f"AggregateChecks.stat_bounds column '{c}' is not a "
                 f"column of the table ({sorted(df.columns)})")
+    if checks.ref_scaled and checks.sources_dim is None:
+        # a misconfigured check must be LOUD, not absent (same contract
+        # as unique_key above and the job's --ref-scaled-without---ref-dim
+        # exit-2 gate)
+        raise ValueError(
+            "AggregateChecks.ref_scaled=True without sources_dim — the "
+            "scaled referential check has no dimension to check against")
+    if ((checks.null_rate_max or checks.stat_bounds)
+            and checks.null_rate_by is not None
+            and checks.null_rate_by not in df.columns):
+        # the default null_rate_by='source' must not crash sourceless
+        # tables with an opaque UNRESOLVED_COLUMN from inside the fused
+        # pass (round-4 fixed the drift-only variant of this)
+        raise ValueError(
+            f"AggregateChecks.null_rate_by '{checks.null_rate_by}' is not "
+            f"a column of the table — set null_rate_by=None for a global "
+            f"(ungrouped) null-rate/stat-bound check")
     if checks.drift_baseline is not None and not checks.drift_edges:
         raise ValueError(
             "AggregateChecks.drift_baseline is set but drift_edges is "

@@ -255,7 +255,14 @@ def sample_rows(df: DataFrame, fraction: float, id_col: str = "doc_id",
     function of (seed, id) — stable across reruns, cluster sizes, and
     growing inputs (a doc stays in the smoke sample forever), and
     recomputable outside Spark (md5 derivation). The filter streams with
-    the scan: zero shuffle."""
+    the scan: zero shuffle.
+
+    Rows with a NULL id are ALWAYS in the sample: their hash is NULL and
+    a NULL predicate would silently drop them — i.e. the smoke pre-flight
+    would report PASS on a table whose id column is broken, the exact
+    NotNull failure it exists to catch. A broken id column should
+    dominate the sample verdict, not hide from it."""
     if not 0.0 < fraction <= 1.0:
         raise ValueError(f"fraction must be in (0, 1], got {fraction}")
-    return df.where(_portable_unit(id_col, seed) < F.lit(float(fraction)))
+    return df.where(F.coalesce(_portable_unit(id_col, seed), F.lit(0.0))
+                    < F.lit(float(fraction)))

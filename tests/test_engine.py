@@ -136,3 +136,31 @@ def test_full_validation_stat_bounds(spark):
     with pytest.raises(ValueError, match="stat_bounds column"):
         run_full_validation(df, _suite(),
                             AggregateChecks(stat_bounds={"nope": {"max_mean": 1}}))
+
+
+def test_full_validation_misconfig_is_loud(spark):
+    """Misconfigured aggregate checks raise instead of silently skipping
+    or crashing with an opaque analyzer error."""
+    import pytest
+
+    df = spark.createDataFrame([(1, 2.0)], "doc_id long, x double")
+    suite = Suite(id_column="doc_id", columns={"doc_id": [NotNull()]})
+
+    # ref_scaled without a dimension: silent no-op would be a false clean
+    with pytest.raises(ValueError, match="ref_scaled"):
+        run_full_validation(df, suite, AggregateChecks(ref_scaled=True))
+
+    # default null_rate_by='source' on a sourceless table: clear message,
+    # not UNRESOLVED_COLUMN from inside the fused pass
+    with pytest.raises(ValueError, match="null_rate_by"):
+        run_full_validation(df, suite, AggregateChecks(
+            stat_bounds={"x": {"max_mean": 10.0}}))
+    with pytest.raises(ValueError, match="null_rate_by"):
+        run_full_validation(df, suite, AggregateChecks(
+            null_rate_max={"x": 0.1}))
+
+    # ...and the global form works
+    res = run_full_validation(df, suite, AggregateChecks(
+        stat_bounds={"x": {"max_mean": 10.0}}, null_rate_max={"x": 0.5},
+        null_rate_by=None))
+    assert res.is_valid()

@@ -593,3 +593,49 @@ def test_job_config_file(spark, tmp_path):
          "--config", cfg_path],
         capture_output=True, text=True, timeout=120, cwd=REPO)
     assert out.returncode == 2 and "unknown --config key" in out.stderr
+
+
+def test_job_config_cli_precedence_and_typing(spark, tmp_path):
+    """An explicit CLI flag beats the config file EVEN when its value
+    equals the parser default (set_defaults two-phase parse), and config
+    values get CLI-equivalent type checking."""
+    from schemasaurus_spark import datagen
+    from schemasaurus_spark.sources.storage import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    store.append(datagen.finalize(datagen.gen_sequences(spark, 200, 2)))
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        json.dump({"aggregate": True, "drift-by": "none",
+                   "stat_bounds": {"n_tok": {"max_mean": 1.0}}}, f)
+
+    # CLI --drift-by source == the parser DEFAULT; it must still beat the
+    # file's "none" — observable as per-source violation groups, not '*'
+    rep, rc = _run_job("--table", str(tmp_path / "tbl"),
+                       "--state", str(tmp_path / "s1"),
+                       "--config", cfg_path, "--drift-by", "source")
+    assert rc == 1
+    groups = {v["group"] for v in rep["stat_bound_violations"]}
+    assert "*" not in groups and groups <= set(datagen.SOURCES)
+
+    # config typing: a quoted number for a float flag is a usage error
+    with open(cfg_path, "w") as f:
+        json.dump({"sample": "0.5"}, f)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "validate_job.py"),
+         "--table", str(tmp_path / "tbl"), "--state", str(tmp_path / "s2"),
+         "--config", cfg_path],
+        capture_output=True, text=True, timeout=120, cwd=REPO)
+    assert out.returncode == 2 and "not a valid float" in out.stderr
+
+    # malformed --stat-bounds is exit 2, never a crash wearing exit 1
+    for bad in ('{"n_tok": {"mean_max": 1}}', "not json",
+                '{"source": {"max_mean": 1}}'):
+        out2 = subprocess.run(
+            [sys.executable, os.path.join(REPO, "jobs", "validate_job.py"),
+             "--table", str(tmp_path / "tbl"),
+             "--state", str(tmp_path / "s3"),
+             "--aggregate", "--drift-by", "none", "--stat-bounds", bad],
+            capture_output=True, text=True, timeout=300, cwd=REPO,
+            env=dict(os.environ, SPARK_GRAFT_CPUS="4"))
+        assert out2.returncode == 2, (bad, out2.stderr[-300:])

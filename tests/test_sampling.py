@@ -277,3 +277,19 @@ def test_sample_rows_deterministic_and_subset_stable(spark):
     for bad in (0.0, -0.1, 1.5):
         with _pytest.raises(ValueError):
             sample_rows(df, bad)
+
+
+def test_sample_rows_null_ids_always_sampled(spark):
+    """NULL-id rows are ALWAYS in the smoke sample: a NULL hash predicate
+    would silently drop them and the pre-flight would pass on a table
+    whose id column is broken."""
+    from schemasaurus_spark.operators.sampling import sample_rows
+
+    df = spark.createDataFrame(
+        [(None, "a")] * 10 + [(f"d{i}", "b") for i in range(1000)],
+        "doc_id string, source string")
+    s = sample_rows(df, 0.01)
+    got = s.groupBy(F.col("doc_id").isNull().alias("n")).count().collect()
+    by_null = {r["n"]: r["count"] for r in got}
+    assert by_null.get(True, 0) == 10            # every null-id row kept
+    assert by_null.get(False, 0) < 100           # ~1% of the rest
