@@ -190,8 +190,23 @@ def main() -> int:
                 # JSON-valued flags (--stat-bounds/--null-rate) take
                 # strings on the CLI; in the file they are natural JSON
                 v = json.dumps(v)
+            elif isinstance(action, (argparse._StoreTrueAction,
+                                     argparse._StoreFalseAction)):
+                # a config FILE is typed JSON: only true/false is a valid
+                # value for a boolean flag (a JSON string "false" would be
+                # truthy once stored as the default)
+                if not isinstance(v, bool):
+                    print(f"error: --config key {k!r}: {v!r} is not a "
+                          f"valid boolean", file=sys.stderr)
+                    return 2
             elif action.type is not None and v is not None:
-                # config parity with CLI parsing: apply the flag's type=
+                # config parity with CLI typing — but STRICT: JSON already
+                # carries types, so a quoted number for a numeric flag is a
+                # usage error, not something to coerce
+                if action.type in (int, float) and isinstance(v, (str, bool)):
+                    print(f"error: --config key {k!r}: {v!r} is not a "
+                          f"valid {action.type.__name__}", file=sys.stderr)
+                    return 2
                 try:
                     v = action.type(v)
                 except (TypeError, ValueError):

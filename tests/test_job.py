@@ -628,6 +628,18 @@ def test_job_config_cli_precedence_and_typing(spark, tmp_path):
         capture_output=True, text=True, timeout=120, cwd=REPO)
     assert out.returncode == 2 and "not a valid float" in out.stderr
 
+    # config typing: a quoted "true" for a store_true flag is refused
+    # (stored as a default it would be a truthy STRING, and "false" would
+    # be truthy too — only JSON booleans are valid)
+    with open(cfg_path, "w") as f:
+        json.dump({"aggregate": "true"}, f)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "validate_job.py"),
+         "--table", str(tmp_path / "tbl"), "--state", str(tmp_path / "s2b"),
+         "--config", cfg_path],
+        capture_output=True, text=True, timeout=120, cwd=REPO)
+    assert out.returncode == 2 and "not a valid boolean" in out.stderr
+
     # malformed --stat-bounds is exit 2, never a crash wearing exit 1
     for bad in ('{"n_tok": {"mean_max": 1}}', "not json",
                 '{"source": {"max_mean": 1}}'):
