@@ -145,9 +145,13 @@ def _bucketed(df: DataFrame, vec_col: str, id_col: str,
     # bucket target (round-4 review; same stage-intermediates pattern as
     # the winnowing 6x win). Same arithmetic, same rounding — byte-equal
     # scores.
+    # widen narrow scans before the per-row bit/norm projection and the
+    # bucket self-join that follows (scale-adaptive no-op at cluster width)
+    from schemasaurus_spark.operators import spread_scan
+    wide = spread_scan(df)
     return [
-        df.select(b.alias("bucket"), F.col(id_col).alias("id"),
-                  F.col(vec_col).alias("v"))
+        wide.select(b.alias("bucket"), F.col(id_col).alias("id"),
+                    F.col(vec_col).alias("v"))
         .withColumn("nv", _norm(F.col("v")))
         for b in buckets
     ]

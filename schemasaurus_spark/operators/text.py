@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from schemasaurus_spark.operators import spread_scan
+
 WORD_SPLIT = r"\s+"
 
 # tiny per-language marker vocabularies for the n-gram/stopword heuristic
@@ -274,8 +276,10 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     #    downstream references read an attribute instead of re-inlining the
     #    producing expression (CollapseProject keeps the stages because
     #    lambda expressions are not "cheap"). Measured 6x vs single-select.
+    # hashing every character k-gram is the most CPU-dense projection in the
+    # engine: widen narrow scans to cluster width first (no-op at scale)
     staged = (
-        df.select(
+        spread_scan(df).select(
             F.col(id_col),
             F.transform(
                 F.sequence(F.lit(1), n_grams),
@@ -350,7 +354,10 @@ def hashed_linear_score(df: DataFrame, weights: list, bias: float = 0.0,
     n = len(weights)
     if n == 0:
         raise ValueError("weights must be non-empty")
-    staged = df.withColumn("__words", words(F.lower(F.col(text_col))))
+    # per-token hashing below is CPU-dense: widen narrow scans first
+    # (scale-adaptive no-op when the scan already has >= cluster width)
+    staged = spread_scan(df).withColumn("__words",
+                                        words(F.lower(F.col(text_col))))
     feats = F.col("__words")
     if bigrams:
         pairs = F.zip_with(

@@ -31,8 +31,18 @@ from schemasaurus_spark.operators import dedup, similarity, text
 # --------------------------------------------------------------------- util
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def _t(spark: SparkSession, sf_dir: str, name: str,
+       wide: bool = False) -> DataFrame:
+    """Read a driver table. ``wide=True`` widens narrow scans to cluster
+    width before CPU-dense per-row work (guide §2.5 input-parallelism fix:
+    the sandbox tables arrive as 1-2 parquet row groups, serializing
+    expression-heavy projections onto 1-2 cores; at production scale the
+    split count exceeds cluster width and this is a no-op)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if wide:
+        from schemasaurus_spark.operators import spread_scan
+        df = spread_scan(df)
+    return df
 
 
 DOC_LANGS = ["en", "es", "de", "fr"]  # zh deliberately excluded → violations
@@ -281,7 +291,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish pretokenizer counts in ONE projection (merged
     from the former token_count_bpe entry — frees a slot under the driver's
     ~50-graded-entry cap while keeping both operators value-graded)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", wide=True)
     return d.select(
         "doc_id",
         text.token_count_expr(F.col("text")).alias("n_tokens"),
@@ -300,7 +310,7 @@ SQL_TOKEN_COUNT = (
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.quality_scores(_t(spark, sf_dir, "documents"))
+    return text.quality_scores(_t(spark, sf_dir, "documents", wide=True))
 
 
 SQL_TEXT_QUALITY = r"""
@@ -421,7 +431,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_surv must be 1 everywhere; an APPLY that kept extras or dropped the
     keeper shifts the count). dedup_apply's full survivor set stays
     pinned row-for-row by tests/test_text_dedup.py."""
-    d = _docs_with_dups(spark, sf_dir)
+    from schemasaurus_spark.operators import spread_scan
+
+    # ONE query-level spread: all three passes below share the identical
+    # repartition subtree (ReusedExchange), and the operators' own
+    # scale-adaptive spreads see a wide input and no-op — two separate
+    # op-level shuffles of the union measured slower (round 6)
+    d = spread_scan(_docs_with_dups(spark, sf_dir))
     groups = dedup.exact_duplicates(d)
     fps = (d.select(F.col("doc_id"),
                     text.content_fingerprint(F.col("text")).alias("fp"))
@@ -765,7 +781,7 @@ FROM events GROUP BY 1, 2
 
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar functions: extract props.k, aggregate per event_type."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", wide=True)
     k = F.get_json_object("props", "$.k").cast("long")
     return ev.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"),
@@ -1254,7 +1270,7 @@ def q_validate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (processor.js:31-64). Stages a deterministic spans column (start/end/
     label per element) from documents; constraints per field, one violation
     per offending element, code items.<field>.<subcode>."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", wide=True)
     did = F.col("doc_id")
     mk = F.transform(
         F.sequence(F.lit(1).cast("bigint"), did % 4 + 1),
@@ -1312,7 +1328,7 @@ def q_validate_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     (array-valued offenders render engine-specifically), so the oracle
     pins (doc_id, constraint_id, column) and the row count pins the
     per-element extraction."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", wide=True)
     did = F.col("doc_id")
     # spans: struct elements with a scalar field and a nested string array
     mk_tags_full = lambda i: F.transform(

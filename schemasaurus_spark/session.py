@@ -49,6 +49,17 @@ def get_spark(
             str(shuffle_partitions or os.environ.get("SPARK_GRAFT_SHUFFLE", "32")),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # InferFiltersFromGenerate copies the ENTIRE generator-input
+        # expression into a `size(expr) > 0` filter that pushdown then
+        # inlines into the scan as an interpreted DataFilter — for this
+        # engine every Generate input is a computed HOF pipeline (violation
+        # arrays, shingles, token lists), so the "optimization" re-evaluates
+        # the whole tree per row for a filter explode performs anyway
+        # (empty arrays emit nothing). Measured 33.7 s -> 4.4 s on the
+        # sf1.0 shingle explode; the round-2 "interpreted DataFilter"
+        # pathology (CLAUDE.md) entered through this rule.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.warehouse.dir",

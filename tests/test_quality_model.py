@@ -81,15 +81,35 @@ def test_quality_filter_threshold(spark):
 
 
 def test_score_plan_shape(spark):
-    """No shuffle; buckets JVM-side; ONE Arrow-vectorized gather (the
-    sanctioned pandas_udf path — measured ~10x over per-token element_at
-    into the wide weight array; F.udf remains banned engine-wide)."""
-    df = spark.createDataFrame(DOCS, "doc_id string, text string")
+    """Buckets JVM-side; ONE Arrow-vectorized gather (the sanctioned
+    pandas_udf path — measured ~10x over per-token element_at into the
+    wide weight array; F.udf remains banned engine-wide). Scoring itself
+    adds NO shuffle: on an input already at cluster width, the only
+    Exchange in the plan is the input's own repartition (the operator's
+    scale-adaptive spread is a no-op there — round-6 narrow-scan fix)."""
+    wide = (spark.sparkContext.defaultParallelism * 2)
+    df = (spark.createDataFrame(DOCS, "doc_id string, text string")
+          .repartition(wide))
     plan = (hashed_linear_score(df, WEIGHTS, BIAS, seed=SEED)
             ._jdf.queryExecution().executedPlan().toString())
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") == 1            # only the input's own
     assert "BatchEvalPython" not in plan          # no row-at-a-time Python
     assert plan.count("ArrowEvalPython") == 1     # exactly one Arrow stage
+
+
+def test_score_spreads_narrow_scans(spark):
+    """A narrow input (fewer partitions than cluster width) is widened
+    before the CPU-dense per-token hashing — and the spread never changes
+    scores (round-6: sf1.0 documents arrive as a 2-row-group file that
+    otherwise serializes the whole projection onto 2 cores)."""
+    df = spark.createDataFrame(DOCS, "doc_id string, text string").coalesce(1)
+    out = hashed_linear_score(df, WEIGHTS, BIAS, seed=SEED)
+    assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    narrow = {r["doc_id"]: r["quality_score"] for r in out.collect()}
+    wide = {r["doc_id"]: r["quality_score"]
+            for r in hashed_linear_score(
+                df.repartition(8), WEIGHTS, BIAS, seed=SEED).collect()}
+    assert narrow == wide
 
 
 def test_rejects_empty_weights(spark):
