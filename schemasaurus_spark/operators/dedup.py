@@ -107,29 +107,51 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     strings) over k-word shingles — all array expressions, two narrow
     projections.
 
-    Perf shape: the shingle array is materialized ONCE (a prior projection —
-    higher-order-function subtrees are not CSE'd across sibling expressions),
-    and each md5 digest is sliced into four 32-bit hash values (bits of a
-    wide hash act as independent hash functions), so a doc costs
-    ceil(n_hashes/4) md5 passes over its shingles instead of n_hashes."""
-    sh = shingles(F.col(text_col), k_shingle)
+    Perf shape (round-6 staging fix): every intermediate array lands as a
+    COLUMN before anything references it inside a lambda — lambda subtrees
+    are neither CSE'd across siblings nor memoized per element (CLAUDE.md
+    round-1 gotcha), so the previous shape recomputed words() per shingle
+    inside shingles()'s lambda AND recomputed the md5 digest pass once per
+    mh column (8 passes) instead of once per salt (2). Stages: words →
+    shingles → one full-digest array per salt → n_hashes substring-mins.
+    Each md5 digest is sliced into four 32-bit hash values (bits of a wide
+    hash act as independent hash functions), so a doc now really costs
+    ceil(n_hashes/4) md5 passes over its shingles."""
     # hashing is CPU-heavy and inputs are often few large files: spread the
     # work across the cluster before the expression stage (one tiny shuffle
     # of raw text buys full-width parallelism; the LSH groupBy shuffles
     # anyway). 100 TB inputs already have >cores splits — no-op there.
-    staged = spread_scan(df).select(F.col(id_col), sh.alias("__sh"))
+    w_staged = spread_scan(df).select(
+        F.col(id_col), words(F.col(text_col)).alias("__w"))
+    wc = F.col("__w")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(wc) - (k_shingle - 1),
+                                        F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(wc, i, k_shingle)))
+    staged = w_staged.select(F.col(id_col), sh.alias("__sh"))
+    n_salts = (n_hashes + 3) // 4
+
+    # closure factories, NOT default-arg lambdas: a two-arg lambda is the
+    # (element, index) form to F.transform (CLAUDE.md round-1 gotcha)
+    def _digest_fn(prefix: str):
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    def _sub_fn(off: int):
+        return lambda d: F.substring(d, off, 8)
+
+    digests = staged.select(
+        F.col(id_col),
+        *[F.transform(F.col("__sh"), _digest_fn(f"s{salt}|"))
+          .alias(f"__d{salt}") for salt in range(n_salts)])
 
     def _mins(salt: int, chunk: int):
         return F.array_min(F.transform(
-            F.col("__sh"),
-            lambda s: F.substring(
-                F.md5(F.concat(F.lit(f"s{salt}|"), s)), 1 + 8 * chunk, 8),
-        ))
+            F.col(f"__d{salt}"), _sub_fn(1 + 8 * chunk)))
 
     cols = [
         _mins(*divmod(i, 4)).alias(f"mh{i}") for i in range(n_hashes)
     ]
-    return staged.select(F.col(id_col), *cols)
+    return digests.select(F.col(id_col), *cols)
 
 
 def lsh_buckets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -324,10 +346,10 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     broadcast-hash-join pipeline in ONE stage — the exploded rows are
     filtered before any exchange, and the only shuffle is the groupBy over
     join HITS (O(contaminated grams), ~0 for a clean corpus). Matching is
-    case-insensitive (both sides shingle lower(text)); n-grams are hashed
-    to substr(md5, 1, 16) under the module's portable-oracle contract (at
-    production scale swap xxhash64). Docs shorter than n words contribute
-    their whole text as one gram (shingles() clamps), so short benchmark
+    case-insensitive (both sides shingle lower(text)); grams match by a
+    64-bit hash (the production-grade key — n_hits carries no hash values,
+    so no oracle pins the hash function itself). Docs shorter than n words
+    contribute their whole text as one gram (clamped), so short benchmark
     items still match verbatim copies.
 
     Implementation (round-6 measure-first rewrite, guide §4.1/§2.3): the

@@ -344,13 +344,21 @@ def hashed_linear_score(df: DataFrame, weights: list, bias: float = 0.0,
     hashed bag-of-words linear scoring with ``len(weights)`` buckets
     (hashing trick; collisions are the model's business, not the
     engine's). ``bigrams=True`` adds adjacent-word-pair features (the
-    fastText ``wordNgrams=2`` trick) via ``zip_with`` — still
-    expression-only.
+    fastText ``wordNgrams=2`` trick). Buckets keep the _portable_bucket
+    md5 contract bit-for-bit (the parity tests recompute them
+    independently).
 
-    Scale shape: one projection over the scan; the weight vector is a
-    single array literal evaluated per row via ``element_at`` (O(1) per
-    token). Word lists are staged as columns between selects (the lambda
-    memoization rule — see CLAUDE.md round-1 gotcha)."""
+    Scale shape (round-6 measure-first rewrite, guide §4.2): tokenization
+    stays a JVM projection; bigram pairing, bucket hashing and the weight
+    gather all happen in ONE Arrow-vectorized pandas_udf over the word
+    list. The previous split — md5+conv+pmod per feature inside an
+    interpreted transform() lambda, then a second Arrow hop for the numpy
+    gather — paid per-feature interpreted-expression cost (conv() routes
+    hex through a decimal STRING) plus a second column crossing the
+    Python boundary; hashlib.md5 on raw bytes in the same UDF is both
+    cheaper and one less Arrow column. Same scores to the last bit:
+    int(md5(f"{seed}|" + tok).hexdigest()[:15], 16) % n IS
+    pmod(conv(substring(md5(...), 1, 15), 16, 10), n)."""
     n = len(weights)
     if n == 0:
         raise ValueError("weights must be non-empty")
@@ -358,55 +366,38 @@ def hashed_linear_score(df: DataFrame, weights: list, bias: float = 0.0,
     # (scale-adaptive no-op when the scan already has >= cluster width)
     staged = spread_scan(df).withColumn("__words",
                                         words(F.lower(F.col(text_col))))
-    feats = F.col("__words")
-    if bigrams:
-        pairs = F.zip_with(
-            F.col("__words"),
-            F.slice(F.col("__words"), 2,
-                    F.greatest(F.size("__words") - 1, F.lit(0))),
-            lambda a, b: F.concat_ws(" ", a, b))
-        # zip_with pads the shorter side with NULL: concat_ws renders the
-        # dangling last pair as the bare word — drop it by size
-        pairs = F.slice(pairs, 1, F.greatest(F.size("__words") - 1,
-                                             F.lit(0)))
-        staged = staged.withColumn("__feats",
-                                   F.concat(feats, pairs))
-    else:
-        staged = staged.withColumn("__feats", feats)
-    # Two-stage lookup split (measured at 500 docs, warm):
-    #   * bucket indices per token stay JVM-side expressions (md5+conv in
-    #     the transform lambda: 0.65 s — interpreted HOF but hash-cheap);
-    #   * the weight GATHER is an Arrow pandas_udf doing one numpy take
-    #     per doc (0.66 s). The pure-expression alternative —
-    #     element_at(<4096-wide array>, idx) per token inside the lambda —
-    #     measured 5.7–7.9 s (~10x): per-token access into a wide array
-    #     value is the interpreted path's degenerate case, whether the
-    #     table is a folded literal, a numpy literal, or a staged column.
-    #     pandas_udf is the engine's sanctioned vectorized escape hatch
-    #     (F.udf stays banned).
-    import numpy as _np
+    from hashlib import md5 as _md5
+
     from pyspark.sql.functions import pandas_udf as _pandas_udf
 
-    wtab = _np.asarray([float(x) for x in weights], dtype=_np.float64)
+    wtab = [float(x) for x in weights]
+    pfx = f"{seed}|"
+    with_bigrams = bool(bigrams)
 
     @_pandas_udf("double")
-    def _gather_sum(b):  # pd.Series -> pd.Series (aliased hints are
-        # unresolvable by pyspark's typehint parser; returnType in the
-        # decorator carries the contract)
+    def _hash_gather(b):  # pd.Series[list[str]] -> pd.Series[float]
+        # (aliased type hints are unresolvable by pyspark's hint parser;
+        # returnType in the decorator carries the contract)
         def one(arr):
             if arr is None:
                 return None
-            a = _np.asarray(arr, dtype=_np.int64)
-            return float(wtab[a].sum()) if a.size else 0.0
+            toks = list(arr)
+            if with_bigrams:
+                # adjacent pairs, no dangling last word — identical to the
+                # previous zip_with + concat_ws + slice construction
+                toks += [toks[i] + " " + toks[i + 1]
+                         for i in range(len(toks) - 1)]
+            s = 0.0
+            for t in toks:
+                h = int(_md5((pfx + t).encode()).hexdigest()[:15], 16) % n
+                s += wtab[h]
+            return s
         return b.map(one)
 
-    buckets = F.transform(F.col("__feats"),
-                          lambda e: _portable_bucket(e, n, seed))
-    staged = staged.withColumn("__buckets", buckets)
-    raw = _gather_sum(F.col("__buckets")) + F.lit(float(bias))
+    raw = _hash_gather(F.col("__words")) + F.lit(float(bias))
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-raw))
     return (staged.withColumn(out_col, score)
-                  .drop("__words", "__feats", "__buckets"))
+                  .drop("__words"))
 
 
 def quality_filter(df: DataFrame, weights: list, bias: float = 0.0,
