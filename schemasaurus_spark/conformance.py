@@ -388,30 +388,38 @@ FROM documents WHERE text IS NOT NULL AND length(text) % 7 <> 0
 
 def _ensure_even_registered():
     """V4Validator.extend analog (validator_extend.js:4-27): plugin DSL
-    class + compile hook, registered once per process."""
+    class + compile hook, registered once per process (lock: the
+    conformance frames now build from a thread pool)."""
     from dataclasses import dataclass
+    import threading
+
     from schemasaurus_spark.compiler import _scalar_fragment
 
-    if getattr(_ensure_even_registered, "_cls", None) is not None:
-        return _ensure_even_registered._cls
+    lock = getattr(_ensure_even_registered, "_lock", None)
+    if lock is None:
+        lock = _ensure_even_registered._lock = threading.Lock()
+    with lock:
+        if getattr(_ensure_even_registered, "_cls", None) is not None:
+            return _ensure_even_registered._cls
 
-    @dataclass(frozen=True)
-    class Even(dsl.Constraint):
-        @property
-        def code(self):
-            return "custom.even"
+        @dataclass(frozen=True)
+        class Even(dsl.Constraint):
+            @property
+            def code(self):
+                return "custom.even"
 
-    def compile_even(compiler, out, col_name, col, c, m, null_guard):
-        failed = (col % 2) != 0
-        if null_guard:
-            failed = col.isNotNull() & F.coalesce(failed, F.lit(True))
-        out.fragments.append(_scalar_fragment(
-            failed, "custom.even", col_name, col, None, m or "shall be even"))
-        out.valid = ~failed
+        def compile_even(compiler, out, col_name, col, c, m, null_guard):
+            failed = (col % 2) != 0
+            if null_guard:
+                failed = col.isNotNull() & F.coalesce(failed, F.lit(True))
+            out.fragments.append(_scalar_fragment(
+                failed, "custom.even", col_name, col, None,
+                m or "shall be even"))
+            out.valid = ~failed
 
-    dsl.register_constraint(Even, compile_even)
-    _ensure_even_registered._cls = Even
-    return Even
+        dsl.register_constraint(Even, compile_even)
+        _ensure_even_registered._cls = Even
+        return Even
 
 
 def q_conformance_extension(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -511,22 +519,35 @@ SELECT doc_id, 'items.anyOf', 'nums', CAST(doc_id * 3 % 12 AS VARCHAR)
 
 
 def q_conformance_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    null_v = F.lit(None).cast("string").alias("value")
-    msg4 = q_conformance_messages(spark, sf_dir).select(
-        "doc_id", "constraint_id", F.lit("n_chars").alias("column"),
-        F.col("message").alias("value"))
-    return (q_conformance_unique(spark, sf_dir)
-            .unionByName(q_conformance_combinator(spark, sf_dir)
-                         .select("*", null_v))
-            .unionByName(q_conformance_map(spark, sf_dir)
-                         .select("*", null_v))
-            .unionByName(msg4)
-            .unionByName(q_conformance_pandas(spark, sf_dir)
-                         .select("*", null_v))
-            .unionByName(q_conformance_extension(spark, sf_dir))
-            .unionByName(q_conformance_undeclared(spark, sf_dir)
-                         .select("*", null_v))
-            .unionByName(q_conformance_mapvalues(spark, sf_dir)))
+    def null_v():
+        return F.lit(None).cast("string").alias("value")
+
+    # The eight family frames are independent and their construction is
+    # py4j-round-trip bound (the DSL compiler builds hundreds of Column
+    # objects per family; socket waits release the GIL) — build them from
+    # a thread pool and union in fixed order (guide §2.6; plan-build was
+    # ~70% of this query's bench time). Results are identical: unionByName
+    # order is preserved by pool.map.
+    builders = [
+        lambda: q_conformance_unique(spark, sf_dir),
+        lambda: q_conformance_combinator(spark, sf_dir).select("*", null_v()),
+        lambda: q_conformance_map(spark, sf_dir).select("*", null_v()),
+        lambda: q_conformance_messages(spark, sf_dir).select(
+            "doc_id", "constraint_id", F.lit("n_chars").alias("column"),
+            F.col("message").alias("value")),
+        lambda: q_conformance_pandas(spark, sf_dir).select("*", null_v()),
+        lambda: q_conformance_extension(spark, sf_dir),
+        lambda: q_conformance_undeclared(spark, sf_dir).select("*", null_v()),
+        lambda: q_conformance_mapvalues(spark, sf_dir),
+    ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        frames = list(pool.map(lambda b: b(), builders))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 SQL_CONFORMANCE_MISC = f"""
@@ -559,11 +580,19 @@ def q_conformance_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     grades exactly 50 registry entries, and the three conformance queries
     (appended last) silently fell off the graded list at 53 — folding them
     into one union keeps every validator operator inside the hard gate."""
-    null_v = F.lit(None).cast("string").alias("value")
-    return (q_conformance_scalar(spark, sf_dir)
-            .unionByName(q_conformance_array(spark, sf_dir)
-                         .select("*", null_v))
-            .unionByName(q_conformance_misc(spark, sf_dir)))
+    from concurrent.futures import ThreadPoolExecutor
+
+    # same parallel plan-construction as q_conformance_misc (which runs
+    # its own inner pool); fixed union order preserved by pool.map
+    builders = [
+        lambda: q_conformance_scalar(spark, sf_dir),
+        lambda: q_conformance_array(spark, sf_dir).select(
+            "*", F.lit(None).cast("string").alias("value")),
+        lambda: q_conformance_misc(spark, sf_dir),
+    ]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        a, b, c = pool.map(lambda f: f(), builders)
+    return a.unionByName(b).unionByName(c)
 
 
 SQL_CONFORMANCE_ALL = f"""

@@ -256,8 +256,12 @@ def _wav_samples(payload: bytes) -> np.ndarray:
 def attach_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fixture: REAL container payloads generated deterministically from the
     id — BMP for even ids, WAV for odd. Generation runs in the Arrow kernel
-    (executor-side), never on the driver."""
-    slim = df.select(F.col(id_col).cast("long").alias("id"))
+    (executor-side), never on the driver. The id projection is widened to
+    cluster width first (round 6): every downstream decode/feature kernel
+    inherits this partitioning, and a 2-row-group fixture scan otherwise
+    serializes all three Arrow stages onto 2 cores."""
+    from schemasaurus_spark.operators import spread_scan
+    slim = spread_scan(df).select(F.col(id_col).cast("long").alias("id"))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

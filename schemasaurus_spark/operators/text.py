@@ -58,7 +58,7 @@ def token_count_expr(text: Column) -> Column:
 def token_count(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Whitespace token count — the cheap n_tok proxy for raw text."""
-    return df.select(
+    return spread_scan(df).select(
         F.col(id_col),
         token_count_expr(F.col(text_col)).alias("n_tokens"),
     )
@@ -83,7 +83,7 @@ def token_count_bpe(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """BPE-ish token count: number of pretokenizer matches (JVM-side
     regexp_extract_all — no Python in the loop)."""
-    return df.select(
+    return spread_scan(df).select(
         F.col(id_col),
         token_count_bpe_expr(text_col).alias("n_bpe_tokens"),
     )
@@ -97,7 +97,7 @@ def pii_signals(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """PII-pattern counts per document (email-like, phone-like) — the
     content-safety pre-filter signal. Pure regex counting, JVM-side."""
-    return df.select(
+    return spread_scan(df).select(
         F.col(id_col),
         F.size(F.regexp_extract_all(text_col, F.lit(EMAIL_RE), 0))
          .alias("n_emails"),
@@ -114,7 +114,7 @@ def top_tokens(df: DataFrame, k: int = 20, text_col: str = "text",
     merge, no global sort). Deterministic ties: count desc, word asc."""
     w = F.explode(words(F.lower(F.col(text_col)))).alias("word")
     return (
-        df.select(w)
+        spread_scan(df).select(w)
         .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.col("word"))
         .limit(k)
@@ -130,13 +130,20 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
       (1 - distinct/total): boilerplate and looping text score high;
     * ``symbol_ratio`` — non-alphanumeric, non-space chars / all chars.
 
-    The n-gram array is staged ONCE (lambda subtrees are not CSE'd)."""
-    w = words(F.col(text_col))
+    Round-6 staging fix: the word array lands as a COLUMN before the gram
+    lambda slices it — referencing the words() expression inside the
+    per-element lambda re-evaluated split+filter once PER GRAM (the
+    round-1 non-memoization gotcha; measured 33 s -> ~1 s at sf1.0
+    together with the narrow-scan spread)."""
+    w_staged = spread_scan(df).select(
+        F.col(id_col), F.col(text_col).alias("__t"),
+        words(F.col(text_col)).alias("__w"))
+    wc = F.col("__w")
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(w, i, n)))
-    staged = df.select(F.col(id_col), F.col(text_col).alias("__t"),
-                       grams.alias("__g"))
+        F.sequence(F.lit(1), F.greatest(F.size(wc) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(wc, i, n)))
+    staged = w_staged.select(F.col(id_col), F.col("__t"),
+                             grams.alias("__g"))
     g = F.col("__g")
     dup = F.round(F.lit(1.0) - F.size(F.array_distinct(g))
                   / F.size(g).cast("double"), round_to)
@@ -171,7 +178,7 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     score ln(p_tail_total / total) — mass-preserving), bounding the joined
     side to K+1 rows regardless of corpus size."""
     w = F.explode(words(F.lower(F.col(text_col)))).alias("word")
-    tokens = df.select(F.col(id_col), w)
+    tokens = spread_scan(df).select(F.col(id_col), w)
     freq = tokens.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
     total = freq.agg(F.sum("n").alias("t")).first()["t"]
     if not total:
@@ -211,14 +218,22 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
 def quality_scores(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id",
                    filler: tuple = ("the", "a", "of")) -> DataFrame:
-    """Length / word-shape / filler-ratio quality features."""
-    w = words(F.col(text_col))
+    """Length / word-shape / filler-ratio quality features.
+
+    Round-6 staging fix: the word array lands as a column first — n_words,
+    avg_word_len and filler_ratio each referenced the words() expression
+    (sibling expressions are not CSE'd), re-splitting the text per output
+    column."""
+    staged = spread_scan(df).select(
+        F.col(id_col), F.col(text_col).alias("__t"),
+        words(F.col(text_col)).alias("__w"))
+    w = F.col("__w")
     n_words = F.size(w)
-    n_chars = F.length(F.col(text_col))
+    n_chars = F.length(F.col("__t"))
     # average word length over non-space characters
-    nospace = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    nospace = F.length(F.regexp_replace(F.col("__t"), r"\s", ""))
     filler_hits = F.size(F.filter(w, lambda x: x.isin(*filler)))
-    return df.select(
+    return staged.select(
         F.col(id_col),
         n_chars.alias("n_chars_calc"),
         n_words.alias("n_words"),
@@ -230,22 +245,34 @@ def quality_scores(df: DataFrame, text_col: str = "text",
 def lang_id(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """Marker-word language ID: count hits per language's marker set and
-    pick the argmax (deterministic tie-break by fixed language order)."""
-    w = words(F.lower(F.col(text_col)))
+    pick the argmax (deterministic tie-break by fixed language order).
+
+    Round-6 staging fix: the word array and each language's hit count land
+    as COLUMNS before the argmax chain references them — the when/otherwise
+    chain reads every hit count several times, and each reference
+    re-evaluated the whole words() filter (sibling expressions are not
+    CSE'd)."""
+    w_staged = spread_scan(df).select(
+        F.col(id_col), words(F.lower(F.col(text_col))).alias("__w"))
+    wc = F.col("__w")
 
     def _hit_counter(markers):
         # single-arg lambda — a default-arg lambda would look like the
         # (element, index) two-arg form to F.filter
-        return F.size(F.filter(w, lambda x: x.isin(*markers)))
+        return F.size(F.filter(wc, lambda x: x.isin(*markers)))
 
-    hits = {lang: _hit_counter(markers) for lang, markers in LANG_MARKERS.items()}
     langs = list(LANG_MARKERS)
+    h_staged = w_staged.select(
+        F.col(id_col),
+        *[_hit_counter(LANG_MARKERS[lang]).alias(f"__h_{lang}")
+          for lang in langs])
+    hits = {lang: F.col(f"__h_{lang}") for lang in langs}
     best = hits[langs[0]]
     pred = F.lit(langs[0])
     for lang in langs[1:]:
         pred = F.when(hits[lang] > best, F.lit(lang)).otherwise(pred)
         best = F.when(hits[lang] > best, hits[lang]).otherwise(best)
-    return df.select(
+    return h_staged.select(
         F.col(id_col),
         pred.alias("pred_lang"),
         *[hits[lang].alias(f"{lang}_hits") for lang in langs],
@@ -311,7 +338,7 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     """Normalization fingerprint: md5 of lowercase alphanumerics — the
     canonical content hash used by exact dedup across formatting variants
     (same content_fingerprint expression the dedup operators consume)."""
-    return df.select(F.col(id_col),
+    return spread_scan(df).select(F.col(id_col),
                      content_fingerprint(F.col(text_col)).alias("fp"))
 
 
