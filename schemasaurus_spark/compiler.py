@@ -66,21 +66,53 @@ def _render_arg(arg) -> Optional[str]:
     return str(arg)
 
 
+# Lazily-built constant Columns, cached per process (round 6): every
+# pyspark function call is a ~1ms py4j round trip, and the compiler builds
+# the SAME constant expressions (empty violation array, true/false/null
+# literals) once per fragment — hundreds of times per suite, tens of
+# thousands of times in the batched conformance/official harnesses.
+# Columns are immutable expression trees, safe to share across plans,
+# sessions and threads; lazy because F.lit needs a live gateway.
+_CONST_CACHE: dict = {}
+
+
+def _const(key, make) -> Column:
+    c = _CONST_CACHE.get(key)
+    if c is None:
+        c = _CONST_CACHE[key] = make()
+    return c
+
+
+def _lit_true() -> Column:
+    return _const("true", lambda: F.lit(True))
+
+
+def _lit_false() -> Column:
+    return _const("false", lambda: F.lit(False))
+
+
+def _lit_null_str() -> Column:
+    return _const("null_str", lambda: F.lit(None).cast("string"))
+
+
 def _vio_struct(code: str, column, value: Column, arg, message: str) -> Column:
     # `column` is usually a static label; PatternProperties passes a Column
     # expression so the label can carry the offending map key (col[key])
+    rendered = _render_arg(arg)
     return F.struct(
         F.lit(code).alias("constraint_id"),
         (column if isinstance(column, Column)
          else F.lit(column)).alias("column"),
         value.cast("string").alias("value"),
-        F.lit(_render_arg(arg)).cast("string").alias("arg"),
+        (_lit_null_str() if rendered is None
+         else F.lit(rendered).cast("string")).alias("arg"),
         F.lit(message).alias("message"),
     )
 
 
 def _empty_violations() -> Column:
-    return F.lit([]).cast(VIOLATION_ARRAY_TYPE)
+    return _const("empty_violations",
+                  lambda: F.lit([]).cast(VIOLATION_ARRAY_TYPE))
 
 
 def _scalar_fragment(
@@ -240,12 +272,12 @@ class ConstraintCompiler:
             cc = self._compile_column(col_name, list(constraints))
             fragments.extend(cc.fragments)
             if cc.valid is not None:
-                valids.append(F.coalesce(cc.valid, F.lit(False)))
+                valids.append(F.coalesce(cc.valid, _lit_false()))
         for label, constraint in self.suite.row:
             cc = self._compile_one(label, F.col(label) if self._has(label) else F.lit(None), constraint, null_guard=False)
             fragments.extend(cc.fragments)
             if cc.valid is not None:
-                valids.append(F.coalesce(cc.valid, F.lit(False)))
+                valids.append(F.coalesce(cc.valid, _lit_false()))
         row_valid = _and_all(valids) if valids else None
         return ValidationPlan(self.suite, fragments, self.suite.fingerprint(),
                               row_valid)
@@ -325,9 +357,9 @@ class ConstraintCompiler:
             # for every non-required check (optional-absent semantics,
             # v4validator.js:67-79).
             if null_guard:
-                failed = col.isNotNull() & F.coalesce(failed, F.lit(True))
+                failed = col.isNotNull() & F.coalesce(failed, _lit_true())
             else:
-                failed = F.coalesce(failed, F.lit(True))
+                failed = F.coalesce(failed, _lit_true())
             msg = message or self._msg(code, arg)
             out.fragments.append(
                 _scalar_fragment(failed, code, col_name, value if value is not None else col, arg, msg)
@@ -448,11 +480,11 @@ class ConstraintCompiler:
                     F.when(col.isNotNull(), f).otherwise(_empty_violations())
                     for f in out.fragments
                 ]
-                out.valid = col.isNull() | F.coalesce(out.valid, F.lit(True))
+                out.valid = col.isNull() | F.coalesce(out.valid, _lit_true())
 
         elif isinstance(c, dsl.Not):
             sub = self._compile_branch(col_name, c.branch)
-            failed = F.coalesce(sub.valid, F.lit(True))  # branch VALID ⇒ 'not' fails
+            failed = F.coalesce(sub.valid, _lit_true())  # branch VALID ⇒ 'not' fails
             if null_guard:
                 failed = col.isNotNull() & failed
             out.fragments.append(
@@ -557,16 +589,16 @@ class ConstraintCompiler:
         # note: `type: null` means the value MUST be null; a null value passes
         # any type per the guard convention except when explicitly checked.
         for tname, probe in probes:
-            failed = ~F.coalesce(any_ok, F.lit(False)) & ~F.coalesce(probe, F.lit(False))
+            failed = ~F.coalesce(any_ok, _lit_false()) & ~F.coalesce(probe, _lit_false())
             if tname == "null":
-                failed = ~F.coalesce(any_ok, F.lit(False))
+                failed = ~F.coalesce(any_ok, _lit_false())
             code = {"string": "string", "number": "number", "integer": "integer",
                     "boolean": "boolean", "array": "array", "null": "null",
                     "object": "object"}[tname]
             out.fragments.append(
                 _scalar_fragment(failed, code, col_name, col, None, m or self._msg(code))
             )
-        valid = F.coalesce(any_ok, F.lit(False))
+        valid = F.coalesce(any_ok, _lit_false())
         out.valid = valid if out.valid is None else out.valid & valid
 
     def _row_container_null(self, out, col_name, col, code, null_guard):
@@ -658,17 +690,17 @@ class ConstraintCompiler:
                 # coalesce these branches to False, never True.
                 failed_any = F.coalesce(
                     (F.size(col) > 0) & (F.array_min(col) < F.lit(sub.value)),
-                    F.lit(False))
+                    _lit_false())
             elif isinstance(sub, dsl.Maximum):
                 failed_any = F.coalesce(
                     (F.size(col) > 0) & (F.array_max(col) > F.lit(sub.value)),
-                    F.lit(False))
+                    _lit_false())
             else:
                 failed_any = F.exists(
                     col,
-                    lambda x: x.isNotNull() & ~F.coalesce(pred(x), F.lit(False)))
+                    lambda x: x.isNotNull() & ~F.coalesce(pred(x), _lit_false()))
             if null_guard:
-                failed_any = col.isNotNull() & F.coalesce(failed_any, F.lit(True))
+                failed_any = col.isNotNull() & F.coalesce(failed_any, _lit_true())
             msg = sub.message or self._msg(code, arg)
             full_code = f"items.{code}"
             if c.extract_offenders:
@@ -678,7 +710,7 @@ class ConstraintCompiler:
                     offenders = F.filter(
                         col,
                         lambda x: x.isNotNull() & ~F.coalesce(pred(x),
-                                                              F.lit(False)))
+                                                              _lit_false()))
                 structs = F.transform(
                     offenders, lambda x: _vio_struct(full_code, col_name, x, arg, msg)
                 )
@@ -712,7 +744,7 @@ class ConstraintCompiler:
             else:
                 def f(x):
                     return x[fname].isNotNull() & ~F.coalesce(
-                        pred(x[fname]), F.lit(False))
+                        pred(x[fname]), _lit_false())
             return f
 
         def _vio_factory(fname, full_code, arg, msg):
@@ -735,7 +767,7 @@ class ConstraintCompiler:
                 failed_any = F.exists(col, elem_failed)
                 if null_guard:
                     failed_any = col.isNotNull() & F.coalesce(
-                        failed_any, F.lit(False))
+                        failed_any, _lit_false())
                 msg = sub.message or self._msg(code, arg)
                 full_code = f"items.{fname}.{code}"
                 if c.extract_offenders:
@@ -769,7 +801,7 @@ class ConstraintCompiler:
                 # the null-aware const pred handles it
                 pred, code, arg = self._element_predicate(sub, et)
                 failed = F.size(col) > i
-                failed = failed & ~F.coalesce(pred(elem), F.lit(False))
+                failed = failed & ~F.coalesce(pred(elem), _lit_false())
                 if null_guard:
                     failed = col.isNotNull() & failed
                 msg = sub.message or self._msg(code, arg)
@@ -806,7 +838,7 @@ class ConstraintCompiler:
                     # fails the sub-schema check
                     bad = F.filter(
                         extras,
-                        lambda x: ~F.coalesce(pred(x), F.lit(False)))
+                        lambda x: ~F.coalesce(pred(x), _lit_false()))
                     structs = F.transform(
                         bad,
                         lambda x: _vio_struct(full_code, col_name, x,
@@ -815,7 +847,7 @@ class ConstraintCompiler:
                     out.fragments.append(
                         F.when(any_bad, structs)
                          .otherwise(_empty_violations()))
-                    ok = ~F.coalesce(any_bad, F.lit(False))
+                    ok = ~F.coalesce(any_bad, _lit_false())
                     out.valid = (ok if out.valid is None
                                  else out.valid & ok)
 
@@ -826,7 +858,7 @@ class ConstraintCompiler:
         (processor.js:90-111 + v4validator.js:287)."""
         null_guard = self._row_container_null(out, col_name, col, "additionalProperties", null_guard)
         def allowed(k):
-            ok = F.lit(False)
+            ok = _lit_false()
             for p in c.patterns:
                 ok = ok | k.rlike(p)
             return ok
@@ -834,7 +866,7 @@ class ConstraintCompiler:
         bad_keys = F.filter(F.map_keys(col), lambda k: ~allowed(k))
         has_bad = F.size(bad_keys) > 0
         if null_guard:
-            has_bad = col.isNotNull() & F.coalesce(has_bad, F.lit(False))
+            has_bad = col.isNotNull() & F.coalesce(has_bad, _lit_false())
         msg = m or self._msg("additionalProperties")
         structs = F.transform(
             bad_keys,
@@ -908,9 +940,9 @@ class ConstraintCompiler:
         preds = [self._element_predicate(s, elem_type)[0] for s in branch]
 
         def bp(x):
-            ok = F.lit(True)
+            ok = _lit_true()
             for q in preds:
-                ok = ok & F.coalesce(q(x), F.lit(False))
+                ok = ok & F.coalesce(q(x), _lit_false())
             return ok
 
         return bp
@@ -937,7 +969,7 @@ class ConstraintCompiler:
                 if is_required:
                     return matches & e["value"].isNull()
                 return matches & e["value"].isNotNull() & ~F.coalesce(
-                    pred(e["value"]), F.lit(False))
+                    pred(e["value"]), _lit_false())
             return bad
 
         def vio_factory(code, arg, msg):
@@ -960,7 +992,7 @@ class ConstraintCompiler:
                 offenders = F.filter(entries, bad)
                 has = F.size(offenders) > 0
                 if null_guard:
-                    has = col.isNotNull() & F.coalesce(has, F.lit(False))
+                    has = col.isNotNull() & F.coalesce(has, _lit_false())
                 msg = sub.message or self._msg(code, arg)
                 structs = F.transform(offenders,
                                       vio_factory(code, arg, msg))
@@ -977,7 +1009,7 @@ class ConstraintCompiler:
                 entries, lambda e: ~self._any_key_match(e["key"], c))
             has_bad = F.size(unmatched) > 0
             if null_guard:
-                has_bad = col.isNotNull() & F.coalesce(has_bad, F.lit(False))
+                has_bad = col.isNotNull() & F.coalesce(has_bad, _lit_false())
             msg = c.message or self._msg("additionalProperties")
             structs = F.transform(
                 unmatched,
@@ -993,7 +1025,7 @@ class ConstraintCompiler:
             emit_value_checks(None, list(c.additional))
 
     def _any_key_match(self, key: Column, c: dsl.PatternProperties) -> Column:
-        ok = F.lit(False)
+        ok = _lit_false()
         for r, _ in c.spec_items():
             ok = ok | key.rlike(r)
         for name in c.allowed:
@@ -1040,10 +1072,10 @@ class ConstraintCompiler:
                         # missing/null collapse — a padded-absent property
                         # must not fire)
                         failed = fcol.isNotNull() & ~F.coalesce(
-                            pred(fcol), F.lit(False))
+                            pred(fcol), _lit_false())
                     if null_guard:
                         failed = col.isNotNull() & F.coalesce(failed,
-                                                              F.lit(False))
+                                                              _lit_false())
                     msg = sub.message or self._msg(code, arg)
                     out.fragments.append(_scalar_fragment(
                         failed, code, label, fcol, arg, msg))
@@ -1073,14 +1105,14 @@ class ConstraintCompiler:
                             for b in sub.branches]
             if isinstance(sub, dsl.AllOf):
                 def pred_all(x):
-                    ok = F.lit(True)
+                    ok = _lit_true()
                     for bp in branch_preds:
                         ok = ok & bp(x)
                     return ok
                 return pred_all, "allOf", None
             if isinstance(sub, dsl.AnyOf):
                 def pred_any(x):
-                    ok = F.lit(False)
+                    ok = _lit_false()
                     for bp in branch_preds:
                         ok = ok | bp(x)
                     return ok
@@ -1184,16 +1216,16 @@ class ConstraintCompiler:
 
         def elem_ok_factory():
             def elem_ok(y):
-                ok = F.lit(True)
+                ok = _lit_true()
                 for q, req in scalar:
                     ok = ok & (y.isNotNull() if req else
                                (y.isNull()
-                                | F.coalesce(q(y), F.lit(False))))
+                                | F.coalesce(q(y), _lit_false())))
                 for fname, q, req in fields:
                     fv = y[fname]
                     ok = ok & (fv.isNotNull() if req else
                                (fv.isNull()
-                                | F.coalesce(q(fv), F.lit(False))))
+                                | F.coalesce(q(fv), _lit_false())))
                 return ok
             return elem_ok
 
@@ -1224,10 +1256,10 @@ class ConstraintCompiler:
         n_spec = len(sub.specs)
 
         def pred(x):
-            ok = F.lit(True)
+            ok = _lit_true()
             for i, q in spec_preds:
                 ok = ok & ((F.size(x) <= i)
-                           | F.coalesce(q(F.get(x, i)), F.lit(False)))
+                           | F.coalesce(q(F.get(x, i)), _lit_false()))
             if sub.additional is False or sub.additional == ():
                 ok = ok & (F.size(x) <= n_spec)
             for q in addl_preds:
@@ -1235,7 +1267,7 @@ class ConstraintCompiler:
                                  F.greatest(F.size(x) - n_spec, F.lit(0)))
                 ok = ok & F.forall(
                     extras,
-                    lambda e: F.coalesce(q(e), F.lit(False)))
+                    lambda e: F.coalesce(q(e), _lit_false()))
             return ok
         return pred
 
@@ -1286,7 +1318,7 @@ class ConstraintCompiler:
         members = [member_factory(t) for t in types]
 
         def pred(x):
-            ok = F.lit(False)
+            ok = _lit_false()
             for mp in members:
                 ok = ok | mp(x)
             return ok
@@ -1313,7 +1345,7 @@ class ConstraintCompiler:
             udf = F.pandas_udf(c.pandas_fn, T.BooleanType())
             pred = udf(col, *extra)
         code = c.code
-        failed = ~F.coalesce(pred, F.lit(False))
+        failed = ~F.coalesce(pred, _lit_false())
         if null_guard:
             # column-level conform skips absent (null) values like every
             # other non-required check; row-level conform (null_guard=False)
@@ -1337,12 +1369,12 @@ class ConstraintCompiler:
         a validity predicate."""
         cc = self._compile_column(col_name, list(constraints))
         if cc.valid is None:
-            cc.valid = F.lit(True)
+            cc.valid = _lit_true()
         return cc
 
     def _compile_combinator(self, out, col_name, col, c, m, null_guard):
         branches = [self._compile_branch(col_name, b) for b in c.branches]
-        valids = [F.coalesce(b.valid, F.lit(False)) for b in branches]
+        valids = [F.coalesce(b.valid, _lit_false()) for b in branches]
         sub_errs = [
             _concat_all([f for f in b.fragments]) if b.fragments else _empty_violations()
             for b in branches
@@ -1401,14 +1433,14 @@ class ConstraintCompiler:
             for req in c.requires:
                 b = self._compile_column(req, [dsl.NotNull()])
                 sub_frags.extend(b.fragments)
-                sub_valids.append(F.coalesce(b.valid, F.lit(False)))
+                sub_valids.append(F.coalesce(b.valid, _lit_false()))
             arg = list(c.requires)
         else:
             for target_col, constraint in c.constraints:
                 b = self._compile_one(target_col, F.col(target_col), constraint, null_guard=True)
                 sub_frags.extend(b.fragments)
                 if b.valid is not None:
-                    sub_valids.append(F.coalesce(b.valid, F.lit(False)))
+                    sub_valids.append(F.coalesce(b.valid, _lit_false()))
             arg = f"schema({c.on})"
         dep_valid = _and_all(sub_valids)
         triggered = on.isNotNull()
@@ -1423,14 +1455,14 @@ class ConstraintCompiler:
 
 
 def _and_all(cols: list[Column]) -> Column:
-    out = F.lit(True)
+    out = _lit_true()
     for c in cols:
         out = out & c
     return out
 
 
 def _or_all(cols: list[Column]) -> Column:
-    out = F.lit(False)
+    out = _lit_false()
     for c in cols:
         out = out | c
     return out
