@@ -79,6 +79,12 @@ _CONST_CACHE: dict = {}
 def _const(key, make) -> Column:
     c = _CONST_CACHE.get(key)
     if c is None:
+        if len(_CONST_CACHE) > 10_000:
+            # bound the per-process cache: keys include user-authored
+            # message/code strings, and a long-lived service compiling
+            # unbounded ad-hoc suites must not leak — past the cap just
+            # build uncached
+            return make()
         c = _CONST_CACHE[key] = make()
     return c
 
@@ -97,16 +103,24 @@ def _lit_null_str() -> Column:
 
 def _vio_struct(code: str, column, value: Column, arg, message: str) -> Column:
     # `column` is usually a static label; PatternProperties passes a Column
-    # expression so the label can carry the offending map key (col[key])
+    # expression so the label can carry the offending map key (col[key]).
+    # Constraint codes, column labels, messages and rendered args repeat
+    # heavily across fragments (233-case conformance batches reuse a
+    # handful of codes), so the fully-aliased literal sub-Columns are
+    # cached by value — only the `value` cast is built per call.
     rendered = _render_arg(arg)
     return F.struct(
-        F.lit(code).alias("constraint_id"),
-        (column if isinstance(column, Column)
-         else F.lit(column)).alias("column"),
+        _const(("cid", code),
+               lambda: F.lit(code).alias("constraint_id")),
+        (column.alias("column") if isinstance(column, Column)
+         else _const(("col", column),
+                     lambda: F.lit(column).alias("column"))),
         value.cast("string").alias("value"),
-        (_lit_null_str() if rendered is None
-         else F.lit(rendered).cast("string")).alias("arg"),
-        F.lit(message).alias("message"),
+        _const(("arg", rendered),
+               lambda: (_lit_null_str() if rendered is None
+                        else F.lit(rendered).cast("string")).alias("arg")),
+        _const(("msg", message),
+               lambda: F.lit(message).alias("message")),
     )
 
 

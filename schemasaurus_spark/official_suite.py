@@ -405,16 +405,31 @@ def run_official_tests(spark: SparkSession, tests: list[OfficialTest],
             continue
         (solo if plan.defs else planned).append((t, plan))
 
-    # NOTE (round 6): running these batches from a thread pool was tried
-    # and reverted — per-batch latency inflated ~8x with total wall
-    # unchanged (the cost is GIL-bound pure-Python compile + py4j protocol
-    # handling, not overlappable socket waits), so the added thread-safety
-    # surface bought nothing. Build isolation: ~28 s plan construction,
-    # ~0.3 s execution; not a bench-timed query.
-    for group in ([planned[i:i + batch_size]
-                   for i in range(0, len(planned), batch_size)]
-                  + [[tp] for tp in solo]):
-        _run_batch(spark, group, res)
+    # Round-6 sequencing note: a thread pool here FIRST measured useless
+    # (per-batch latency inflated ~8x, total unchanged) because the build
+    # was GIL-bound — per-API-call Python overhead (debug call-site
+    # capture, uncached constant Columns) dominated. After the compiler's
+    # constant-Column cache and dataFrameDebugging=false cut the work to
+    # ~49k py4j round trips, the cost became pure JVM-socket WAIT, which
+    # threads overlap fine: 21.3 s -> 8.4 s, byte-identical ordered
+    # results (pool.map preserves group order; each group appends to its
+    # own result). Optimize per-call cost BEFORE reaching for threads.
+    groups = ([planned[i:i + batch_size]
+               for i in range(0, len(planned), batch_size)]
+              + [[tp] for tp in solo])
+
+    def _run_group(group):
+        r = SuiteRunResult()
+        _run_batch(spark, group, r)
+        return r
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for r in pool.map(_run_group, groups):
+            res.passed.extend(r.passed)
+            res.failed.extend(r.failed)
+            res.skipped.extend(r.skipped)
     return res
 
 
