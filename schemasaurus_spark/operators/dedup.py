@@ -37,17 +37,28 @@ def shingles(text: Column, k: int = 5) -> Column:
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     fp_col: str | None = None) -> DataFrame:
     """Exact dedup via normalized-content hash-groupBy: groups with >1 doc.
     Returns (fp, n_docs, keep_id) — keep_id = min doc id (stable keeper).
 
     NULL text yields a NULL fingerprint and is EXCLUDED: absent content is
     not equal content, and md5(NULL)'s single groupBy group would
     otherwise report every null-text doc as a duplicate of every other
-    (round-4 review)."""
-    fp = text_fns.content_fingerprint(F.col(text_col))
+    (round-4 review).
+
+    ``fp_col`` names a PRECOMPUTED ``content_fingerprint`` column: the
+    normalize+md5 (the dominant per-row cost) is then not re-evaluated
+    here, so a caller running several dedup views can stage the
+    fingerprint frame once and share it — sibling plan branches are never
+    CSE'd (round-6), so without staging each view would recompute it."""
+    if fp_col is not None:
+        base = df.select(F.col(fp_col).alias("fp"), F.col(id_col))
+    else:
+        fp = text_fns.content_fingerprint(F.col(text_col))
+        base = spread_scan(df).select(fp.alias("fp"), F.col(id_col))
     return (
-        spread_scan(df).select(fp.alias("fp"), F.col(id_col))
+        base
         .where(F.col("fp").isNotNull())
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
@@ -56,13 +67,21 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
 
 
 def dedup_apply(df: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id",
+                fp_col: str | None = None) -> DataFrame:
     """APPLY exact dedup: return the surviving corpus (one keeper per
     normalized-content fingerprint, keeper = min id). One groupBy on the
     fingerprint + a semi-join back on (fp, id) — no window over the table,
-    so the shuffle stays O(distinct fingerprints)."""
-    with_fp = spread_scan(df).withColumn(
-        "__fp", text_fns.content_fingerprint(F.col(text_col)))
+    so the shuffle stays O(distinct fingerprints).
+
+    ``fp_col`` names a PRECOMPUTED ``content_fingerprint`` column (same
+    contract as :func:`exact_duplicates`); NULL-fp rows still pass
+    through untouched."""
+    if fp_col is not None:
+        with_fp = df.withColumn("__fp", F.col(fp_col))
+    else:
+        with_fp = spread_scan(df).withColumn(
+            "__fp", text_fns.content_fingerprint(F.col(text_col)))
     # NULL-text rows pass through UNTOUCHED: their fingerprint is NULL and
     # a null-unsafe semi-join would drop every one of them — including the
     # would-be keeper — from the surviving corpus (round-4 review: silent

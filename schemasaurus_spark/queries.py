@@ -421,6 +421,14 @@ SQL_DOCS_WITH_DUPS = """
 """
 
 
+# q_dedup_exact's staged fingerprint frame from the PREVIOUS invocation —
+# unpersisted on the next call so repeated runs (bench attempts, the
+# correctness harness) never accumulate cached blocks. Never holds
+# results across runs: every entry is a lazy plan recomputed from
+# parquet when its own invocation executes.
+_DEDUP_EXACT_HANDLES: list[DataFrame] = []
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup GROUPS × APPLY survivors in one graded result (round-5
     fold of the former dedup_exact + dedup_apply entries, freeing a
@@ -433,18 +441,53 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned row-for-row by tests/test_text_dedup.py."""
     from schemasaurus_spark.operators import spread_scan
 
-    # ONE query-level spread: all three passes below share the identical
+    # ONE query-level spread: every pass below shares the identical
     # repartition subtree (ReusedExchange), and the operators' own
     # scale-adaptive spreads see a wide input and no-op — two separate
     # op-level shuffles of the union measured slower (round 6)
     d = spread_scan(_docs_with_dups(spark, sf_dir))
-    groups = dedup.exact_duplicates(d)
-    fps = (d.select(F.col("doc_id"),
-                    text.content_fingerprint(F.col("text")).alias("fp"))
-           .where(F.col("fp").isNotNull()))
-    surv = dedup.dedup_apply(d).select("doc_id")
-    n_surv = (fps.join(surv, "doc_id")
-              .groupBy("fp").agg(F.count(F.lit(1)).alias("n_surv")))
+    # Stage the fingerprint ONCE as a persisted (doc_id, fp) frame — the
+    # lightweight proxy of guide §8: the three consumers below (groups,
+    # the survivor semi-join, the per-group survivor count) are sibling
+    # branches, and siblings are never CSE'd (round-6), so without the
+    # persist each branch re-scans the text table and re-evaluates the
+    # normalize+md5 (the old shape: 5 scans, 4 fp evaluations, plus a
+    # corpus-sized doc_id re-join to attach fp to survivors — survivors
+    # now simply KEEP their fp). The persisted frame is ~1% of the input
+    # (two small columns), is recomputed from parquet on every
+    # invocation (nothing crosses runs), and the previous invocation's
+    # handle is released below.
+    # Null screen on the INPUT column (fp is NULL iff text is NULL):
+    # `isnotnull(text)` pushes into the parquet scan natively, where a
+    # null filter on the computed fp would inline the whole md5+regexp
+    # expression into the scan as an interpreted DataFilter (the round-2
+    # pathology — observed when this was first written as
+    # fp.isNotNull()). The coalesce never fires (text is non-null here);
+    # it exists to mark fp non-nullable so dedup_apply's null-fp
+    # passthrough branch constant-folds away instead of re-scanning the
+    # table under an interpreted isnull(md5(...)) filter.
+    # Release the previous invocation's cache entry BEFORE registering the
+    # new one: CacheManager entries are keyed by canonicalized plan, so a
+    # persist of the (identical) new plan followed by unpersist of the old
+    # handle would remove the entry just registered — leaving every other
+    # invocation uncached (observed via getPersistentRDDs in round-6
+    # verification). Unpersist-first also guarantees no attempt can reuse
+    # a prior attempt's materialized blocks: each invocation recomputes
+    # from parquet.
+    while _DEDUP_EXACT_HANDLES:
+        try:
+            _DEDUP_EXACT_HANDLES.pop().unpersist()
+        except Exception:
+            pass
+    fpf = (d.where(F.col("text").isNotNull())
+           .select(F.col("doc_id"),
+                   F.coalesce(text.content_fingerprint(F.col("text")),
+                              F.lit("")).alias("fp"))
+           .persist())
+    _DEDUP_EXACT_HANDLES.append(fpf)
+    groups = dedup.exact_duplicates(fpf, fp_col="fp")
+    surv = dedup.dedup_apply(fpf, fp_col="fp")
+    n_surv = surv.groupBy("fp").agg(F.count(F.lit(1)).alias("n_surv"))
     return (groups.join(n_surv, "fp", "left")
             .select("fp", "n_docs", "keep_id",
                     F.coalesce("n_surv", F.lit(0)).cast("bigint")

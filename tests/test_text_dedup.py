@@ -108,6 +108,32 @@ def test_null_text_survives_dedup_apply(spark):
     assert survivors == [1, 3, 4, 5]  # both null-text rows kept
 
 
+def test_precomputed_fp_col_paths_match_default(spark):
+    """Round-6: exact_duplicates/dedup_apply accept a caller-staged
+    fingerprint column (``fp_col``) so several dedup views can share one
+    fingerprint evaluation (sibling branches are never CSE'd). The
+    staged path must return byte-identical results to the default
+    compute-inside path — including NULL-fp passthrough in apply."""
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, None), (4, None),
+         (5, "unique")],
+        "doc_id long, text string")
+    staged = df.withColumn("fp", text.content_fingerprint(F.col("text")))
+
+    got_groups = {tuple(r) for r in
+                  dedup.exact_duplicates(staged, fp_col="fp")
+                  .select("fp", "n_docs", "keep_id").collect()}
+    want_groups = {tuple(r) for r in
+                   dedup.exact_duplicates(df)
+                   .select("fp", "n_docs", "keep_id").collect()}
+    assert got_groups == want_groups
+
+    got_surv = sorted(r["doc_id"] for r in
+                      dedup.dedup_apply(staged, fp_col="fp").collect())
+    want_surv = sorted(r["doc_id"] for r in dedup.dedup_apply(df).collect())
+    assert got_surv == want_surv == [1, 3, 4, 5]
+
+
 def test_duplicate_clusters_nonconvergence_is_loud(spark):
     """A component whose diameter exceeds max_iters must raise, not return
     silently split clusters (round-4 review)."""
